@@ -1,0 +1,90 @@
+"""Data sources.
+
+The reference's only sources are local text files read via buffered IO or
+mmap (reference: src/serial_count_words.cpp:50-74,
+src/omp_count_words.cpp:175-221). Spark's data-source layer subsumes both:
+``spark.read.text`` plans boundary-respecting input splits natively
+(`spark.sql.files.maxPartitionBytes`), replacing the reference's hand-rolled
+``SplitBufferToChunks`` (src/omp_count_words.cpp:231-289).
+
+Parquet is the primary analytics format here (columnar, predicate pushdown,
+column pruning) — the reference has no storage format at all (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (parquet) from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table at sf_dir and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def read_text_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read raw text files into a documents-shaped DataFrame.
+
+    One row per file: (doc_id, text). Mirrors the reference's argv-ordered
+    corpus (src/omp_count_words.cpp:59-60) — doc_id is the position of the
+    path in `paths`. `wholetext=True` keeps one row per file so multi-line
+    tokens-per-document semantics match the per-file accumulation loop
+    (src/serial_count_words.cpp:50-74).
+
+    For 100 TB corpora prefer line-mode (`wholetext=False`, the default
+    text source) so a single huge file still splits into many partitions;
+    the word-count result is identical because tokenization splits on the
+    same whitespace class that separates lines.
+    """
+    frames = []
+    for i, p in enumerate(paths):
+        df = spark.read.text(p, wholetext=True).select(
+            F.lit(i).cast("long").alias("doc_id"), F.col("value").alias("text")
+        )
+        frames.append(df)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_text_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Line-oriented scan of a text corpus: DataFrame[value: string].
+
+    This is the scale path — Spark splits large files at line boundaries
+    across partitions (the reference hand-built the same alignment in
+    SplitBufferToChunks, src/omp_count_words.cpp:231-289).
+
+    Caveat: Hadoop's LineRecordReader strips a UTF-8 BOM from the first
+    line of each file, so a BOM-prefixed first token loses its BOM here.
+    For byte-exact reference parity use :func:`read_text_corpus`
+    (wholetext), which preserves the BOM.
+    """
+    return spark.read.text(paths)
