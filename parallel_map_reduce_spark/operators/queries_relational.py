@@ -1,0 +1,776 @@
+"""Relational operator surface over the TPC-H-ish tables.
+
+The reference engine has exactly one fixed query (word count); this module
+provides the full relational taxonomy the SURVEY §2.3 checklist maps to
+Spark primitives — scan/filter/project, aggregation, all join variants,
+sort/limit, set ops, window functions, rollup/cube, scalar functions —
+each as a declarative DataFrame plan with a DuckDB oracle.
+
+Correctness-by-construction rules used throughout:
+- every computed column is aliased identically in Spark and SQL;
+- computed doubles are rounded (ROUND(x, n)) on BOTH sides so engine
+  summation-order ulp differences can't flip the driver's value hash;
+- every LIMIT is preceded by a total order with a unique tie-break, so
+  top-k is deterministic across engines.
+
+Scale posture (100 TB): filters/projections sit directly on the parquet
+scan (Catalyst pushes them down — verified via .explain, see PLANS.md);
+dimension tables (region/nation/customer/supplier/part) are broadcast
+into fact joins so only `lineitem`/`orders`/`events` ever shuffle;
+aggregations rely on partial (map-side) agg, and AQE handles skew/
+post-shuffle coalescing. No collect(), no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.registry import register
+from parallel_map_reduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / project
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+""",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection, both pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45.0) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "distinct_values",
+    """
+SELECT DISTINCT c_mktsegment FROM customer
+""",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted to the synthetic schema: the canonical wide
+    hash-aggregation with partial/final phases (the Spark analogue of the
+    reference's two-phase tokenize+locked-reduce, SURVEY §3.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    """
+SELECT COUNT(*) AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+    )
+
+
+@register(
+    "count_distinct",
+    """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(*) AS n_orders
+FROM orders
+""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "percentiles",
+    """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines). At 100 TB
+    use approx_percentile — exact percentile needs a per-group sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_orders_customer",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS segment_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast: customer is tiny relative to
+    orders at every scale factor, so the join is shuffle-free — only the
+    final groupBy shuffles, on a low-cardinality key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k. customer broadcasts;
+    orders⋈lineitem co-shuffle on the order key (their natural join key),
+    and TakeOrderedAndProject keeps only 10 rows per partition moving."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join: every dimension broadcasts, so the only shuffle in the
+    whole plan is orders⋈lineitem plus the final small groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no in-progress order (NOT EXISTS → left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "outer_join_nation_counts",
+    """
+SELECT n_name, COUNT(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via a broadcast cross of the 1-row aggregate (what
+    Catalyst itself plans for an uncorrelated scalar subquery)."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_top_orders",
+    """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "union_distinct_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "intersect_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000
+""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no high-balance supplier (EXCEPT
+    DISTINCT semantics via subtract)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. rank() (not row_number) so tied rows get
+    the same output regardless of engine-internal ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "window_rolling_events",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_value
+FROM events
+""",
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sum per user over event time; (ts, event_id) is a unique
+    total order so the ROWS frame is deterministic in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_value"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+       epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation. The time gap is computed in integer
+    microseconds (both engines floor to µs) so no float rounding is
+    involved."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_val = F.lag("value", 1).over(w)
+    micros = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - prev_val, 4).alias("delta_prev"),
+        (micros - F.lag(micros, 1).over(w)).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    """
+SELECT r_name, n_name, COUNT(c_custkey) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "cube_flag_status",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS open_rev,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS filled_rev,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS partial_rev
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (portable form of
+    df.groupBy().pivot())."""
+    o = _t(spark, sf_dir, "orders")
+
+    def rev(status: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))), 2
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        rev("O").alias("open_rev"),
+        rev("F").alias("filled_rev"),
+        rev("P").alias("partial_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions: string / date / math / conditional
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTR(p_name, 1, 5) AS name_prefix,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CONCAT(p_brand, '/', p_type) AS brand_type,
+       TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+       CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red
+FROM part
+""",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.when(F.col("p_name").contains("red"), 1).otherwise(0).alias("has_red"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY order_year, order_month
+""",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "math_functions",
+    """
+SELECT l_orderkey, l_linenumber,
+       ROUND(ABS(l_extendedprice - 50000.0), 4) AS abs_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 4) AS price_ln,
+       ROUND(POW(1 + l_discount, 2), 4) AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+FROM lineitem
+""",
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 50000.0), 4).alias("abs_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 4).alias("disc_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "conditional_bucketing",
+    """
+SELECT CASE
+         WHEN o_totalprice < 100000 THEN 'small'
+         WHEN o_totalprice < 300000 THEN 'medium'
+         ELSE 'large'
+       END AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY bucket
+""",
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: typed aggregation + JSON-ish extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_by_type",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
+FROM events
+""",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar extraction from the JSON-ish props column. Done with a regex
+    (portable to the oracle); Spark-side get_json_object is the production
+    path and is covered by unit tests."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows, batch form. The identical plan runs as a
+    Structured Streaming query with a watermark (streaming module); batch
+    execution makes it oracle-checkable."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

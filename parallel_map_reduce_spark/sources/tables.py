@@ -33,8 +33,23 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (parquet) from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one synthetic table (parquet) from a scale-factor directory.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read it as long nanoseconds
+    (`spark.sql.legacy.parquet.nanosAsLong` — a dynamic SQLConf, so this
+    works in any caller's session) and floor-divide to microsecond
+    timestamps, Spark's native precision. Sub-microsecond ordering is
+    preserved for analytics by tie-breaking on event_id.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

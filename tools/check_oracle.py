@@ -29,7 +29,7 @@ def normalize(rows, columns):
                 if math.isnan(v):
                     v = "nan"
                 else:
-                    v = f"{v:.6g}"
+                    v = f"{v:.12g}"
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
