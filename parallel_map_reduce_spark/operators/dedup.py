@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+1. exact        — hash-groupBy on a content fingerprint. One shuffle on
+                  the md5 key (16 bytes/row crosses the wire, never the
+                  document body).
+2. MinHash+LSH  — shingle → minhash signature → band buckets → candidate
+                  pairs → jaccard verify. The self-join happens on band
+                  keys (tiny buckets), never all-pairs.
+3. SimHash      — 60-bit locality-sensitive bit signature; near-dups are
+                  small-hamming-distance pairs.
+4. n-gram Jaccard — exact pairwise jaccard via a shingle-inverted-index
+                  join; the verifier/oracle for the approximate tiers.
+
+All hashing is the portable md5-derived scheme (functions/hashing.py) so
+every deterministic step is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.functions.hashing import fingerprint_md5, hash64
+from parallel_map_reduce_spark.functions.tokenize import tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct content value.
+
+    Deterministic survivor choice (min id) — unlike dropDuplicates, whose
+    survivor is partition-order-dependent. Shuffles the md5 fingerprint,
+    not the content.
+    """
+    fp = df.select(
+        F.col(id_col), fingerprint_md5(F.col(content_col)).alias("_fp")
+    )
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_dups, keep_id)."""
+    return (
+        df.select(fingerprint_md5(F.col(content_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles ('w1 w2 w3' strings).
+
+    Pure JVM array ops (split/sequence/transform) — no UDF. Documents
+    with fewer than n tokens yield an empty array (the when() guard also
+    avoids sequence()'s descending-range behavior when size-n < 0).
+    """
+    toks = F.filter(tokens(text_col), lambda w: w != F.lit(""))
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(size >= n, grams).otherwise(F.array()))
+
+
+def explode_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct per document."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: (id, h0..h{k-1}).
+
+    One explode + one groupBy; the k hash functions are k aggregation
+    expressions over the same shingle rows (single shuffle on id).
+    Documents with no shingles are dropped (no signature exists).
+    """
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(hash64(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH: (id_a, id_b) distinct,
+    id_a < id_b.
+
+    Signature is split into `bands` bands of num_hashes/bands rows; two
+    docs are candidates if ANY band matches exactly. The join key is
+    (band_index, band_hash) — bucket sizes stay tiny, so the self-join is
+    linear-ish in practice; no all-pairs computation happens anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bh")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs: LSH candidates verified by exact shingle
+    jaccard ≥ threshold. Output: (id_a, id_b, jaccard rounded)."""
+    candidates = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact — the verifier/oracle tier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact jaccard over distinct word shingles, via an inverted-index
+    self-join on shingle (never a cartesian product): pairs sharing zero
+    shingles are never materialized.
+
+    Skew note: a shingle appearing in f docs contributes f² join rows.
+    At 100 TB, drop ultra-frequent shingles first (document-frequency
+    cap) — standard practice since boilerplate shingles carry no dedup
+    signal anyway.
+    """
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # matches the 60-bit portable hash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document: (id, simhash long).
+
+    Term-frequency-weighted: every token occurrence votes +1/-1 per bit of
+    its 60-bit content hash; the signature bit is 1 where the vote sum is
+    ≥ 0. Entirely JVM-side: explode + 60 conditional-sum aggregations in
+    one hash-agg pass (one shuffle on id).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = hash64(F.col("tok"), seed=0)
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Correctness-tier implementation joins all signature pairs (signatures
+    are 1 long per doc, so this is feasible far beyond document-pair
+    scale). At 100 TB use the standard rotation trick: split the 60 bits
+    into (max_hamming+1) blocks; equal-block buckets prune candidates
+    before the hamming check.
+    """
+    sig = simhash(df, text_col, id_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

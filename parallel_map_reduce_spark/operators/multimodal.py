@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB media pipelines:
+- media rows are (id, kind, payload: binary, meta: struct) — payloads are
+  opaque bytes; all engine logic keys off `kind` and `meta`, so parquet
+  scans prune payload bytes unless a stage actually decodes.
+- decode/feature-extract run as Arrow-batched `mapInPandas` over
+  partition-local batches — each executor touches only its own payloads;
+  nothing ever collects to the driver.
+- the decode kernels themselves are STUBBED here (no PIL/ffmpeg in this
+  container): `decode_image` raises NotImplementedError by default and
+  tests exercise the deterministic fake. The Spark-side plumbing —
+  schema, batching, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video|text
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_frames int, feature_hash string"
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: build a media table from the documents corpus, treating
+    the UTF-8 text bytes as an opaque payload. This provides a real
+    binary column (with deterministic content) to drive the plumbing in
+    an environment without actual image/audio fixtures."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.concat(kind, F.lit("/synthetic")).alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decoder stub — the image libraries are not in this container.
+
+    At deploy time replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+    """
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; use fake_decode for testing"
+    )
+
+
+def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_frames) derived from a
+    content hash — stable across runs/engines, shaped like real metadata."""
+    h = hashlib.md5(payload or b"").hexdigest()
+    width = 16 + int(h[:4], 16) % 4080
+    height = 16 + int(h[4:8], 16) % 2144
+    n_frames = 1 if kind == "image" else 1 + int(h[8:12], 16) % 3600
+    return width, height, n_frames
+
+
+def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    mapInPandas: each input batch is a pandas DataFrame of whole rows;
+    output schema is fixed (FEATURE_SCHEMA). The decode call is the only
+    per-item Python work — exactly the part that would call PIL/ffmpeg in
+    production. Batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch, keeping executor memory
+    flat regardless of corpus size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                if use_fake_decoder:
+                    width, height, n_frames = fake_decode(data, kind)
+                else:  # pragma: no cover - requires real decoders
+                    width, height = decode_image(data)
+                    n_frames = 1
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(data),
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "feature_hash": hashlib.md5(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "feature_hash",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_metadata_summary(media: DataFrame) -> DataFrame:
+    """Pure-column metadata rollup (no decode): per kind, count + payload
+    byte totals. Payload column is pruned from the scan — only meta is
+    read."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.min(F.col("meta.n_bytes")).alias("min_bytes"),
+            F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        )
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan for video payloads: one output row per frame to
+    sample, computed from metadata only (the actual frame extraction is
+    the stubbed decode stage). Demonstrates fan-out scheduling of media
+    work without moving payload bytes."""
+    video = media.filter(F.col("kind") == "video")
+    feats = extract_features(video).select("media_id", "n_frames")
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return feats.select(
+        "media_id", F.explode(idx).alias("frame_index")
+    )

@@ -1,0 +1,428 @@
+"""Registry entries for the LLM-data-pipeline surface: dedup, similarity
+search, text analysis, multimodal columns.
+
+Oracle SQL for the hash-based operators (MinHash, SimHash, fingerprints)
+is GENERATED from the same parameters as the Spark plans, using the
+portable md5-derived hash (functions/hashing.py) — both engines produce
+bit-identical signatures, so even the approximate operators'
+deterministic cores are value-hash-checked. Only the genuinely
+join-order-dependent steps (LSH candidate generation) are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.functions.hashing import hash64_sql
+from parallel_map_reduce_spark.operators import dedup, multimodal, similarity, textstats
+from parallel_map_reduce_spark.registry import register
+from parallel_map_reduce_spark.sources.tables import load_table
+
+_SPLIT = r"[ \t\n\r\x0b\x0c]+"
+_TOKS = f"list_filter(regexp_split_to_array(text, '{_SPLIT}'), w -> w <> '')"
+
+_TOKS_CTE = f"WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents)"
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-2, 0))) AS t(i)
+)"""
+)
+
+NUM_MINHASHES = 12
+SIMHASH_BITS = dedup.SIMHASH_BITS
+JACCARD_THRESHOLD = 0.5
+EMBED_DUP_THRESHOLD = 0.4
+KNN_QUERY_IDS = list(range(10))
+KNN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS fingerprint,
+       count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash signatures (deterministic core — full oracle)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"MIN({hash64_sql('shingle', s)}) AS h{s}" for s in range(NUM_MINHASHES)
+    )
+    return f"{_SHINGLES_CTE}\nSELECT doc_id,\n       {mins}\nFROM shingles GROUP BY doc_id"
+
+
+@register("minhash_signatures", _minhash_oracle())
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES
+    )
+
+
+@register("minhash_lsh_dedup_pairs")  # rows-only: LSH banding is the approx step
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=NUM_MINHASHES,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact n-gram jaccard (the verifier tier — full oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLES_CTE
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash (full oracle via generated 60-bit SQL)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {hash64_sql('t.tok', 0)} AS h
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+  WHERE t.tok <> ''
+),
+voted AS (
+  SELECT doc_id,
+       {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash FROM voted
+"""
+
+
+@register("simhash_signatures", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_pairs")  # rows-only: pair pruning strategy is engine-side
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM base
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qvec, vec), 6) AS cosine_sim
+  FROM base b CROSS JOIN q
+  WHERE b.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+WHERE rn <= {KNN_K}
+""",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
+    )
+
+
+@register("knn_lsh_ann")  # rows-only: approximate by design (recall tested in pytest)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_ann(
+        load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine_sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
+""",
+)
+def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=EMBED_DUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    _TOKS_CTE
+    + """
+SELECT doc_id,
+       len(ws)::BIGINT AS n_tokens,
+       len(list_distinct(ws))::BIGINT AS n_distinct,
+       ROUND(CASE WHEN len(ws) > 0
+             THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+             ELSE 0.0 END, 4) AS avg_token_len
+FROM toks
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _stoplist_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return f"[{words}]"
+
+
+@register(
+    "quality_scores",
+    _TOKS_CTE.replace(
+        "SELECT doc_id,",
+        "SELECT doc_id, text,",
+    )
+    + f"""
+SELECT doc_id,
+  ROUND(alpha / safe_total, 4) AS alpha_ratio,
+  ROUND(punct / safe_total, 4) AS punct_ratio,
+  ROUND(space / safe_total, 4) AS space_ratio,
+  ROUND(n_stop / safe_tok, 4) AS stopword_ratio,
+  ROUND((alpha / safe_total) * (1 - punct / safe_total)
+        * least(n_tokens / 20.0, 1.0), 4) AS quality_score
+FROM (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+    length(regexp_replace(text, '[^ \t\n\r\x0b\x0c]', '', 'g'))::DOUBLE AS space,
+    CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END::DOUBLE AS safe_total,
+    len(ws)::DOUBLE AS n_tokens,
+    CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END::DOUBLE AS safe_tok,
+    len(list_filter(ws, w -> list_contains({_stoplist_sql('en')}, w)))::DOUBLE AS n_stop
+  FROM toks
+)
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    scores = ",\n    ".join(
+        f"len(list_filter(ws, w -> list_contains({_stoplist_sql(lang)}, w)))::DOUBLE / safe_tok AS s_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return (
+        _TOKS_CTE
+        + f""",
+scored AS (
+  SELECT doc_id,
+    {scores}
+  FROM (SELECT doc_id, ws,
+        CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END::DOUBLE AS safe_tok
+        FROM toks)
+)
+SELECT doc_id,
+  CASE WHEN best > 0 THEN (CASE {case} ELSE 'unknown' END)
+       ELSE 'unknown' END AS lang_guess,
+  ROUND(best, 4) AS lang_score
+FROM (SELECT *, {best} AS best FROM scored)
+"""
+    )
+
+
+@register("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    _TOKS_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")
+    + f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       {hash64_sql("array_to_string(ws[1:8], ' ')", 1)} AS prefix_fp
+FROM toks
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_frequencies",
+    _TOKS_CTE
+    + """,
+grams AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS ngram
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-1, 0))) AS t(i)
+)
+SELECT ngram, count(*) AS count
+FROM grams GROUP BY ngram
+ORDER BY count DESC, ngram ASC
+LIMIT 50
+""",
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.ngram_frequencies(
+        load_table(spark, sf_dir, "documents"), n=2, k=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+_MEDIA_CTE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         md5(text) AS content_hash
+  FROM documents
+)
+"""
+
+
+@register(
+    "multimodal_metadata_by_kind",
+    _MEDIA_CTE
+    + """
+SELECT kind,
+       count(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(n_bytes) AS min_bytes,
+       MAX(n_bytes) AS max_bytes
+FROM media GROUP BY kind
+""",
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.media_metadata_summary(media)
+
+
+@register(
+    "multimodal_features",
+    _MEDIA_CTE
+    + """
+SELECT media_id, kind, n_bytes,
+       CAST(16 + ('0x' || substr(content_hash, 1, 4))::BIGINT % 4080 AS INTEGER) AS width,
+       CAST(16 + ('0x' || substr(content_hash, 5, 4))::BIGINT % 2144 AS INTEGER) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1
+            ELSE 1 + ('0x' || substr(content_hash, 9, 4))::BIGINT % 3600 END AS INTEGER) AS n_frames,
+       content_hash AS feature_hash
+FROM media
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mapInPandas plumbing check: the deterministic fake
+    decoder's output is reproduced independently by the oracle from the
+    same md5 arithmetic — schema, batching, and UDF signature all verified
+    by value."""
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_samples",
+    _MEDIA_CTE
+    + """
+SELECT media_id, CAST(f.frame_index AS INTEGER) AS frame_index
+FROM (
+  SELECT media_id,
+         CAST(1 + ('0x' || substr(content_hash, 9, 4))::BIGINT % 3600 AS INTEGER) AS n_frames
+  FROM media WHERE kind = 'video'
+) v
+CROSS JOIN UNNEST(generate_series(0, n_frames - 1, 30)) AS f(frame_index)
+""",
+)
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=30)

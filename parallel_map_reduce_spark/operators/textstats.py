@@ -1,0 +1,167 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, document fingerprinting —
+all pure JVM expressions (regex/length/array built-ins), no UDFs, so
+each runs inside whole-stage codegen and is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.functions.hashing import fingerprint_md5, hash64
+from parallel_map_reduce_spark.functions.tokenize import tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and engine-portable; a real pipeline would swap in a
+# proper fastText-style model behind the same operator signature.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: n_tokens, n_distinct, avg token len.
+
+    Array built-ins only — no explode, no shuffle: each document is
+    processed where it sits.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    tok_col = F.col("_toks")
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size(tok_col).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(tok_col)).cast("long").alias("n_distinct"),
+            F.round(
+                F.when(
+                    F.size(tok_col) > 0,
+                    F.aggregate(
+                        tok_col,
+                        F.lit(0.0),
+                        lambda acc, w: acc + F.length(w),
+                    )
+                    / F.size(tok_col),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("avg_token_len"),
+        )
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + a composite score.
+
+    Features (all ratios in [0,1], rounded):
+    - alpha_ratio: alphabetic chars / total chars
+    - punct_ratio: .,;:!? chars / total chars
+    - space_ratio: whitespace / total chars
+    - stopword_ratio: tokens that are common-English stopwords / tokens
+    - quality_score: alpha_ratio * (1 - punct_ratio) scaled by a length
+      factor (docs under 20 tokens are penalized) — a C4-style filter
+      signal, deterministic and portable.
+    """
+    text = F.col(text_col)
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    space = F.length(F.regexp_replace(text, r"[^ \t\n\r\x0B\f]", "")).cast("double")
+    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w))).cast(
+        "double"
+    )
+    safe = F.when(total > 0, total).otherwise(F.lit(1.0))
+    safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    alpha_ratio = alpha / safe
+    punct_ratio = punct / safe
+    length_factor = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(space / safe, 4).alias("space_ratio"),
+        F.round(n_stop / safe_tok, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio * (1 - punct_ratio) * length_factor, 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-lexicon language guess: (id, lang_guess, lang_score).
+
+    Scores each language by its marker-token hit rate; argmax with a
+    fixed language order for tie-breaks. With a real multilingual corpus
+    swap LANG_MARKERS for char-n-gram profiles — operator shape (pure
+    column expressions, one pass, no shuffle) stays identical.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+        scores.append((lang, hits.cast("double") / safe_tok))
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("unknown")
+    # first language (sorted order) achieving the max wins — reverse fold
+    for lang, score in reversed(scores):
+        guess = F.when(score == best_score, F.lit(lang)).otherwise(guess)
+    guess = F.when(best_score > 0, guess).otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        F.round(best_score, 4).alias("lang_score"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: exact md5 + a 60-bit rolling-style prefix
+    fingerprint of the first 8 tokens (cheap clustering key for
+    near-identical heads)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    return df.select(
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("content_md5"),
+        hash64(prefix, seed=1).alias("prefix_fp"),
+    )
+
+
+def ngram_frequencies(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams across the corpus: (ngram, count).
+
+    Unlike word_shingles (distinct per doc, for jaccard), this keeps
+    every occurrence — these are frequencies, not set members.
+    """
+    grams = df.select(F.explode(_raw_ngrams(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def _raw_ngrams(text_col: Column, n: int) -> Column:
+    toks = F.filter(tokens(text_col), lambda w: w != F.lit(""))
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(size >= n, grams).otherwise(F.array())

@@ -49,6 +49,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from parallel_map_reduce_spark.operators import (  # noqa: F401
+        queries_llm,
         queries_relational,
         queries_wordcount,
     )

@@ -1,0 +1,177 @@
+"""LLM-pipeline operator tests: dedup tiers, similarity search recall,
+multimodal plumbing. The deterministic cores are oracle-checked by the
+driver; these tests cover the approximate/engine-side behavior."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators import dedup, multimodal, similarity
+from parallel_map_reduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+# --- exact dedup ---------------------------------------------------------
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, text="same text"),
+            Row(doc_id=2, text="same text"),
+            Row(doc_id=9, text="other"),
+        ],
+        schema="doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df).collect())
+    assert kept == [2, 9]
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="dup" if i < 3 else f"u{i}") for i in range(6)],
+        schema="doc_id long, text string",
+    )
+    groups = dedup.exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+    assert groups[0]["keep_id"] == 0
+
+
+# --- shingles / minhash / LSH -------------------------------------------
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b c d")],
+        schema="doc_id long, text string",
+    )
+    rows = dedup.explode_shingles(df).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="w1 w2 w3 w4 w5"), Row(doc_id=2, text="w1 w2 w3 w4 w5")],
+        schema="doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=8).collect()
+    a, b = sorted(sigs, key=lambda r: r["doc_id"])
+    assert [a[f"h{i}"] for i in range(8)] == [b[f"h{i}"] for i in range(8)]
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, docs):
+    """LSH near-dup pipeline must recover ≥90% of true jaccard≥0.5 pairs
+    (at these settings on this corpus it is exact)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    assert lsh <= exact  # verification step guarantees no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_identical_and_near(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra token
+    far = "completely different tokens entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base),
+         Row(doc_id=3, text=near), Row(doc_id=4, text=far)],
+        schema="doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+
+
+# --- similarity ----------------------------------------------------------
+
+
+def test_knn_bruteforce_shape(spark, embeddings):
+    out = similarity.knn_bruteforce(embeddings, query_ids=[0, 1], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    """Multi-table bucketed ANN: mean recall vs brute force must clear
+    0.5 even on these near-uniform embeddings (random recall ≈ k/N = 1%;
+    clustered real embeddings recall far higher at the same settings)."""
+    k = 5
+    exact = similarity.knn_bruteforce(embeddings, query_ids=list(range(10)), k=k)
+    approx = similarity.lsh_bucket_ann(
+        embeddings, query_ids=list(range(10)), k=k, num_planes=4, num_tables=8
+    )
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ANN mean recall {mean_recall}"
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+def test_media_schema_and_payload(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    assert row["kind"] in ("image", "audio", "video")
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_extract_features_batched(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(50))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert (r["n_frames"] == 1) == (r["kind"] == "image")
+        assert len(r["feature_hash"]) == 32
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(30))
+    plan = multimodal.frame_sample_plan(media, every_n=30)
+    rows = plan.collect()
+    assert rows, "some videos expected in first 30 docs"
+    for r in rows:
+        assert r["frame_index"] % 30 == 0
