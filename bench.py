@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced to full execution with the noop sink (no driver
+collect — measures the distributed plan, not row serialization to the
+driver). Reference baseline context (BASELINE.md): the reference engine
+aggregates ~30 MB/s of text on 16 threads; Spark's fixed job overhead is
+~1-2 s, so per-query seconds at sf0.1 are dominated by real work only for
+the heavier queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "wordcount",
+    "wordcount_per_doc",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_rolling_events",
+    "events_tumbling_window",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_dedup_pairs",
+    "simhash_signatures",
+    "knn_bruteforce",
+    "knn_lsh_ann",
+    "token_stats",
+    "quality_scores",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from parallel_map_reduce_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run JIT; uses the smallest sf to keep warmup cheap.
+    try:
+        qs["wordcount"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

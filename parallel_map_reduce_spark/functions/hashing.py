@@ -41,3 +41,40 @@ def hash64_sql(expr: str, seed: int = 0) -> str:
 def fingerprint_md5(col: Column) -> Column:
     """Full-content md5 fingerprint (hex string), exact-dedup key."""
     return F.md5(col)
+
+
+# --- universal-hash family over one base hash ------------------------------
+#
+# MinHash needs k independent hash functions per shingle. k salted md5s
+# would cost k digest computations per row; instead we md5 once and derive
+# the family with (a_i * h32 + b_i) mod P — pure 64-bit integer ops that
+# whole-stage codegen vectorizes, and that DuckDB reproduces exactly.
+# Constraints: h32 < 2^32, a_i < 2^31  ⇒  a_i*h32 + b_i < 2^63 (no
+# overflow in signed 64-bit in either engine).
+
+MERSENNE_P = 4294967311  # smallest prime > 2^32
+_H32_MASK = 4294967295  # 2^32 - 1
+
+
+def universal_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k-member hash family."""
+    import hashlib
+
+    params = []
+    for s in range(k):
+        h = hashlib.md5(f"universal:{s}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (2**31 - 1)) + 1
+        b = int(h[8:16], 16) % (2**31 - 1)
+        params.append((a, b))
+    return params
+
+
+def universal_hash(base: Column, a: int, b: int) -> Column:
+    """(a * low32(base) + b) mod P — one member of the family (Spark)."""
+    h32 = base.bitwiseAND(F.lit(_H32_MASK))
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def universal_hash_sql(base_expr: str, a: int, b: int) -> str:
+    """DuckDB twin of :func:`universal_hash`."""
+    return f"(({a} * (({base_expr}) & {_H32_MASK}) + {b}) % {MERSENNE_P})"

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from parallel_map_reduce_spark.functions.hashing import fingerprint_md5, hash64
+from parallel_map_reduce_spark.functions.hashing import (
+    fingerprint_md5,
+    hash64,
+    universal_hash,
+    universal_params,
+)
 from parallel_map_reduce_spark.functions.tokenize import tokens
 
 
@@ -60,31 +65,62 @@ def exact_dup_groups(df: DataFrame, content_col: str = "text", id_col: str = "do
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles ('w1 w2 w3' strings).
+def shingle_array(tok_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column ('w1 w2 w3' strings).
 
-    Pure JVM array ops (split/sequence/transform) — no UDF. Documents
-    with fewer than n tokens yield an empty array (the when() guard also
-    avoids sequence()'s descending-range behavior when size-n < 0).
+    The input must be a plain column reference (projected in a previous
+    select), not an inline split/filter expression: a lambda that
+    captures an outer expression re-evaluates it per element, turning
+    shingling O(len²) per document (measured 20× slowdown at sf0.1).
+    Documents with fewer than n tokens yield an empty array (the when()
+    guard also avoids sequence()'s descending-range behavior when
+    size-n < 0).
     """
-    toks = F.filter(tokens(text_col), lambda w: w != F.lit(""))
-    size = F.size(toks)
+    size = F.size(tok_col)
     idx = F.sequence(F.lit(1), size - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
+            " ", *[F.element_at(tok_col, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(F.when(size >= n, grams).otherwise(F.array()))
 
 
+def tokens_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tk: array<string>) with empties dropped — the materialization
+    step every shingle consumer builds on."""
+    return df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda w: w != F.lit("")).alias("tk"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) — distinct shingle set per document."""
+    return tokens_df(df, text_col, id_col).select(
+        F.col(id_col), shingle_array(F.col("tk"), n).alias("sh")
+    )
+
+
 def explode_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per document."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) rows, distinct per document.
+
+    The explode is over the shingle EXPRESSION, not a projected attribute:
+    exploding an attribute makes InferFiltersFromGenerate add a
+    size(sh)>0 filter that predicate-pushdown then inlines below the
+    token projection — re-deriving split(text) per element access and
+    going quadratic (measured 30× at sf0.1). Generators over non-trivial
+    expressions are skipped by that rule.
+    """
+    tdf = tokens_df(df, text_col, id_col)
+    return tdf.select(
+        F.col(id_col), F.explode(shingle_array(F.col("tk"), n)).alias("shingle")
     )
 
 
@@ -102,14 +138,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: (id, h0..h{k-1}).
 
-    One explode + one groupBy; the k hash functions are k aggregation
-    expressions over the same shingle rows (single shuffle on id).
-    Documents with no shingles are dropped (no signature exists).
+    One explode + one groupBy; ONE md5 per shingle, with the k hash
+    functions derived as a universal family (a·h+b mod P) — k integer
+    multiply-adds instead of k digests, all inside whole-stage codegen
+    (10× cheaper at bench scale). Single shuffle, on id. Documents with
+    no shingles are dropped (no signature exists).
     """
-    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    sh = explode_shingles(df, text_col, id_col, shingle_n).withColumn(
+        "_h", hash64(F.col("shingle"), 0)
+    )
     aggs = [
-        F.min(hash64(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min(universal_hash(F.col("_h"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(universal_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -164,31 +204,28 @@ def minhash_lsh_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates verified by exact shingle
-    jaccard ≥ threshold. Output: (id_a, id_b, jaccard rounded)."""
+    jaccard ≥ threshold. Output: (id_a, id_b, jaccard rounded).
+
+    The verify stage joins the (small) candidate list back to each
+    document's shingle SET and computes jaccard per pair with
+    array_intersect — O(|candidates|) work. It never runs the global
+    shingle self-join (that inverted-index join is the exact tier,
+    ngram_jaccard_pairs, and blows up when shingles are corpus-frequent).
+    """
     candidates = lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
         id_col,
         num_hashes,
         bands,
     )
-    sh = explode_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(candidates, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
     return (
-        common.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parallel_map_reduce_spark.functions.hashing import hash64_sql
+from parallel_map_reduce_spark.functions.hashing import (
+    hash64_sql,
+    universal_hash_sql,
+    universal_params,
+)
 from parallel_map_reduce_spark.operators import dedup, multimodal, similarity, textstats
 from parallel_map_reduce_spark.registry import register
 from parallel_map_reduce_spark.sources.tables import load_table
@@ -81,9 +85,17 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ",\n       ".join(
-        f"MIN({hash64_sql('shingle', s)}) AS h{s}" for s in range(NUM_MINHASHES)
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(NUM_MINHASHES))
     )
-    return f"{_SHINGLES_CTE}\nSELECT doc_id,\n       {mins}\nFROM shingles GROUP BY doc_id"
+    return (
+        _SHINGLES_CTE
+        + f""",
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles)
+SELECT doc_id,
+       {mins}
+FROM hashed GROUP BY doc_id"""
+    )
 
 
 @register("minhash_signatures", _minhash_oracle())

@@ -144,10 +144,13 @@ def ngram_frequencies(
 ) -> DataFrame:
     """Top-k word n-grams across the corpus: (ngram, count).
 
-    Unlike word_shingles (distinct per doc, for jaccard), this keeps
+    Unlike shingle_array (distinct per doc, for jaccard), this keeps
     every occurrence — these are frequencies, not set members.
     """
-    grams = df.select(F.explode(_raw_ngrams(F.col(text_col), n)).alias("ngram"))
+    toks_df = df.select(
+        F.filter(tokens(F.col(text_col)), lambda w: w != F.lit("")).alias("tk")
+    )
+    grams = toks_df.select(F.explode(_raw_ngrams(F.col("tk"), n)).alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -156,12 +159,14 @@ def ngram_frequencies(
     )
 
 
-def _raw_ngrams(text_col: Column, n: int) -> Column:
-    toks = F.filter(tokens(text_col), lambda w: w != F.lit(""))
-    size = F.size(toks)
+def _raw_ngrams(tok_col: Column, n: int) -> Column:
+    """n-gram array from a MATERIALIZED token-array column (see
+    dedup.shingle_array for why the input must not be an inline
+    expression)."""
+    size = F.size(tok_col)
     idx = F.sequence(F.lit(1), size - (n - 1))
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + j) for j in range(n)]),
     )
     return F.when(size >= n, grams).otherwise(F.array())

@@ -52,7 +52,7 @@ def test_exact_dup_groups(spark):
 # --- shingles / minhash / LSH -------------------------------------------
 
 
-def test_word_shingles_short_doc(spark):
+def test_shingles_short_doc(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b c d")],
         schema="doc_id long, text string",
