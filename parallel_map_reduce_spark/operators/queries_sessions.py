@@ -1,0 +1,119 @@
+"""Sessionization queries (batch twins of the streaming session windows).
+
+Two formulations, both oracle-checked:
+- events_sessionization: classic gap-based sessions via lag + cumulative
+  sum over (user, time) windows — the portable relational form.
+- events_session_windows: Spark's native session_window aggregation; the
+  oracle reproduces its merge semantics (session end = last event + gap)
+  with the lag/cumsum construction, proving the built-in operator
+  agrees with the relational definition.
+
+Session bounds are emitted as unix MICROSECONDS (integers) — exactly
+comparable across engines regardless of timestamp precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.registry import register
+from parallel_map_reduce_spark.sources.tables import load_table
+
+GAP_MINUTES = 30
+_GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+_SESSION_CTE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > F.lit(_GAP_US)), 1
+    ).otherwise(0)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", "value", ts_us.alias("ts_us"), is_new.alias("is_new"))
+        .withColumn("session_seq", F.sum("is_new").over(wc))
+    )
+
+
+@register(
+    "events_sessionization",
+    _SESSION_CTE
+    + """
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: 30-minute inactivity closes a session.
+    One shuffle on user_id (window + groupBy share the partitioning;
+    Catalyst reuses the exchange)."""
+    return _sessionized(spark, sf_dir).groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@register(
+    "events_session_windows",
+    _SESSION_CTE
+    + f"""
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the batch twin of the streaming
+    operator in streaming/windowed.py). The oracle derives the same
+    sessions relationally — window end = last event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", f"{GAP_MINUTES} minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

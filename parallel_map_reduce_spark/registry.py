@@ -51,6 +51,7 @@ def _load_all() -> None:
     from parallel_map_reduce_spark.operators import (  # noqa: F401
         queries_llm,
         queries_relational,
+        queries_sessions,
         queries_wordcount,
     )
 

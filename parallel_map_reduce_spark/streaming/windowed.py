@@ -1,0 +1,186 @@
+"""Structured Streaming surface: windowed aggregation over the events
+stream with watermark-based late-data handling, plus a custom stateful
+operator (applyInPandasWithState).
+
+The reference engine is batch-only (SURVEY §2.3: no streaming of any
+kind); this module is part of the mandated extension surface. Every
+streaming aggregation here has a batch twin registered in the query
+registry (events_tumbling_window, events_session_windows) — the
+streaming plans are the SAME declarative expressions, so the batch
+DuckDB oracle transitively checks the streaming semantics, and tests
+assert stream-vs-batch equality by running the stream with an
+availableNow trigger.
+
+Scale posture: watermarks bound state size (late rows beyond the
+watermark are dropped, state for closed windows is evicted); stateful
+ops shuffle once on the grouping key and keep per-key state in the state
+store, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as long
+# nanoseconds, same trick as sources/tables.py, then converted).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one parquet today; at
+    scale a directory that continuously receives files).
+
+    Spark's file source requires a DIRECTORY; the testdata ships a single
+    read-only file, so we stage a symlink dir under /tmp (file content is
+    never copied).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = os.path.join(
+        "/tmp", "pmr_spark_stream", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window_size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark.
+
+    Identical expression tree to the batch query
+    queries_relational.q_events_tumbling — only the source differs.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sliding_means(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window mean value per event_type (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_size, slide).start.alias("window_start"),
+            "event_type",
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows per user: a session closes after `gap` of
+    inactivity. Output times as unix microseconds (integer — exactly
+    comparable across engines)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Execute a streaming plan to completion over the currently available
+    data (availableNow trigger) into an in-memory sink — the test/bench
+    harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: running per-user totals via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_STATE_SCHEMA = "n long, total double"
+RUNNING_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: cumulative per-user event count
+    and value total, maintained in the state store across micro-batches.
+
+    The per-group update function is pure pandas over Arrow batches; state
+    is a (count, total) pair per user — constant-size state per key, so
+    the operator is safe at any stream length.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": round(total, 4)}]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
