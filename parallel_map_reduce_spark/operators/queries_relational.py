@@ -774,3 +774,159 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations (q4, q6, q10) — correlated exists, selective scan-agg,
+# fact-fact-dim join with top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality on the
+    correlated row = left-semi join with a non-equi residual. Catalyst
+    keeps the equi-key (l_orderkey) as the hash key; the date inequality
+    is a residual predicate — no cartesian expansion at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"]
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan + global agg. All three
+    predicates push to the parquet scan (row-group min/max pruning); at
+    100 TB this reads a fraction of the column chunks and shuffles one
+    partial-agg row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact on the order key plus two broadcast dim
+    joins, then top-20 by revenue (TakeOrderedAndProject — a per-partition
+    k-heap, never a global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): one shuffle computes
+    all three granularities; Spark expands the sets map-side so partial
+    aggregation still applies."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("approx_aggregates")  # no oracle: approximate results are
+# engine-specific by design; tests/test_relational_extras.py bounds the
+# error against the exact answers instead.
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for 100 TB interactive use: HyperLogLog++
+    count-distinct and t-digest-style quantiles. Both are mergeable
+    partial aggregates — one shuffle row per partition, no exact
+    per-group sort (the exact `percentiles` query is the oracle-checked
+    twin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
+    )

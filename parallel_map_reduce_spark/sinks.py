@@ -1,0 +1,82 @@
+"""Sinks: partitioned and coalesced writers.
+
+Parity targets in the reference:
+- O9, partitioned sink: one ``output_files/output{i}.txt`` per reducer in
+  ``word:count`` lines (reference: src/utils.cpp:36-58, parallel write
+  loop src/omp_count_words.cpp:134-142, path template :81).
+- O10, combined sink: a single ``combined_omp_wc.txt`` concatenating all
+  reducer maps (reference: src/omp_count_words.cpp:146-165).
+
+Spark's writer produces one ``part-*`` file per partition natively, so O9
+is ``repartition(n, word)`` + ``write.text`` and O10 is ``coalesce(1)``.
+The ``word:count`` line format is ambiguous when tokens contain ':'
+(SURVEY.md §1.4 — 1,330 such lines in the reference output); parse from
+the RIGHT, as :func:`read_wordcount_text` does.
+
+Scale posture: the partitioned writer is the 100 TB path (N writers, no
+single-node funnel). ``coalesce(1)`` exists only for small final results
+/ byte-compat checks — never for large data. Parquet is the production
+sink (columnar, statistics, splittable); text sinks exist for reference
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_wordcount_text(
+    df: DataFrame,
+    path: str,
+    *,
+    num_partitions: int | None = None,
+    combined: bool = False,
+) -> None:
+    """Write a (word, count) DataFrame as ``word:count`` text lines.
+
+    ``num_partitions`` hash-partitions by word first (O9: the reference's
+    16 reducer files); ``combined=True`` coalesces to a single part file
+    (O10). The two are exclusive.
+    """
+    out = df.select(
+        F.concat(F.col("word"), F.lit(":"), F.col("count").cast("string")).alias("value")
+    )
+    if combined:
+        out = out.coalesce(1)
+    elif num_partitions is not None:
+        out = out.repartition(num_partitions, "word")
+    out.write.mode("overwrite").text(path)
+
+
+def read_wordcount_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``word:count`` lines back into (word, count), splitting on the
+    LAST ':' so words containing ':' round-trip exactly."""
+    lines = spark.read.text(path)
+    # greedy (.*) consumes through any ':' inside the word; the final
+    # group takes the trailing digits
+    return lines.select(
+        F.regexp_extract("value", r"^(.*):(\d+)$", 1).alias("word"),
+        F.regexp_extract("value", r"^(.*):(\d+)$", 2).cast("long").alias("count"),
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    buckets: tuple[int, str, str] | None = None,
+) -> None:
+    """Production sink. ``partition_by`` creates directory partitions
+    (partition pruning at read); ``buckets=(n, col, table)`` writes a
+    bucketed table so later joins/aggs on ``col`` skip the shuffle
+    entirely (bucketed writes require saveAsTable)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if buckets is not None:
+        n, col, table = buckets
+        w.bucketBy(n, col).sortBy(col).option("path", path).saveAsTable(table)
+    else:
+        w.parquet(path)

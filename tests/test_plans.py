@@ -84,6 +84,29 @@ def test_wordcount_whole_stage_codegen(spark):
     assert "Found 0" not in plan
 
 
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must cost exactly one hash exchange
+    (the key partition) — no join node, no candidate blow-up."""
+    plan = plan_of(spark, "asof_join_purchase_to_view", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan.replace("Adjoin", "")  # no join operator at all
+
+
+def test_interval_join_never_cartesian(spark):
+    """The time band must stay a residual on an equality-key join."""
+    plan = plan_of(spark, "interval_join_event_pairs", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_and_broadcast_dims(spark):
+    plan = plan_of(spark, "tpch_q10_returned_items", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     plan = plan_of(spark, "knn_bruteforce", mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

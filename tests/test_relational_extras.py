@@ -1,0 +1,149 @@
+"""Tests for the temporal joins, approximate aggregates, and sinks."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark import sinks
+from parallel_map_reduce_spark.operators.temporal import asof_join, interval_self_join
+from parallel_map_reduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", qt=_ts("2024-01-01 10:00:00"), px=1.0),
+            Row(sym="A", qt=_ts("2024-01-01 10:00:05"), px=2.0),
+            Row(sym="A", qt=_ts("2024-01-01 10:00:05"), px=3.0),  # dup ts
+            Row(sym="B", qt=_ts("2024-01-01 10:00:01"), px=9.0),
+        ]
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", tt=_ts("2024-01-01 10:00:03"), qty=10),  # after px=1
+            Row(sym="A", tt=_ts("2024-01-01 10:00:05"), qty=20),  # ties: as-of <=
+            Row(sym="B", tt=_ts("2024-01-01 10:00:00"), qty=30),  # before any quote
+            Row(sym="C", tt=_ts("2024-01-01 10:00:00"), qty=40),  # no quotes at all
+        ]
+    )
+
+
+def test_asof_join_semantics(quotes, trades):
+    out = asof_join(
+        trades,
+        quotes.select("sym", "qt", F.col("px")),
+        on="sym",
+        left_ts="tt",
+        right_ts="qt",
+        value_cols=["px"],
+    )
+    rows = {(r.sym, r.qty): r.px for r in out.collect()}
+    # inner semantics: B's trade precedes every quote, C has none — dropped
+    assert rows == {("A", 10): 1.0, ("A", 20): 3.0}  # dup-ts tie → max tie_break
+
+
+def test_asof_join_matches_oracle_shape(spark):
+    from parallel_map_reduce_spark.registry import queries
+
+    df = queries()["asof_join_purchase_to_view"](spark, SF)
+    assert df.columns == ["event_id", "user_id", "ts", "view_event_id", "view_ts"]
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.view_ts <= r.ts
+
+
+def test_interval_self_join_band(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t=_ts("2024-01-01 00:00:00"), i=1),
+            Row(k=1, t=_ts("2024-01-01 00:00:30"), i=2),
+            Row(k=1, t=_ts("2024-01-01 00:02:00"), i=3),
+            Row(k=2, t=_ts("2024-01-01 00:00:10"), i=4),
+        ]
+    )
+    pairs = interval_self_join(
+        df, on="k", ts="t", band_seconds=60, left_cols=["i"], right_cols=["i"]
+    )
+    got = {(r.l_i, r.r_i) for r in pairs.collect()}
+    # (1,2) within 60s; (2,3) is 90s apart; cross-key never pairs
+    assert got == {(1, 2)}
+
+
+def test_approx_aggregates_bounded_error(spark):
+    from parallel_map_reduce_spark.registry import queries
+
+    approx = queries()["approx_aggregates"](spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+    ).collect()[0]
+    assert abs(approx.approx_parts - exact.parts) / exact.parts < 0.05
+    assert abs(approx.approx_orders - exact.orders) / exact.orders < 0.05
+    assert abs(approx.approx_median_price - exact.median) / exact.median < 0.05
+
+
+def test_wordcount_text_sink_roundtrip(spark, tmp_path):
+    from parallel_map_reduce_spark.operators.wordcount import wordcount
+
+    docs = load_table(spark, SF, "documents")
+    wc = wordcount(docs, "text")
+    # O9: partitioned (16 reducers, like the reference); O10: combined
+    part_dir = str(tmp_path / "parts")
+    comb_dir = str(tmp_path / "combined")
+    sinks.write_wordcount_text(wc, part_dir, num_partitions=16)
+    sinks.write_wordcount_text(wc, comb_dir, combined=True)
+
+    expected = {(r.word, r["count"]) for r in wc.collect()}
+    for d in (part_dir, comb_dir):
+        back = sinks.read_wordcount_text(spark, d)
+        assert {(r.word, r["count"]) for r in back.collect()} == expected
+
+    import glob
+
+    assert len(glob.glob(f"{comb_dir}/part-*")) == 1
+    assert 1 < len(glob.glob(f"{part_dir}/part-*")) <= 16
+
+
+def test_wordcount_text_sink_colon_words(spark, tmp_path):
+    """The reference's word:count format is ambiguous for words containing
+    ':' (1,330 such lines in its own output) — we must round-trip them."""
+    df = spark.createDataFrame([("of:", 3), ("a:b:c", 7)], ["word", "count"])
+    d = str(tmp_path / "colons")
+    sinks.write_wordcount_text(df, d, combined=True)
+    back = sinks.read_wordcount_text(spark, d)
+    assert {(r.word, r["count"]) for r in back.collect()} == {("of:", 3), ("a:b:c", 7)}
+
+
+def test_parquet_sink_partition_pruning(spark, tmp_path):
+    """Directory-partitioned parquet must allow partition pruning: a
+    filter on the partition column reads only that directory."""
+    orders = load_table(spark, SF, "orders")
+    d = str(tmp_path / "orders_by_status")
+    sinks.write_parquet(orders, d, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(d).filter(F.col("o_orderstatus") == "F")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
