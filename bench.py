@@ -30,6 +30,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "asof_join_purchase_to_view",
+    "interval_join_event_pairs",
+    "skew_salted_join_top_words",
     "window_rolling_events",
     "events_tumbling_window",
     "dedup_exact",

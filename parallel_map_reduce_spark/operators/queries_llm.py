@@ -438,3 +438,13 @@ CROSS JOIN UNNEST(generate_series(0, n_frames - 1, 30)) AS f(frame_index)
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     return multimodal.frame_sample_plan(media, every_n=30)
+
+
+@register("knn_ivf_ann")  # rows-only: approximate by design (recall tested in pytest)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN — the scale path where even LSH bucket
+    unions are too many candidates; recall bounded vs knn_bruteforce in
+    tests/test_llm_ops.py."""
+    return similarity.ivf_ann(
+        load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
+    )

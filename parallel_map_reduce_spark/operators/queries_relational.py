@@ -930,3 +930,70 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigation recipes (operators/skew.py), oracle-checked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_count_distinct_users",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via the two-stage value-bucket recipe — same
+    answer as COUNT(DISTINCT), but a hot group's dedup runs 64-way
+    parallel instead of on one reducer."""
+    from parallel_map_reduce_spark.operators.skew import salted_count_distinct
+
+    events = _t(spark, sf_dir, "events")
+    return salted_count_distinct(events, "event_type", "user_id", num_buckets=64)
+
+
+@register(
+    "skew_salted_join_top_words",
+    """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+')) AS word
+  FROM documents
+),
+tokens AS (SELECT word FROM words WHERE word <> ''),
+top_words AS (
+  SELECT word FROM tokens GROUP BY word
+  ORDER BY COUNT(*) DESC, word ASC LIMIT 25
+)
+SELECT t.word, COUNT(*) AS n_occurrences
+FROM tokens t JOIN top_words USING (word)
+GROUP BY t.word
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipfian worst case: join the token stream (hot keys like the
+    corpus's `and` ×70,922) against a small dim of the top-25 words, with
+    the salted-join recipe forcing the sort-merge path a too-big-to-
+    broadcast dim would take. Salting spreads each hot key across 16
+    tasks; the oracle checks the join+count is unchanged."""
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+    from parallel_map_reduce_spark.operators.skew import salted_join
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    top_words = (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("word").asc())
+        .limit(25)
+        .select("word")
+    )
+    return (
+        salted_join(tokens, top_words, "word", num_salts=16)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

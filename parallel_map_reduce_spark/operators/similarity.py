@@ -177,3 +177,87 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into `num_centroids` cells; each query scores
+    exactly only against the `nprobe` nearest cells.
+
+    The quantizer is trained once (KMeans, fixed seed — deterministic on
+    the same data) and its centroids — a few KB — become literal
+    expressions, so cell assignment and probe selection are pure JVM
+    arithmetic: per-centroid squared-L2 via zip_with/aggregate, argmin via
+    array_min over (dist, cid) structs (struct ordering = lexicographic).
+
+    Scale posture: train the quantizer on a SAMPLE (`.sample()` before
+    fit) at 100 TB; corpus cell assignment is one narrow projection, and
+    the probe join is an equality join on cid with the (tiny) query side
+    broadcast — the corpus never shuffles. Repartitioning the corpus BY
+    cid once (write-time clustering) makes every probe partition-local,
+    the on-disk layout FAISS calls the inverted file.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if query_ids is None:
+        query_ids = list(range(10))
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _dist_cid(vec_col_ref):
+        cells = []
+        for cid, center in enumerate(centers):
+            c_lit = F.array(*[F.lit(x) for x in center])
+            d2 = F.aggregate(
+                F.zip_with(vec_col_ref, c_lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cells.append(F.struct(d2.alias("dist"), F.lit(cid).alias("cid")))
+        return F.array(*cells)
+
+    assigned = base.withColumn("cid", F.array_min(_dist_cid(F.col("vec"))).getField("cid"))
+    probes = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(_dist_cid(F.col("vec"))), lambda s: s.getField("cid")
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("cid"),
+        )
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

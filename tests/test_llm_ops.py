@@ -175,3 +175,27 @@ def test_frame_sample_plan(spark, docs):
     assert rows, "some videos expected in first 30 docs"
     for r in rows:
         assert r["frame_index"] % 30 == 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells must recover a solid fraction of the
+    exact top-5 neighbor sets; with nprobe=16 (probe everything) it must
+    equal brute force exactly."""
+    emb = load_table(spark, SF, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann(emb, query_ids=qids, k=5, nprobe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=4 recall {recall}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann(emb, query_ids=qids, k=5, nprobe=16).collect()
+    }
+    assert full == exact

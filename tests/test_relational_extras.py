@@ -147,3 +147,62 @@ def test_parquet_sink_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     n_f = orders.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == n_f
+
+
+def test_salted_join_equals_plain_join(spark):
+    from parallel_map_reduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    dim = orders.withColumnRenamed("o_orderkey", "l_orderkey").limit(200)
+    plain = (
+        li.join(dim, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("q"))
+    )
+    salted = (
+        salted_join(li, dim, "l_orderkey", num_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("q"))
+    )
+    want = {tuple(r) for r in plain.collect()}
+    got = {tuple(r) for r in salted.collect()}
+    assert got == want
+
+
+def test_salted_join_takes_sort_merge_path(spark):
+    """The recipe must exercise the shuffle path it exists for — if the
+    small side silently broadcasts, the salt is dead code."""
+    import io
+    from contextlib import redirect_stdout
+
+    from parallel_map_reduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    dim = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    out = salted_join(li, dim, "l_orderkey", num_salts=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_count_distinct_equals_exact(spark):
+    from parallel_map_reduce_spark.operators.skew import salted_count_distinct
+
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        (r["l_returnflag"], r["n_distinct"])
+        for r in salted_count_distinct(li, "l_returnflag", "l_partkey").collect()
+    }
+    want = {
+        (r["l_returnflag"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
