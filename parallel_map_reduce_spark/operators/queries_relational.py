@@ -997,3 +997,34 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       ROUND(l_quantity, 4) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 4)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 4)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 4) FROM lineitem
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): the inverse of pivot_status_revenue.
+    Narrow transform, no shuffle — each input row expands to 4 output
+    rows map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "__raw",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "measure", F.round("__raw", 4).alias("val")
+    )

@@ -1,0 +1,54 @@
+"""File-format connectors beyond parquet/text: CSV, JSON lines, ORC.
+
+The reference reads raw text only (reference: src/serial_count_words.cpp:50-74);
+these are part of the extension surface. Production rules baked in:
+
+- Schemas are always EXPLICIT on read. Inference scans the data twice and
+  can flip types between runs — never acceptable on a 100 TB source.
+- CSV/JSON are row-oriented interchange formats: fine as ingest
+  boundaries, wrong as analytics storage (no column pruning, no
+  predicate pushdown, full-file decode). Land them once, rewrite to
+  parquet (sinks.write_parquet), query the parquet.
+- All three formats split across tasks natively (CSV/JSON by line, ORC
+  by stripe) — uncompressed or bzip2/zstd-seekable inputs parallelize;
+  plain gzip does not (one task per file — avoid at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, *, header: bool = True
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "FAILFAST")  # corrupt rows fail loudly, not silently null
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON Lines (one object per line — the splittable JSON layout)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC carries its own schema (columnar, predicate pushdown — the
+    other acceptable analytics format besides parquet)."""
+    return spark.read.orc(path)

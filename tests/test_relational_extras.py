@@ -206,3 +206,36 @@ def test_salted_count_distinct_equals_exact(spark):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_connectors_roundtrip(spark, tmp_path, fmt):
+    from pyspark.sql import types as T
+
+    from parallel_map_reduce_spark.sources import formats
+
+    src = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(500)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    d = str(tmp_path / fmt)
+    if fmt == "csv":
+        formats.write_csv(src, d)
+        back = formats.read_csv(spark, d, schema)
+    elif fmt == "json":
+        formats.write_json(src, d)
+        back = formats.read_json(spark, d, schema)
+    else:
+        formats.write_orc(src, d)
+        back = formats.read_orc(spark, d)
+    assert back.schema == schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
