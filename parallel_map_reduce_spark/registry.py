@@ -53,6 +53,7 @@ def _load_all() -> None:
         queries_relational,
         queries_sessions,
         queries_temporal,
+        queries_udf,
         queries_wordcount,
     )
 

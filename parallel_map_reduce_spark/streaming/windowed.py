@@ -184,3 +184,43 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_stream_purchase_view_join(
+    events: DataFrame, band: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    views from the preceding `band`.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the state store and evict rows older
+    than (watermark + band) — without the time bound, stream-stream join
+    state grows forever. Batch twin: operators/temporal.interval_self_join
+    filtered to (view → purchase) pairs; the test asserts equality.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    cond = (
+        (purchases["user_id"] == views["view_user_id"])
+        & (views["view_ts"] < purchases["purchase_ts"])
+        & (views["view_ts"] >= purchases["purchase_ts"] - F.expr(f"INTERVAL {band}"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    )

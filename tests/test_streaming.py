@@ -90,3 +90,35 @@ def test_stateful_running_totals(spark):
     )
     want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
     assert finals == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    stream = windowed.stream_stream_purchase_view_join(
+        windowed.stream_events(spark, SF), band="60 minutes", watermark="2 hours"
+    )
+    windowed.run_stream_to_memory(stream, "t_ssjoin", output_mode="append")
+    got = {
+        (r["purchase_id"], r["view_id"]) for r in _collect_memory(spark, "t_ssjoin")
+    }
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (p["user_id"] == v["vu"])
+            & (v["view_ts"] < p["purchase_ts"])
+            & (v["view_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert want, "corpus should contain view→purchase pairs within the band"
+    assert got == want
