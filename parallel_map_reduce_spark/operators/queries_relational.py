@@ -1028,3 +1028,92 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", "measure", F.round("__raw", 4).alias("val")
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈broadcast-dim with a conditional aggregate
+    ratio — the CASE folds into the partial agg, so the shuffle carries
+    two partial sums per partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume. One fact-fact shuffle
+    (lineitem⋈orders); supplier/customer/nation all broadcast, with the
+    nation filters applied before the join so the broadcast sides shrink
+    first."""
+    n1 = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n2 = n1.select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    n1 = n1.select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.round(F.sum(rev), 2).alias("volume"))
+    )
