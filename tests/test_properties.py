@@ -1,0 +1,83 @@
+"""Property-based tests (SURVEY §5 item 4): tokenizer invariants checked
+against a pure-Python model of the golden spec, over adversarial unicode
+text (whitespace runs, colons, BOM, CRLF).
+
+Each hypothesis example runs a real Spark job, so examples are capped —
+the point is the generator's edge-case search, not volume.
+"""
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from parallel_map_reduce_spark.operators.wordcount import wordcount, wordcount_per_doc
+
+# the normative tokenizer as a Python model (same class as src/utils.cpp
+# operator>>: C-locale whitespace)
+MODEL_SPLIT = re.compile(r"[ \t\n\r\x0b\x0c]+")
+
+
+def model_tokens(text: str) -> list[str]:
+    return [w for w in MODEL_SPLIT.split(text) if w]
+
+
+# adversarial alphabet: every whitespace byte the tokenizer splits on,
+# plus colons (output-format ambiguity), BOM, combining chars, CJK
+ALPHABET = st.sampled_from(
+    list(" \t\n\r\x0b\x0c") + list(":.,;") + ["﻿", "é", "字", "a", "B", "0"]
+)
+TEXTS = st.lists(st.text(ALPHABET, max_size=40), min_size=0, max_size=6)
+
+PROP_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_wordcount_matches_python_model(spark, texts):
+    got = {r["word"]: r["count"] for r in wordcount(_df(spark, texts)).collect()}
+    want = Counter(w for t in texts for w in model_tokens(t))
+    assert got == dict(want)
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_row_permutation_invariance(spark, texts):
+    fwd = {r["word"]: r["count"] for r in wordcount(_df(spark, texts)).collect()}
+    rev = {
+        r["word"]: r["count"] for r in wordcount(_df(spark, texts[::-1])).collect()
+    }
+    assert fwd == rev
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_per_doc_counts_sum_to_global(spark, texts):
+    per_doc = wordcount_per_doc(_df(spark, texts)).collect()
+    merged = Counter()
+    for r in per_doc:
+        merged[r["word"]] += r["count"]
+    global_ = {r["word"]: r["count"] for r in wordcount(_df(spark, texts)).collect()}
+    assert dict(merged) == global_
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_total_tokens_conserved(spark, texts):
+    """sum of all counts == number of tokens the model sees (no token is
+    dropped or double-counted by the distributed plan)."""
+    rows = wordcount(_df(spark, texts)).collect()
+    assert sum(r["count"] for r in rows) == sum(len(model_tokens(t)) for t in texts)
