@@ -30,6 +30,14 @@ def get_spark(app_name: str = "parallel_map_reduce_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound per-batch memory for every Pandas-UDF/mapInPandas stage
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bucketed-table writes (sinks.write_parquet) need a warehouse;
+        # keep it off the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pmr_spark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -239,3 +239,38 @@ def test_format_connectors_roundtrip(spark, tmp_path, fmt):
         back = formats.read_orc(spark, d)
     assert back.schema == schema
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketed tables co-partition on the join key at WRITE time — the
+    join then needs no Exchange on either side. This is the 100 TB recipe
+    for a fact-fact join that repeats across many queries: pay the
+    shuffle once when landing the data."""
+    import io
+    from contextlib import redirect_stdout
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    sinks.write_parquet(
+        li, str(tmp_path / "li"), buckets=(8, "l_orderkey", "t_li_b")
+    )
+    sinks.write_parquet(
+        orders, str(tmp_path / "ord"), buckets=(8, "o_orderkey", "t_ord_b")
+    )
+    try:
+        t1 = spark.table("t_li_b")
+        t2 = spark.table("t_ord_b")
+        joined = t1.join(t2.hint("merge"), t1["l_orderkey"] == t2["o_orderkey"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        # and it is still correct
+        n = joined.count()
+        want = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+        assert n == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
