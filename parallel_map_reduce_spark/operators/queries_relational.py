@@ -1117,3 +1117,40 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation")
         .agg(F.round(F.sum(rev), 2).alias("volume"))
     )
+
+
+@register(
+    "array_map_functions",
+    """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS vec_sum,
+       ROUND(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                 'sum')), 4) AS l2_norm,
+       ROUND(list_aggregate(embedding[1:8]::DOUBLE[], 'max'), 4) AS head_max,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
+FROM embeddings
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — size,
+    aggregate (fold), transform, slice, filter — all codegen'd JVM
+    lambdas, the expression toolkit every vector operator here builds
+    on. Note the materialize-before-transform rule from PLANS.md: the
+    lambdas below reference only the column, never re-derive it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    base = emb.select("vec_id", vec.alias("vec"))
+    return base.select(
+        "vec_id",
+        F.size("vec").alias("dim"),
+        F.round(fold_sum(F.col("vec")), 4).alias("vec_sum"),
+        F.round(
+            F.sqrt(fold_sum(F.transform(F.col("vec"), lambda x: x * x))), 4
+        ).alias("l2_norm"),
+        F.round(
+            F.array_max(F.slice(F.col("vec"), 1, 8)), 4
+        ).alias("head_max"),
+        F.size(F.filter(F.col("vec"), lambda x: x > 0)).alias("n_positive"),
+    )

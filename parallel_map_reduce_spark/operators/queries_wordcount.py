@@ -79,3 +79,22 @@ FROM words WHERE word <> ''
 def q_word_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus invariants: total tokens + distinct words."""
     return wc.word_totals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wordcount_rdd",
+    _WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RDD twin (flatMap → map(w,1) → reduceByKey) surfaced through
+    the driver gate: same oracle as the DataFrame form, proving the two
+    execution paths agree. DataFrame is the production path (codegen,
+    Tungsten); this exists for reference parity with BASELINE.json's
+    'RDD map/reduce operations' approach."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wc.wordcount_rdd(docs, "text")
