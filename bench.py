@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_lsh_ann",
     "token_stats",
     "quality_scores",
+    "pipeline_clean_corpus",
     "multimodal_features",
 ]
 

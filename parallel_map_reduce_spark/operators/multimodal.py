@@ -79,14 +79,17 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     )
 
 
-def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """Deterministic fake decode: (width, height, n_frames) derived from a
-    content hash — stable across runs/engines, shaped like real metadata."""
-    h = hashlib.md5(payload or b"").hexdigest()
+def _dims_from_hex(h: str, kind: str) -> tuple[int, int, int]:
     width = 16 + int(h[:4], 16) % 4080
     height = 16 + int(h[4:8], 16) % 2144
     n_frames = 1 if kind == "image" else 1 + int(h[8:12], 16) % 3600
     return width, height, n_frames
+
+
+def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_frames) derived from a
+    content hash — stable across runs/engines, shaped like real metadata."""
+    return _dims_from_hex(hashlib.md5(payload or b"").hexdigest(), kind)
 
 
 def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
@@ -102,38 +105,26 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for media_id, kind, payload in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"]
-            ):
-                data = bytes(payload) if payload is not None else b""
-                if use_fake_decoder:
-                    width, height, n_frames = fake_decode(data, kind)
-                else:  # pragma: no cover - requires real decoders
-                    width, height = decode_image(data)
-                    n_frames = 1
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "kind": kind,
-                        "n_bytes": len(data),
-                        "width": width,
-                        "height": height,
-                        "n_frames": n_frames,
-                        "feature_hash": hashlib.md5(data).hexdigest(),
-                    }
-                )
+            data = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            kinds = pdf["kind"].tolist()
+            if use_fake_decoder:
+                # one digest per payload serves both the fake decode and
+                # feature_hash (the content fingerprint IS the md5)
+                hexes = [hashlib.md5(d).hexdigest() for d in data]
+                dims = [_dims_from_hex(h, k) for h, k in zip(hexes, kinds)]
+            else:  # pragma: no cover - requires real decoders
+                hexes = [hashlib.md5(d).hexdigest() for d in data]
+                dims = [(*decode_image(d), 1) for d in data]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "kind",
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "n_frames",
-                    "feature_hash",
-                ],
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(d) for d in data],
+                    "width": [w for w, _, _ in dims],
+                    "height": [h for _, h, _ in dims],
+                    "n_frames": [f for _, _, f in dims],
+                    "feature_hash": hexes,
+                }
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

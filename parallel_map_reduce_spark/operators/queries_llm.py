@@ -448,3 +448,64 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(
         load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+deduped AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
+                         w -> w <> ''))::BIGINT AS n_tokens,
+         ROUND((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+               * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                      / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+               * least(len(list_filter(regexp_split_to_array(text,
+                         '[ \\t\\n\\r\\x0b\\x0c]+'), w -> w <> '')) / 20.0, 1.0),
+               4) AS quality_score
+  FROM deduped
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(CAST(ROUND(quality_score * 10000, 0) AS BIGINT)) AS sum_quality_e4
+FROM scored
+WHERE quality_score >= 0.3
+GROUP BY source, lang
+""",
+)
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: exact dedup (deterministic min-id
+    survivor) → quality filter (C4-style score ≥ 0.3) → per-(source,
+    lang) corpus stats. Composes dedup_exact, quality_scores and
+    token_count into ONE declarative plan — Catalyst fuses the stages, so
+    the corpus is scanned once, and only (doc_id, fingerprint) ever
+    shuffles. The template a 100 TB cleaning job follows."""
+    from parallel_map_reduce_spark.functions.tokenize import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup.dedup_exact(docs)
+    scores = textstats.quality_scores(deduped).select("doc_id", "quality_score")
+    enriched = (
+        deduped.select(
+            "doc_id", "lang", "source", token_count(F.col("text")).alias("n_tokens")
+        )
+        .join(scores, "doc_id")
+        .filter(F.col("quality_score") >= 0.3)
+    )
+    return enriched.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        # integer sum of the 4-decimal scores: exact under any summation
+        # order, unlike AVG of doubles (ulp can flip a rounded 4th decimal)
+        F.sum(F.round(F.col("quality_score") * 10000, 0).cast("long")).alias(
+            "sum_quality_e4"
+        ),
+    )
