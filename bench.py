@@ -49,6 +49,12 @@ HEADLINE = [
 ]
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -79,17 +85,39 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Apples-to-apples vs BASELINE.md: the reference's own 13.25 MB corpus
+    # (its 16-thread engine: 0.435s / 30.4 MB/s; serial: 0.634s).
+    import glob
+
+    ref_paths = sorted(
+        p for p in glob.glob("/root/reference/files/*.txt") if "small" not in p
     )
+    if ref_paths:
+        from parallel_map_reduce_spark.operators.wordcount import wordcount
+        from parallel_map_reduce_spark.sources.tables import read_text_lines
+
+        def run_ref():
+            wc = wordcount(read_text_lines(spark, ref_paths), "value")
+            wc.write.format("noop").mode("overwrite").save()
+
+        run_ref()  # warm
+        best = min(_timed(run_ref) for _ in range(2))
+        out["reference_corpus_wordcount"] = {
+            "seconds": round(best, 3),
+            "mb_per_s": round(13.25 / best, 1),
+            "baseline_16thread_mb_per_s": 30.4,
+            "baseline_serial_mb_per_s": 20.9,
+        }
+
+    print(json.dumps(out))
     spark.stop()
     return 0
 
