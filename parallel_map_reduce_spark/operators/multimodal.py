@@ -156,3 +156,49 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     return feats.select(
         "media_id", F.explode(idx).alias("frame_index")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, orig_width int, orig_height int, "
+    "new_width int, new_height int, payload binary"
+)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 256, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Resize stage: aspect-preserving downscale to `max_side`.
+
+    Real decoders are not in this container, so the pixel work is the
+    stubbed part: dimensions come from the (deterministic) fake decode
+    and the output payload is the input payload passed through — at
+    deploy time the kernel body swaps to PIL `thumbnail`. Everything
+    Spark-side is real: Arrow batching, binary column in/out, and the
+    upscale guard (never enlarge). Runs as mapInPandas so payload bytes
+    stay executor-local.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            data = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            kinds = pdf["kind"].tolist()
+            hexes = [hashlib.md5(d).hexdigest() for d in data]
+            dims = [_dims_from_hex(h, k) for h, k in zip(hexes, kinds)]
+            new_dims = []
+            for w, h, _ in dims:
+                scale = min(max_side / max(w, h), 1.0)  # never upscale
+                new_dims.append((max(1, int(w * scale)), max(1, int(h * scale))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "orig_width": [w for w, _, _ in dims],
+                    "orig_height": [h for _, h, _ in dims],
+                    "new_width": [w for w, _ in new_dims],
+                    "new_height": [h for _, h in new_dims],
+                    # stub: real impl writes re-encoded bytes here
+                    "payload": data,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -509,3 +509,22 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_quality_e4"
         ),
     )
+
+
+@register(
+    "bpe_token_stats",
+    """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\x0b\\x0c]+'))
+           AS n_bpe_tokens,
+       len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
+                       w -> w <> '')) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation with a GPT-2-style pre-tokenizer regex
+    (RE2- and Java-compatible subset) next to the whitespace count — the
+    pair a training-data pipeline budgets context length with."""
+    return textstats.bpe_token_stats(load_table(spark, sf_dir, "documents"))

@@ -1154,3 +1154,69 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_max"),
         F.size(F.filter(F.col("vec"), lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserving customers with zero
+    orders, then a two-level aggregation (per-customer count → histogram
+    of counts). COUNT(o_orderkey) skips the nulls the outer join
+    introduces, so zero-order customers land in the n_orders=0 bucket."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "map_functions_events",
+    """
+SELECT event_type,
+       map_extract(m, 'n')[1] AS n_events,
+       map_extract(m, 'v100')[1] AS sum_v100
+FROM (
+  SELECT event_type,
+         MAP {'n': COUNT(*), 'v100': CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)} AS m
+  FROM events
+  GROUP BY event_type
+)
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type construction and extraction (map_from_arrays /
+    element_at): aggregates packed into a map column, then pulled back
+    out as scalars so the value-hash compares engine-portably. Values are
+    integer cents — map values share one type, and exact integers dodge
+    summation-order ulp."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("__v"),
+    )
+    with_map = agg.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.lit("n"), F.lit("v100")),
+            F.array(F.col("__n"), F.col("__v")),
+        ).alias("m"),
+    )
+    return with_map.select(
+        "event_type",
+        F.element_at("m", "n").alias("n_events"),
+        F.element_at("m", "v100").alias("sum_v100"),
+    )

@@ -170,3 +170,28 @@ def _raw_ngrams(tok_col: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + j) for j in range(n)]),
     )
     return F.when(size >= n, grams).otherwise(F.array())
+
+
+# GPT-2-style pre-tokenizer, restricted to constructs RE2 AND Java regex
+# both support (no lookahead): contraction suffixes, letter runs, digit
+# runs, symbol runs. The real BPE merge table is model-specific; the
+# pre-tokenization split is the part that matters for token-count
+# estimation in a data pipeline.
+BPE_PRETOKEN_REGEX = r"'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\x0b\x0c]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counts per document: whitespace-free subword-ready
+    pieces from the pre-tokenizer regex, plus the whitespace-token count
+    for comparison. regexp_extract_all is a codegen'd JVM expression —
+    no Python in the path."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_REGEX), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))).alias(
+            "n_ws_tokens"
+        ),
+    )

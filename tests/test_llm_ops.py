@@ -199,3 +199,19 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in similarity.ivf_ann(emb, query_ids=qids, k=5, nprobe=16).collect()
     }
     assert full == exact
+
+
+def test_resize_media_plumbing(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(50))
+    out = multimodal.resize_media(media, max_side=256).collect()
+    assert len(out) == 50
+    for r in out:
+        long_side = max(r["new_width"], r["new_height"])
+        assert long_side <= 256
+        # aspect ratio preserved within integer truncation
+        if max(r["orig_width"], r["orig_height"]) > 256:
+            assert long_side == 256 or long_side == 255
+        else:  # never upscaled
+            assert r["new_width"] == r["orig_width"]
+            assert r["new_height"] == r["orig_height"]
+        assert r["payload"] is not None

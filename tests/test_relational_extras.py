@@ -274,3 +274,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
+    """FAILFAST must surface corrupt rows as job errors, never silent
+    nulls — a 100 TB ingest that silently nulls a column is data loss."""
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import CapturedException
+
+    from parallel_map_reduce_spark.sources import formats
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "part.csv").write_text("a,b\n1,2\nnot_a_number,3\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    back = formats.read_csv(spark, str(d), schema)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        back.collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
