@@ -54,6 +54,21 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_score_expr(text: Column) -> Column:
+    """The composite quality score as a single reusable Column expression
+    (rounded to 4 decimals) — shared by quality_scores and the corpus-
+    cleaning pipeline so the formula can't drift between them."""
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    n_tokens = F.size(F.filter(tokens(text), lambda w: w != F.lit(""))).cast("double")
+    safe = F.when(total > 0, total).otherwise(F.lit(1.0))
+    alpha_ratio = alpha / safe
+    punct_ratio = punct / safe
+    length_factor = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    return F.round(alpha_ratio * (1 - punct_ratio) * length_factor, 4)
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality features + a composite score.
 
@@ -88,9 +103,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(space / safe, 4).alias("space_ratio"),
         F.round(n_stop / safe_tok, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio * (1 - punct_ratio) * length_factor, 4).alias(
-            "quality_score"
-        ),
+        quality_score_expr(text).alias("quality_score"),
     )
 
 

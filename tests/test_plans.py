@@ -107,6 +107,17 @@ def test_q10_topk_and_broadcast_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pipeline_clean_corpus_single_scan(spark):
+    """The cleaning pipeline must stay one pass over the corpus: the
+    naive operator composition (dedup semi-join + score join) re-scanned
+    documents 8x with 12 exchanges. Regression bound: ≤2 scans (the
+    second is plan-duplication of the same pushed-down scan), ≤4
+    exchanges."""
+    plan = plan_of(spark, "pipeline_clean_corpus")
+    assert plan.count("Scan parquet") <= 2, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     plan = plan_of(spark, "knn_bruteforce", mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
