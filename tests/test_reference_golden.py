@@ -64,3 +64,25 @@ def test_line_mode_matches_except_bom(spark):
     for w, n in golden.items():
         merged[w.lstrip("﻿") if w.startswith("﻿") else w] += n
     assert got == dict(merged)
+
+
+def test_combined_sink_line_parity(spark, tmp_path):
+    """O10 parity, end to end: corpus → wordcount → combined word:count
+    sink; the emitted line multiset equals serial_wc.txt's (both parsed
+    right-of-last-colon, order-insensitive — both engines emit unordered
+    hash order)."""
+    from parallel_map_reduce_spark import sinks
+
+    paths = sorted(
+        os.path.join(CORPUS_DIR, f)
+        for f in os.listdir(CORPUS_DIR)
+        if f.endswith(".txt") and not f.startswith("small")
+    )
+    wc = wordcount(read_text_corpus(spark, paths))
+    out = str(tmp_path / "combined")
+    sinks.write_wordcount_text(wc, out, combined=True)
+    back = sinks.read_wordcount_text(spark, out)
+    got = {(r["word"], r["count"]) for r in back.collect()}
+    want = set(load_golden().items())
+    assert got == want
+    assert len(got) == 109_223
