@@ -122,3 +122,71 @@ def test_stream_stream_join_matches_batch(spark):
     }
     assert want, "corpus should contain view→purchase pairs within the band"
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, actually exercised across micro-batches: the
+    watermark advanced by batch 1 must drop a too-late event in a later
+    batch (its closed window never re-opens), while on-time windows
+    finalize normally in append mode.
+
+    Note the one-batch propagation lag observed on Spark 4: the watermark
+    committed after batch N filters batch N+2's input (batch N+1 still
+    runs under the prior value) — hence the on-time buffer batch between
+    the advancing batch and the late one.
+    """
+    import time as _time
+
+    import pandas as pd
+
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+
+    def write_parquet(name, rows):
+        pdf = pd.DataFrame(rows)
+        # micro precision: Spark's reader rejects TIMESTAMP(NANOS)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(stage / name)
+
+    def ev(i, t):
+        return {"event_id": i, "ts": pd.Timestamp(t), "user_id": 1,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    # batch 1: advances watermark to 12:00 - 10min = 11:50 once committed
+    write_parquet("a.parquet", [ev(1, "2024-01-01 09:30:00"), ev(2, "2024-01-01 12:00:00")])
+    _time.sleep(1.1)
+    # batch 2: on-time buffer (watermark lag — see docstring)
+    write_parquet("b.parquet", [ev(3, "2024-01-01 12:05:00")])
+    _time.sleep(1.1)
+    # batch 3: event at 08:00 — window [08:00, 09:00) closed long before
+    # the 11:50 watermark -> must be dropped
+    write_parquet("c.parquet", [ev(4, "2024-01-01 08:00:30")])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    windowed.run_stream_to_memory(agg, "t_late", output_mode="append")
+    got = {r["window_start"].hour: r["n"] for r in _collect_memory(spark, "t_late")}
+    assert 8 not in got        # late row dropped, closed window not re-emitted
+    assert got.get(9) == 1     # on-time window finalized with only event 1
+    assert 12 not in got       # open window (>= watermark) not yet emitted
