@@ -1491,3 +1491,64 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "stats_aggregates",
+    """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
+       ROUND(var_pop(l_quantity), 2) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (stddev/variance/correlation/
+    covariance). All are single-pass partial-aggregatable moments —
+    map-side combine ships one moment tuple per partition per group, so
+    the shuffle is O(groups), independent of fact size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_pop("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id, event_type, ts
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group (the 'latest record' / QUALIFY pattern used to
+    compact event logs and CDC streams). event_id tie-break makes the
+    winner deterministic. One shuffle on user_id; Spark's WindowExec
+    evaluates rn per sorted partition with no second pass — at 100 TB
+    this is the standard log-compaction plan."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
