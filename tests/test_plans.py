@@ -123,3 +123,47 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus side must not be exchanged for the join itself
     assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_and_topk(spark):
+    """The IN+HAVING subquery must compile to a semi join (never a
+    distinct+inner-join expansion), and the ORDER BY + LIMIT 100 to a
+    per-partition k-heap."""
+    plan = plan_of(spark, "tpch_q18_large_volume_customer", mode="simple")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunctive_stays_broadcast_residual(spark):
+    """The brand/size/quantity disjunction must remain a residual on one
+    broadcast hash join — not a nested-loop or cartesian plan."""
+    plan = plan_of(spark, "tpch_q19_disjunctive_revenue", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join(spark):
+    """NOT EXISTS must stay a left-anti join; the scalar AVG must come in
+    as a broadcast (1-row build side), never a shuffle."""
+    plan = plan_of(spark, "tpch_q22_dormant_customers", mode="simple")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """The correlated AVG subquery must decorrelate into an aggregate
+    joined on the part key — no per-row re-evaluation, no cartesian."""
+    plan = plan_of(spark, "tpch_q17_small_qty_revenue", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_latest_event_single_window_pass(spark):
+    """Top-1-per-group must be one exchange on user_id + one window sort;
+    a second exchange would mean the filter didn't stay in the same
+    stage."""
+    plan = plan_of(spark, "latest_event_per_user", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
