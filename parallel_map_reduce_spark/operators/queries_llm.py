@@ -537,3 +537,70 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RE2- and Java-compatible subset) next to the whitespace count — the
     pair a training-data pipeline budgets context length with."""
     return textstats.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents",
+    """
+SELECT doc_id, chunk_start,
+       array_to_string(toks[chunk_start:chunk_start + 31], ' ') AS chunk_text,
+       least(32, len(toks) - chunk_start + 1) AS chunk_len
+FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
+                       w -> w <> '') AS toks
+    FROM documents
+) d,
+LATERAL (SELECT unnest(generate_series(1, greatest(len(toks), 1), 16)) AS chunk_start) s
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=32, stride=16) — the
+    context-window segmentation step before tokenizer/packing in an LLM
+    data pipeline."""
+    return textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=32, stride=16
+    )
+
+
+@register(
+    "dataset_split_assignment",
+    """
+SELECT split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM (
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           doc_id, n_chars
+    FROM documents
+) t
+GROUP BY split
+ORDER BY split
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment keyed on
+    doc_id — reproducible across engines and runs (never rand()-based,
+    which can't be oracle-checked or re-derived after the fact). The
+    CASE is a pure projection: no shuffle beyond the 3-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

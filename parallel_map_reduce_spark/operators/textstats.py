@@ -208,3 +208,45 @@ def bpe_token_stats(
             "n_ws_tokens"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window packing step of a training-data pipeline (the
+    reference never segments its corpus; this generalizes its tokenizer
+    O4 into a chunker).
+
+    All JVM array built-ins (split → sequence → explode → slice): chunk
+    starts are generated per-row, so a document never leaves its
+    partition and the only data growth is the window/stride overlap
+    factor. Trailing partial chunks are kept (start <= n_tokens).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\r\x0b\x0c]+"), lambda w: w != F.lit("")
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride))
+            ).alias("chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_start"),
+            F.array_join(F.slice("_toks", F.col("chunk_start"), window), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(window), F.size("_toks") - F.col("chunk_start") + 1
+            ).alias("chunk_len"),
+        )
+    )
