@@ -11,7 +11,7 @@ join-order-dependent steps (LSH candidate generation) are rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.functions.hashing import (
@@ -603,4 +603,51 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("split")
+    )
+
+
+@register(
+    "pack_batches_by_budget",
+    """
+SELECT batch_id, COUNT(*) AS n_docs, SUM(n_chars) AS batch_chars
+FROM (
+    SELECT doc_id, n_chars,
+           (doc_id % 32) * 1000000
+           + CAST(floor((SUM(n_chars) OVER w - n_chars) / 65536.0) AS BIGINT)
+           AS batch_id
+    FROM documents
+    WINDOW w AS (PARTITION BY doc_id % 32 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) t
+GROUP BY batch_id
+""",
+)
+def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to training batches under a
+    65536-char budget via a running sum — greedy first-fit in doc order,
+    the standard way corpora are packed into fixed token budgets.
+
+    Scale posture: a single global running sum would serialize on one
+    partition, so packing is sharded (doc_id % 32) and the batch id
+    embeds the shard — each shard packs independently, giving one
+    shuffle on the shard key and full parallelism at any corpus size.
+    Deterministic (keyed shard + doc_id order), so DuckDB reproduces it
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.col("doc_id") % 32
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = shard * 1000000 + F.floor(
+        (F.sum("n_chars").over(w) - F.col("n_chars")) / 65536.0
+    )
+    return (
+        docs.select("doc_id", "n_chars", batch.alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("batch_chars"),
+        )
     )
