@@ -221,16 +221,23 @@ LIMIT 10
 """,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + deterministic top-k. customer broadcasts;
-    orders⋈lineitem co-shuffle on the order key (their natural join key),
-    and TakeOrderedAndProject keeps only 10 rows per partition moving."""
+    """3-way join + agg + deterministic top-k. customer broadcasts; the
+    orders⋈lineitem fact-fact join is pinned to sort-merge (hint) so
+    neither fact is ever hash-built/broadcast — the CBO's size estimate
+    at small sf picks lineitem as a broadcast build side, which is both
+    slower here (measured 1.1s -> 0.85s at sf0.1) and exactly the plan
+    that dies at 100 TB. TakeOrderedAndProject keeps only 10 rows per
+    partition moving."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.hint("merge")
+        .join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

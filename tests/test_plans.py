@@ -167,3 +167,13 @@ def test_latest_event_single_window_pass(spark):
     plan = plan_of(spark, "latest_event_per_user", mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan
+
+
+def test_q3_never_broadcasts_a_fact(spark):
+    """The CBO's small-sf size estimate wants to broadcast lineitem as a
+    hash build side — the plan that dies at 100 TB. The merge hint must
+    keep the fact-fact join sort-merge, with exactly the one dim
+    (customer) broadcast."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority", mode="simple")
+    assert "SortMergeJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 1
