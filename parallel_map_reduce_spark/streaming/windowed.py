@@ -224,3 +224,64 @@ def stream_stream_purchase_view_join(
     return purchases.join(views, cond, "inner").select(
         "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
     )
+
+
+def upsert_batch(batch_df: DataFrame, target_dir: str, key_cols: list[str]) -> None:
+    """Merge one micro-batch of updated rows into a parquet key-value
+    table: delete-by-key then insert (classic foreachBatch upsert — what
+    MERGE INTO does on a real lakehouse table format).
+
+    Idempotent by construction: a replayed micro-batch carries the same
+    per-key rows, and delete+insert of identical rows is a no-op — this
+    is what makes update-mode output exactly-once end-to-end even though
+    foreachBatch itself is at-least-once (the standard Spark sink
+    contract).
+
+    Scale posture: the anti-join is key-partitioned (no driver
+    involvement, no collect); the rewrite cost is the table size, which
+    a real deployment bounds by partitioning the target on a key prefix
+    and rewriting only touched partitions — same plan, partition-pruned.
+    """
+    spark = batch_df.sparkSession
+    import shutil
+
+    staged = batch_df.persist()
+    try:
+        if os.path.isdir(target_dir):
+            old = spark.read.parquet(target_dir)
+            merged = old.join(staged, key_cols, "left_anti").unionByName(staged)
+        else:
+            merged = staged
+        tmp = target_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+    finally:
+        staged.unpersist()
+
+
+def run_counts_to_upsert_sink(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> None:
+    """Stream per-event-type counts (update mode) through a foreachBatch
+    upsert sink into a parquet table — the production pattern for
+    landing a continuously-updating aggregate where downstream readers
+    need a consistent point-in-time table."""
+    events = stream_events(spark, sf_dir)
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _bid: upsert_batch(df, target_dir, ["event_type"])
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            target_dir.rstrip("/") + "_ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(120)

@@ -190,3 +190,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert 8 not in got        # late row dropped, closed window not re-emitted
     assert got.get(9) == 1     # on-time window finalized with only event 1
     assert 12 not in got       # open window (>= watermark) not yet emitted
+
+
+def test_foreach_batch_upsert_sink_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The foreachBatch upsert sink must land exactly the batch-mode
+    aggregate, and re-applying the same micro-batch (at-least-once
+    replay) must leave the table unchanged."""
+    from parallel_map_reduce_spark.sources.tables import load_table
+    from parallel_map_reduce_spark.streaming.windowed import (
+        run_counts_to_upsert_sink,
+        upsert_batch,
+    )
+
+    target = str(tmp_path / "counts_table")
+    run_counts_to_upsert_sink(spark, SF, target)
+
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == expected
+
+    # simulate an at-least-once replay of the final state
+    replay = spark.read.parquet(target)
+    upsert_batch(replay, target, ["event_type"])
+    again = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == expected
