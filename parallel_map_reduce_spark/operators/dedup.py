@@ -339,3 +339,62 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Converges in
+    O(graph diameter) rounds; near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice.
+
+    Returns (u, label): node -> smallest node id in its component — the
+    canonical-document id a dedup pipeline keeps.
+
+    Scale posture: each round is one shuffle (join on v, groupBy u);
+    localCheckpoint() truncates lineage so plans don't grow with rounds;
+    the convergence check is a distributed count, never a collect. At
+    extreme graph sizes swap the loop body for the large-star/small-star
+    rounds of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14) — same fixpoint, provably fewer rounds on long
+    chains.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            updated.join(labels.select("u", F.col("label").alias("old")), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels

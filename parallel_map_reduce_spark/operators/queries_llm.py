@@ -651,3 +651,41 @@ def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("batch_chars"),
         )
     )
+
+
+@register(
+    "dedup_group_assignment",
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u
+""",
+)
+def q_dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group formation: exact-Jaccard pairs -> connected
+    components -> (doc_id, canonical group id). The step that turns a
+    pair list into the keep/drop decision of a dedup pipeline. The
+    DuckDB oracle computes the same components with a recursive CTE —
+    the iterative Spark fixpoint and the SQL recursion must agree
+    exactly."""
+    edges = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(edges)
+    return comp.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))

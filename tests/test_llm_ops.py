@@ -215,3 +215,25 @@ def test_resize_media_plumbing(spark, docs):
             assert r["new_width"] == r["orig_width"]
             assert r["new_height"] == r["orig_height"]
         assert r["payload"] is not None
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 6-node chain forces label propagation across the full diameter
+    (worst case for the fixpoint loop); two disjoint cliques plus an
+    isolated edge check component separation."""
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain -> all label 1
+         (10, 11), (11, 12), (10, 12),            # triangle -> label 10
+         (20, 21)],                               # pair -> label 20
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["u"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
