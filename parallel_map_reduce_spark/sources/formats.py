@@ -52,3 +52,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC carries its own schema (columnar, predicate pushdown — the
     other acceptable analytics format besides parquet)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Ingest raw files as binary rows — the multimodal on-ramp: images/
+    audio/video land as (path, modificationTime, length, content) with
+    content as an opaque binary column, ready for the mapInPandas
+    decode/feature stages (operators/multimodal.py).
+
+    Spark's binaryFile source parallelizes across files (one task per
+    split; a file is never split mid-payload) and prunes the `content`
+    column if a query reads only metadata — so listing-level stats
+    queries never touch payload bytes. At 100 TB prefer many medium
+    files (HDFS-block-sized) over millions of tiny ones: driver-side
+    listing is the scale limit, solved operationally by manifest/iceberg
+    listings, not by this reader.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

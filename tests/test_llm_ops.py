@@ -237,3 +237,30 @@ def test_connected_components_chain_and_cliques(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_binary_file_source_reads_payload_bytes(spark):
+    """binaryFile ingestion: content bytes and lengths must match the
+    on-disk files exactly, and a metadata-only projection must not fail
+    (content column pruned)."""
+    import glob as g
+    import os
+
+    from parallel_map_reduce_spark.sources.formats import read_binary_files
+
+    df = read_binary_files(spark, "/root/reference/files", glob="small_*.txt")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    disk = {
+        os.path.basename(p): p
+        for p in g.glob("/root/reference/files/small_*.txt")
+    }
+    assert set(rows) == set(disk) and len(rows) == 3
+    for name, p in disk.items():
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        assert bytes(rows[name]["content"]) == raw
+        assert rows[name]["length"] == len(raw)
+
+    meta_only = read_binary_files(spark, "/root/reference/files", glob="small_*.txt")
+    total = meta_only.select(F.sum("length").alias("n")).collect()[0]["n"]
+    assert total == sum(os.path.getsize(p) for p in disk.values())
