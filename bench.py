@@ -46,6 +46,11 @@ HEADLINE = [
     "quality_scores",
     "pipeline_clean_corpus",
     "multimodal_features",
+    "tpch_q18_large_volume_customer",
+    "chunk_documents",
+    "pack_batches_by_budget",
+    "dedup_group_assignment",
+    "latest_event_per_user",
 ]
 
 

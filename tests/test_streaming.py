@@ -226,3 +226,39 @@ def test_foreach_batch_upsert_sink_matches_batch_and_is_idempotent(spark, tmp_pa
         for r in spark.read.parquet(target).collect()
     }
     assert again == expected
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """Feed the same events file twice (simulated at-least-once
+    redelivery): the deduped stream must count each event_id once —
+    exactly the batch distinct count."""
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+    shutil.copy(src, stage / "a.parquet")
+    shutil.copy(src, stage / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(windowed.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counted = windowed.deduped_events(raw).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedup_counts")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT n FROM dedup_counts").collect()[0]["n"]
+    expected = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert got == expected
