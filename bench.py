@@ -84,9 +84,12 @@ def main() -> int:
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
+        # time construction + execution: iterative operators (connected
+        # components) do their rounds eagerly while the DataFrame is
+        # being built, so starting the clock after construction would
+        # exclude their real work
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

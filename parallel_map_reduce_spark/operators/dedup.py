@@ -369,7 +369,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    # seed with the first propagation round fused into the vertex build:
+    # label(u) = min(u, neighbors(u)) — one aggregate instead of a
+    # distinct plus a full loop iteration
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("label"))
+    )
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -379,22 +386,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nlabel"))
         )
-        updated = (
+        # carry old and new label in one checkpointed frame so the
+        # convergence check is a filter+count on already-materialized
+        # data, not another join+shuffle per round
+        both = (
             labels.join(neigh, "u", "left")
             .select(
                 "u",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            updated.join(labels.select("u", F.col("label").alias("old")), "u")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = updated
+        n_changed = both.filter(F.col("label") != F.col("old")).count()
+        labels = both.select("u", "label")
         if n_changed == 0:
             break
     return labels
