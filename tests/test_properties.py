@@ -81,3 +81,50 @@ def test_total_tokens_conserved(spark, texts):
     dropped or double-counted by the distributed plan)."""
     rows = wordcount(_df(spark, texts)).collect()
     assert sum(r["count"] for r in rows) == sum(len(model_tokens(t)) for t in texts)
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    n_edges = draw(st.integers(min_value=1, max_value=40))
+    return [
+        (
+            draw(st.integers(min_value=0, max_value=n - 1)),
+            draw(st.integers(min_value=0, max_value=n - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    return {x: find(x) for x in parent}
+
+
+@PROP_SETTINGS
+@given(edges=edge_lists())
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed fixpoint must agree with a sequential union-find
+    on arbitrary graphs — self-loops, parallel edges, multiple
+    components, cycles."""
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["u"]: r["label"] for r in connected_components(df).collect()}
+    # union-find uses path compression to the min root; normalize both to
+    # min-of-component
+    expected = _union_find_components(edges)
+    assert got == expected
