@@ -689,3 +689,50 @@ def q_dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     comp = dedup.connected_components(edges)
     return comp.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+@register(
+    "dedup_keep_corpus",
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+""",
+)
+def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final answer: the corpus with near-dup
+    losers removed — every document either untouched by any pair or the
+    canonical (min-id) member of its component. Composes the pair
+    generator and connected components, then one anti join against the
+    loser set (tiny relative to the corpus, so it broadcasts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    losers = (
+        dedup.connected_components(edges)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -1559,3 +1559,81 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+) allv
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join tree in
+    the suite — two facts + five dimension legs including nation joined
+    TWICE under different roles (customer's nation filters the market
+    region; supplier's nation is the share numerator). All five dims
+    broadcast; the one fact-fact join (lineitem⋈date-filtered orders) is
+    pinned merge so no fact is ever a hash build side; conditional
+    aggregation computes share without a second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_sup = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.hint("merge")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region["r_regionkey"])
+        .join(F.broadcast(n_sup), sup["s_nationkey"] == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
