@@ -1637,3 +1637,71 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "daily_revenue_gapfill",
+    """
+WITH days AS (
+  SELECT unnest(generate_series(TIMESTAMP '1998-01-01 00:00:00',
+                                TIMESTAMP '1998-03-31 00:00:00',
+                                INTERVAL 1 DAY)) AS day
+),
+rev AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         ROUND(SUM(o_totalprice), 2) AS day_revenue,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+    AND o_totalprice > 400000
+  GROUP BY 1
+)
+SELECT d.day,
+       COALESCE(r.n_orders, 0) AS n_orders,
+       COALESCE(r.day_revenue, 0.0) AS day_revenue,
+       LAST_VALUE(r.day_revenue IGNORE NULLS) OVER
+         (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS carried_revenue
+FROM days d LEFT JOIN rev r USING (day)
+""",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: generate a calendar spine with
+    sequence+explode, left-join sparse daily aggregates onto it (gap
+    days materialize as zeros), and forward-fill the last observed value
+    (last(ignorenulls) over an ordered window).
+
+    Scale posture: the fact aggregation shuffles on day as usual; the
+    spine and everything after it is O(days in range) — tiny by
+    construction regardless of fact size — so the unpartitioned ordered
+    window is bounded, never data-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1998-01-01 00:00:00").cast("timestamp"),
+                F.lit("1998-03-31 00:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    rev = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+            & (F.col("o_totalprice") > 400000)
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("day_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return days.join(rev, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("day_revenue", F.lit(0.0)).alias("day_revenue"),
+        F.last("day_revenue", ignorenulls=True).over(w).alias("carried_revenue"),
+    )
