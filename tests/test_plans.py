@@ -177,3 +177,50 @@ def test_q3_never_broadcasts_a_fact(spark):
     plan = plan_of(spark, "tpch_q3_shipping_priority", mode="simple")
     assert "SortMergeJoin" in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join handling must actually fire: a
+    Zipfian hot key (95% of rows) on a sort-merge join gets its
+    partition split at runtime — 'AQEShuffleRead ... skewed' with
+    skew=true in the executed plan. This is the runtime half of the skew
+    story (salting recipes in skew.py are the planner half)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds shrunk so local[32]-sized data exhibits "skew"
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 200000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
