@@ -262,3 +262,55 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
     got = spark.sql("SELECT n FROM dedup_counts").collect()[0]["n"]
     expected = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert got == expected
+
+
+def test_transform_with_state_matches_legacy_stateful_op(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas implementation must produce
+    the same final per-user totals as the applyInPandasWithState one and
+    as the batch aggregate. Runs only where protobuf is installed (the
+    TWS state-server protocol needs it; this container ships without)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf",
+    )
+    # transformWithState requires the RocksDB state store provider
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = windowed.stream_events(spark, SF)
+    out = windowed.running_user_totals_tws(events)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_totals")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    # update mode emits one row per key per batch; keep the last per user
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM tws_totals"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expected
