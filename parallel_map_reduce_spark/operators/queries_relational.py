@@ -1705,3 +1705,35 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("day_revenue", F.lit(0.0)).alias("day_revenue"),
         F.last("day_revenue", ignorenulls=True).over(w).alias("carried_revenue"),
     )
+
+
+@register(
+    "window_time_range_sum",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 4) AS hour_sum,
+       COUNT(*) OVER w AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing one-hour sum/count per user, framed
+    by *time distance* (rangeBetween over epoch seconds), not row count
+    — the frame a ROWS window can't express when events are irregularly
+    spaced. Equal-timestamp rows are peers in both engines, so the
+    result is deterministic without a tie-break. One shuffle on user_id,
+    per-partition ordered scan — same cost shape as any window."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
