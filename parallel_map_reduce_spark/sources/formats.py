@@ -17,6 +17,7 @@ these are part of the extension surface. Production rules baked in:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -74,3 +75,32 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingestion for pipelines that must not stop on bad
+    records (the FAILFAST readers above are for sources that should):
+    malformed rows land in `_corrupt_record` and are split into a
+    quarantine frame for offline inspection, while clean rows flow on.
+
+    Returns (clean, quarantined). The split is one predicate on the
+    already-parsed frame — no second read of the source.
+    """
+    # StructType.add mutates in place — build a fresh schema instead of
+    # appending a surprise column to the caller's object
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    clean = parsed.filter(~bad).drop("_corrupt_record")
+    quarantined = parsed.filter(bad).select("_corrupt_record")
+    return clean, quarantined

@@ -296,3 +296,57 @@ def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         back.collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_json_permissive_quarantine_split(spark, tmp_path):
+    """PERMISSIVE mode must route malformed rows to quarantine and keep
+    clean rows flowing — with counts adding up to the input lines."""
+    from pyspark.sql import types as T
+
+    from parallel_map_reduce_spark.sources.formats import read_json_with_quarantine
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": "NOT_A_NUMBER", "v": "b"}\n'
+        '{"id": 3, "v": "c"}\n'
+        "this is not json at all\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    clean, quarantined = read_json_with_quarantine(spark, str(p), schema)
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    assert quarantined.count() == 2
+
+
+def test_sorted_parquet_layout_prunes_row_groups(spark, tmp_path):
+    """write_parquet_sorted must produce files with disjoint key ranges
+    and tight row-group min/max stats — verified directly against the
+    parquet footers, which is exactly what a scan's pruning reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.sinks import write_parquet_sorted
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    write_parquet_sorted(orders, out, "o_orderkey", n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = [
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "o_orderkey"
+        ][0]
+        lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file key ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
