@@ -364,11 +364,11 @@ def connected_components(
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = (
-        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # no distinct: duplicate/parallel edges can't change a MIN, and
+    # deduplicating the edge list would cost a full extra shuffle
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     # seed with the first propagation round fused into the vertex build:
     # label(u) = min(u, neighbors(u)) — one aggregate instead of a
     # distinct plus a full loop iteration
