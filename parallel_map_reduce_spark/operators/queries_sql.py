@@ -1,0 +1,80 @@
+"""The SQL interface: the same engine driven by ANSI SQL text instead of
+the DataFrame API.
+
+The reference has no query language at all (its one query is compiled
+in, SURVEY §3); this module closes the loop on "DataFrame / SQL" parity:
+each query here is ONE ANSI-SQL string executed by BOTH engines —
+``spark.sql`` over registered temp views on the Spark side, DuckDB on
+the oracle side. A single source of truth, two independent executors,
+value-hash-compared by the driver. Catalyst treats the parsed text
+identically to the equivalent DataFrame calls (same unresolved logical
+plan), so every optimization the DataFrame queries get — pushdown,
+broadcast, partial agg — applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parallel_map_reduce_spark.registry import register
+from parallel_map_reduce_spark.sources.tables import load_table
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register every testdata table as a temp view and run the query
+    text. Views are lazy (no scan happens at registration), so this
+    costs nothing beyond the query itself."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_SQL_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+_SQL_TOP_SEGMENTS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC, c_mktsegment ASC
+"""
+
+
+@register("sql_interface_q6", _SQL_Q6)
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 as raw SQL text — the SAME string is the DuckDB oracle;
+    Spark parses it into the identical logical plan the DataFrame
+    version produces (pushdown and partial agg included)."""
+    return run_sql(spark, sf_dir, _SQL_Q6)
+
+
+@register("sql_interface_segments", _SQL_TOP_SEGMENTS)
+def q_sql_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + total order, single ANSI text for both
+    engines. The customer side broadcasts exactly as in the DataFrame
+    twin — SQL entry does not change the physical strategy."""
+    return run_sql(spark, sf_dir, _SQL_TOP_SEGMENTS)

@@ -52,6 +52,7 @@ def _load_all() -> None:
         queries_llm,
         queries_relational,
         queries_sessions,
+        queries_sql,
         queries_temporal,
         queries_udf,
         queries_wordcount,
