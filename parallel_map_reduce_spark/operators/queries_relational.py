@@ -1737,3 +1737,25 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@register("hll_mergeable_daily_users")  # rows-only: sketch estimates are
+# approximate once past sparse mode (e.g. 1488 vs exact 1500 at sf0.1) —
+# never value-hash-oracled; the 2% error bound vs the exact twin is
+# asserted in pytest instead
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE 100 TB pattern: build one
+    HLL sketch per day (partial agg, shuffle = one sketch per group, a
+    few KB), then union sketches instead of re-scanning history. The
+    day-level exact counts ride along to show why naive SUM(daily
+    distinct) over-counts repeat users across days."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("day_users"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_users").alias("sum_daily_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_users"),
+    )

@@ -350,3 +350,18 @@ def test_sorted_parquet_layout_prunes_row_groups(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file key ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_hll_union_estimate_within_bound(spark):
+    """The merged-sketch estimate must be within the datasketches 2%
+    guarantee of the exact distinct count (and exactly equal while the
+    sketch is in sparse mode, i.e. at testdata cardinalities)."""
+    ev = load_table(spark, SF, "events")
+    merged = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(1, 0.02 * exact)
