@@ -51,6 +51,7 @@ HEADLINE = [
     "pack_batches_by_budget",
     "dedup_group_assignment",
     "latest_event_per_user",
+    "pipeline_training_batches",
 ]
 
 

@@ -736,3 +736,106 @@ def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "pipeline_training_batches",
+    f"""
+WITH RECURSIVE kept AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+  USING (doc_id)
+),
+toks AS (SELECT doc_id, {_TOKS} AS ws FROM kept),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+losers AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> LEAST(u, MIN(v))
+),
+final_keep AS (
+  SELECT t.doc_id, t.ws FROM toks t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+chunks AS (
+  SELECT doc_id, chunk_start,
+         least(32, len(ws) - chunk_start + 1) AS chunk_len
+  FROM final_keep,
+  LATERAL (SELECT unnest(generate_series(1, greatest(len(ws), 1), 16)) AS chunk_start) s
+),
+packed AS (
+  SELECT (doc_id % 32) * 1000000
+         + CAST(floor((SUM(chunk_len) OVER w - chunk_len) / 1024.0) AS BIGINT)
+         AS batch_id,
+         chunk_len
+  FROM chunks
+  WINDOW w AS (PARTITION BY doc_id % 32 ORDER BY doc_id, chunk_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT batch_id, COUNT(*) AS n_chunks, SUM(chunk_len) AS batch_tokens
+FROM packed
+GROUP BY batch_id
+""",
+)
+def q_pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep DAG as one query — what a user of
+    this engine actually ships: exact dedup (min-id survivor per md5) →
+    near-dup removal (exact-Jaccard pairs → connected components → drop
+    losers) → context-window chunking (32/16) → sharded sequence packing
+    into 1024-token batches → batch-level stats. Every stage is the
+    already-oracle-checked operator, composed; the DuckDB oracle replays
+    the identical DAG (recursive CTE for the components), so the full
+    pipeline is value-hash-verified end to end — not just its pieces.
+
+    Scale shape: one corpus scan feeds dedup and shingling; the only
+    data-sized shuffles are the fingerprint groupBy, the shingle
+    inverted-index join, and the per-shard packing window."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(docs)
+    edges = dedup.ngram_jaccard_pairs(kept, threshold=JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    losers = (
+        dedup.connected_components(edges)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").alias("doc_id"))
+    )
+    final_keep = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+    chunks = textstats.chunk_documents(final_keep, window=32, stride=16).select(
+        "doc_id", "chunk_start", "chunk_len"
+    )
+    shard = F.col("doc_id") % 32
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id", "chunk_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = shard * 1000000 + F.floor(
+        (F.sum("chunk_len").over(w) - F.col("chunk_len")) / 1024.0
+    )
+    return (
+        chunks.select(batch.alias("batch_id"), "chunk_len")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("batch_tokens"),
+        )
+    )
