@@ -1714,22 +1714,26 @@ SELECT event_id, user_id,
        ROUND(SUM(value) OVER w, 4) AS hour_sum,
        COUNT(*) OVER w AS hour_n
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
 )
 def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: trailing one-hour sum/count per user, framed
-    by *time distance* (rangeBetween over epoch seconds), not row count
+    by *time distance* (rangeBetween over exact epoch microseconds), not row count
     — the frame a ROWS window can't express when events are irregularly
     spaced. Equal-timestamp rows are peers in both engines, so the
     result is deterministic without a tie-break. One shuffle on user_id,
     per-partition ordered scan — same cost shape as any window."""
     e = _t(spark, sf_dir, "events")
+    # exact integer microseconds on BOTH sides: unix_timestamp() would
+    # truncate sub-second parts while DuckDB's epoch()::BIGINT rounds
+    # them — divergent frame membership (caught by the sf0.1 gate, where
+    # sub-second timestamps first appear)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, Window.currentRow)
     )
     return e.select(
         "event_id",
