@@ -117,3 +117,79 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 1 DAY
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 1 DAY
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: first view -> first click within a day of
+    it -> first purchase within a day of that, counted per stage (the
+    product-analytics query every event warehouse runs).
+
+    Scale posture: the oracle's 3-CTE join cascade would shuffle events
+    three times; this plan instead chains three Window mins over the
+    SAME user_id partitioning — Catalyst plans ONE exchange and three
+    in-partition window passes, then a global count. Events never join
+    events."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 1 DAY")
+    step1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    step2 = step1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return step3.agg(
+        F.countDistinct(
+            F.when(F.col("t_view").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("t_click").isNotNull(), F.col("user_id"))
+        ).alias("n_view_click"),
+        F.countDistinct(
+            F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_full_funnel"),
+    )

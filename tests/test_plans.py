@@ -224,3 +224,12 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_exchange_window_chain(spark):
+    """The funnel must be three chained window passes over ONE user_id
+    exchange plus the final single-row aggregation — never the 3-way
+    events-join-events cascade of its SQL formulation."""
+    plan = plan_of(spark, "funnel_conversion", mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
