@@ -193,3 +193,50 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH su AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        FROM events),
+j AS (SELECT su.user_id, su.cohort_week,
+             date_diff('day', su.cohort_week, act.act_week) // 7 AS week_offset
+      FROM su JOIN act ON su.user_id = act.user_id
+      WHERE act.act_week >= su.cohort_week)
+SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+FROM j GROUP BY cohort_week, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted as
+    active in each subsequent week — the standard growth-analytics
+    triangle. Week offsets are exact integer divisions of day
+    differences between week-truncated dates (identical in both
+    engines). One shuffle builds each per-user relation on user_id, the
+    join reuses that partitioning, and the final aggregate shuffles only
+    (cohort, offset) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"))
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    return (
+        su.join(act, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("CAST(datediff(act_week, cohort_week) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
