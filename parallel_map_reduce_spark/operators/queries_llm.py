@@ -839,3 +839,52 @@ def q_pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").alias("batch_tokens"),
         )
     )
+
+
+@register(
+    "curate_top_docs_per_lang",
+    """
+WITH base AS (
+  SELECT doc_id, lang,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+    CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END::DOUBLE AS safe_total,
+    len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
+                    w -> w <> ''))::DOUBLE AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND((alpha / safe_total) * (1 - punct / safe_total)
+               * least(n_tokens / 20.0, 1.0), 4) AS quality_score
+  FROM base
+)
+SELECT lang, doc_id, quality_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+""",
+)
+def q_curate_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus curation: keep the 5 highest-quality documents
+    per language (C4-style score, doc_id tie-break) — the 'best N per
+    stratum' selection a data-mixing pipeline runs before sampling.
+    Score is a pure projection; the per-language rank is one shuffle on
+    lang with an in-partition top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "lang", "doc_id", textstats.quality_score_expr(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "quality_score")
+    )
