@@ -888,3 +888,53 @@ def q_curate_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "quality_score")
     )
+
+
+@register(
+    "unigram_lm_doc_scores",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+freq AS (SELECT w, count(*)::DOUBLE AS n FROM tok GROUP BY w),
+tot AS (SELECT sum(n) AS total FROM freq)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       ROUND(AVG(ln(f.n / tot.total)), 4) AS avg_logprob
+FROM tok t JOIN freq f USING (w) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model scoring: train unigram
+    frequencies over the whole corpus, then score each document by its
+    mean token log-probability — the statistical quality signal one tier
+    above the heuristic ratios (a KenLM stand-in with the same dataflow:
+    aggregate a model, join it back, reduce per document).
+
+    Scale posture: the model (vocab frequencies) is aggregated with
+    partial+final agg; scoring joins tokens to the model on the token
+    key — Zipfian-skewed, exactly the shuffle the salting recipes in
+    skew.py target; the scalar total broadcasts as a 1-row join."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))).alias(
+            "w"
+        ),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(freq, "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
