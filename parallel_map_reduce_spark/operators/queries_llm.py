@@ -938,3 +938,73 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT avg(dlen) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok
+       WHERE w IN ('table', 'spark', 'hash') GROUP BY doc_id, w),
+df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ),
+               4) AS bm25
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 (k1=1.2, b=0.75) for a fixed
+    3-term query over the corpus — the retrieval scoring tier (lexical
+    search / hard-negative mining in training pipelines). Ranking is on
+    the ROUNDED score with a doc_id tie-break so cross-engine ulp noise
+    can't reorder the top-k.
+
+    Scale posture: doc lengths and term stats are partial-aggregated;
+    the query-term filter prunes the token stream BEFORE the tf shuffle
+    (only matching tokens move); corpus stats broadcast as a 1-row
+    join; top-10 is a k-heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    terms = ["table", "spark", "hash"]
+    k1, b = 1.2, 0.75
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))).alias("w"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
