@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_group_assignment",
     "latest_event_per_user",
     "pipeline_training_batches",
+    "funnel_conversion",
+    "bm25_search",
 ]
 
 

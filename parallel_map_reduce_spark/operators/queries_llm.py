@@ -1008,3 +1008,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+)
+SELECT w AS word,
+       COUNT(DISTINCT doc_id) AS df,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM tok
+GROUP BY w
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> sorted posting list of the
+    documents containing it (the materialization BM25 queries against).
+    Postings are sorted because collection order is partition-
+    nondeterministic in both engines. At 100 TB the posting list of a
+    stopword-grade token is the skew hazard — cap document frequency or
+    shard hot postings (same recipe as the shingle DF cap in dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))).alias("w"),
+    )
+    return tok.groupBy(F.col("w").alias("word")).agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+    )
