@@ -1763,3 +1763,36 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_users").alias("sum_daily_users"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_users"),
     )
+
+
+@register(
+    "events_variant_extract",
+    """
+SELECT k % 10 AS k_mod,
+       COUNT(*) AS n_events,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t
+WHERE k IS NOT NULL
+GROUP BY k_mod
+""",
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying via Spark 4's VariantType: parse the
+    JSON props column once into a variant (binary-encoded, no schema
+    declared up front) and path-extract typed values — the open-schema
+    path next to the explicit-schema from_json twin
+    (events_json_props). Variant decode happens where the row lives; the
+    only shuffle is the 10-group aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
