@@ -110,3 +110,29 @@ def test_word_totals(spark):
 def test_permutation_invariance(spark):
     texts = ["a b", "c d a", "e"]
     assert _counts(spark, texts) == _counts(spark, list(reversed(texts)))
+
+
+def test_custom_datasource_reads_reference_output(spark):
+    """The wordcount_text Python data source must mount the reference's
+    own serial output byte-exactly: 109,223 rows, 2,297,140 total count,
+    right-split parsing for words containing ':'."""
+    from parallel_map_reduce_spark.sources.wordcount_source import (
+        register_wordcount_source,
+    )
+
+    from pyspark.sql import functions as F
+
+    register_wordcount_source(spark)
+    df = (
+        spark.read.format("wordcount_text")
+        .option("path", "/root/reference/serial_wc.txt")
+        .load()
+    )
+    assert df.columns == ["word", "count"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("count").alias("total")
+    ).collect()[0]
+    assert agg["n"] == 109223
+    assert agg["total"] == 2297140
+    # the ':'-containing words parse correctly (e.g. 'of:' occurs 3x)
+    assert df.filter(F.col("word") == "of:").collect()[0]["count"] == 3
