@@ -365,3 +365,25 @@ def test_hll_union_estimate_within_bound(spark):
     )
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) <= max(1, 0.02 * exact)
+
+
+def test_observation_metrics_without_extra_pass(spark):
+    """df.observe must deliver pipeline telemetry (row counts, sums)
+    from the SAME single execution that produces the result — the
+    production pattern for data-quality counters at 100 TB, where a
+    second counting pass over the input is unaffordable."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lineitem_scan")
+    li = load_table(spark, SF, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("l_quantity").alias("qty_seen"),
+    )
+    out = li.filter(F.col("l_quantity") > 25).groupBy("l_returnflag").count()
+    result_rows = out.collect()
+    assert len(result_rows) > 0
+    # metrics reflect the pre-filter scan, proving they rode the same job
+    exact = load_table(spark, SF, "lineitem")
+    assert obs.get["rows_seen"] == exact.count()
+    assert abs(obs.get["qty_seen"] - exact.agg(F.sum("l_quantity")).collect()[0][0]) < 1e-6
