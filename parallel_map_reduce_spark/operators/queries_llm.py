@@ -474,8 +474,8 @@ scored AS (
 )
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(CAST(ROUND(quality_score * 10000, 0) AS BIGINT)) AS sum_quality_e4
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(ROUND(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_e4
 FROM scored
 WHERE quality_score >= 0.3
 GROUP BY source, lang
@@ -568,7 +568,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM (
@@ -609,7 +609,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_batches_by_budget",
     """
-SELECT batch_id, COUNT(*) AS n_docs, SUM(n_chars) AS batch_chars
+SELECT batch_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS batch_chars
 FROM (
     SELECT doc_id, n_chars,
            (doc_id % 32) * 1000000
@@ -790,7 +790,7 @@ packed AS (
   WINDOW w AS (PARTITION BY doc_id % 32 ORDER BY doc_id, chunk_start
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT batch_id, COUNT(*) AS n_chunks, SUM(chunk_len) AS batch_tokens
+SELECT batch_id, COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS batch_tokens
 FROM packed
 GROUP BY batch_id
 """,
@@ -1018,7 +1018,8 @@ WITH tok AS (
 )
 SELECT w AS word,
        COUNT(DISTINCT doc_id) AS df,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+                                      x -> CAST(x AS VARCHAR)), ' ') AS postings
 FROM tok
 GROUP BY w
 """,
@@ -1027,9 +1028,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token -> sorted posting list of the
     documents containing it (the materialization BM25 queries against).
     Postings are sorted because collection order is partition-
-    nondeterministic in both engines. At 100 TB the posting list of a
-    stopword-grade token is the skew hazard — cap document frequency or
-    shard hot postings (same recipe as the shingle DF cap in dedup)."""
+    nondeterministic in both engines, and emitted as a space-joined
+    string because the driver's pandas canonicalizer can't hash array
+    cells (sorted, so the string form is deterministic). At 100 TB the
+    posting list of a stopword-grade token is the skew hazard — cap
+    document frequency or shard hot postings (same recipe as the shingle
+    DF cap in dedup)."""
     docs = load_table(spark, sf_dir, "documents")
     from parallel_map_reduce_spark.functions.tokenize import tokens
 
@@ -1039,5 +1043,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tok.groupBy(F.col("w").alias("word")).agg(
         F.countDistinct("doc_id").alias("df"),
-        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            " ",
+        ).alias("postings"),
     )

@@ -493,25 +493,33 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_lag_lead",
     """
-SELECT event_id, user_id,
-       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
-       epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-FROM events
+SELECT * FROM (
+  SELECT event_id, user_id,
+         ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) t WHERE gap_us IS NOT NULL
 """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead navigation. The time gap is computed in integer
-    microseconds (both engines floor to µs) so no float rounding is
-    involved."""
+    """lag/lead navigation: per-user delta vs previous event. The time
+    gap is computed in integer microseconds (both engines floor to µs)
+    so no float rounding is involved. Each user's first event (no
+    predecessor) is excluded: a NULL in an integral column turns the
+    whole column float64 in the driver's pandas fetch and breaks the
+    value-hash (see tests/test_oracle_dtypes.py)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_val = F.lag("value", 1).over(w)
     micros = F.unix_micros(F.col("ts"))
-    return e.select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") - prev_val, 4).alias("delta_prev"),
-        (micros - F.lag(micros, 1).over(w)).alias("gap_us"),
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - prev_val, 4).alias("delta_prev"),
+            (micros - F.lag(micros, 1).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
     )
 
 
@@ -1233,7 +1241,8 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_priorities",
     """
 SELECT o_orderstatus,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ' ')
+           AS priorities,
        COUNT(DISTINCT o_orderpriority) AS n_priorities
 FROM orders
 GROUP BY o_orderstatus
@@ -1243,10 +1252,13 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_set): per-status sorted distinct
     priority list. Sorted because collection order is partition-
     nondeterministic in BOTH engines — an unsorted array agg is never
-    oracle-comparable (or reproducible)."""
+    oracle-comparable (or reproducible). Emitted space-joined as a
+    string: the driver's pandas canonicalizer can't hash array cells."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), " ").alias(
+            "priorities"
+        ),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
 

@@ -33,9 +33,9 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, SUM(is_new) OVER (
+  SELECT *, CAST(SUM(is_new) OVER (
     PARTITION BY user_id ORDER BY ts_us, event_id
-    ROWS UNBOUNDED PRECEDING) AS session_seq
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM marked
 )
 """

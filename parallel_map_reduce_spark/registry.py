@@ -48,14 +48,15 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from parallel_map_reduce_spark.operators import (  # noqa: F401
-        queries_llm,
-        queries_relational,
-        queries_sessions,
-        queries_sql,
-        queries_temporal,
-        queries_udf,
-        queries_wordcount,
-    )
+    # Import order determines registry dict order, which determines which
+    # queries land in the driver's bounded check window: the flagship
+    # wordcount family and the relational/TPC-H core must come first.
+    from parallel_map_reduce_spark.operators import queries_wordcount  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_relational  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_sessions  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_udf  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_temporal  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_sql  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_llm  # noqa: F401
 
     _LOADED = True
