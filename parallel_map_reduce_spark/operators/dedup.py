@@ -323,9 +323,9 @@ def simhash_near_pairs(
 
     Correctness-tier implementation joins all signature pairs (signatures
     are 1 long per doc, so this is feasible far beyond document-pair
-    scale). At 100 TB use the standard rotation trick: split the 60 bits
-    into (max_hamming+1) blocks; equal-block buckets prune candidates
-    before the hamming check.
+    scale). At 100 TB use ``simhash_block_near_pairs`` below — the
+    pigeonhole block-bucket equality join that returns the identical
+    pair set without the all-pairs nested loop.
     """
     sig = simhash(df, text_col, id_col)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
@@ -338,6 +338,70 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_block_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Scale-tier simhash pairing via the pigeonhole block trick — the
+    rotation-bucket strategy ``simhash_near_pairs`` only documents.
+
+    Split the 60-bit signature into ``max_hamming + 1`` equal bit-blocks.
+    If two signatures differ in at most ``max_hamming`` bits, at least
+    one block is untouched (pigeonhole), so every qualifying pair shares
+    an exact (block_index, block_value) key. The self-join is therefore
+    an EQUALITY join on that key — shuffle-partitionable, broadcast-able,
+    never the all-pairs nested-loop of the correctness tier — followed by
+    an in-bucket ``bit_count(xor)`` verify. Candidates per bucket scale
+    with bucket occupancy (2^12 values per block here), not corpus².
+
+    Returns exactly the same (id_a, id_b, hamming) set as
+    ``simhash_near_pairs`` (asserted in tests/test_llm_ops.py); a pair
+    matching several blocks is emitted once (distinct on the verified
+    pair). Manber/Charikar-style block pigeonhole, standard since
+    Google's simhash dedup paper (Manku et al., WWW'07).
+    """
+    n_blocks = max_hamming + 1
+    bits_per = SIMHASH_BITS // n_blocks
+    if bits_per * n_blocks != SIMHASH_BITS:
+        raise ValueError(
+            f"{SIMHASH_BITS}-bit signature not divisible into {n_blocks} blocks"
+        )
+    sig = simhash(df, text_col, id_col)
+    mask = F.lit((1 << bits_per) - 1).cast("long")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * bits_per)
+                .bitwiseAND(mask)
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bk")
+    ).select(id_col, "simhash", "bk.blk", "bk.bv")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "bv"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "blk", "bv"
+    )
+    return (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -149,7 +149,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_oracle() -> str:
+def _simhash_sigs_cte() -> str:
+    """CTE chain ending in sigs(doc_id, simhash) — shared by the
+    signature query and both pairing tiers' oracles."""
     votes = ",\n       ".join(
         f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)
@@ -168,12 +170,14 @@ voted AS (
   SELECT doc_id,
        {votes}
   FROM tok GROUP BY doc_id
-)
-SELECT doc_id, {combine} AS simhash FROM voted
+),
+sigs AS (SELECT doc_id, {combine} AS simhash FROM voted)
 """
 
 
-@register("simhash_signatures", _simhash_oracle())
+@register(
+    "simhash_signatures", _simhash_sigs_cte() + "SELECT doc_id, simhash FROM sigs"
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -181,6 +185,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_near_pairs")  # rows-only: pair pruning strategy is engine-side
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=4
+    )
+
+
+@register(
+    "simhash_block_near_pairs",
+    _simhash_sigs_cte()
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+""",
+)
+def q_simhash_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-tier simhash near-dup pairs (pigeonhole block buckets).
+
+    Identical output to simhash_near_pairs — the bucketing is lossless
+    for hamming <= max_hamming — so unlike the LSH tiers this one IS
+    deterministic and gets a full value-hash oracle: the oracle computes
+    the same pair set by brute force, which DuckDB can afford at sf0.01.
+    """
+    return dedup.simhash_block_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=4
     )
 

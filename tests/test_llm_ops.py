@@ -105,6 +105,26 @@ def test_simhash_identical_and_near(spark):
     assert ham_near < ham_far
 
 
+def test_simhash_block_pairs_equal_all_pairs(spark, docs):
+    """The pigeonhole block bucketing is lossless: the scale tier must
+    return EXACTLY the all-pairs tier's (id_a, id_b, hamming) set."""
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_block_near_pairs(docs, max_hamming=4).collect()
+    }
+    assert blocked == exact
+    assert exact  # sf0.01 documents contain near-dups; empty = broken test
+
+
+def test_simhash_block_pairs_rejects_indivisible_bits():
+    with pytest.raises(ValueError):
+        dedup.simhash_block_near_pairs(None, max_hamming=6)  # 60 % 7 != 0
+
+
 # --- similarity ----------------------------------------------------------
 
 
