@@ -238,23 +238,16 @@ def minhash_lsh_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.2,
-    shingle_n: int = 3,
+def _jaccard_pairs_from_index(
+    sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact jaccard over distinct word shingles, via an inverted-index
-    self-join on shingle (never a cartesian product): pairs sharing zero
-    shingles are never materialized.
+    """(id, shingle) inverted index -> (id_a, id_b, jaccard >= threshold).
 
-    Skew note: a shingle appearing in f docs contributes f² join rows.
-    At 100 TB, drop ultra-frequent shingles first (document-frequency
-    cap) — standard practice since boilerplate shingles carry no dedup
-    signal anyway.
+    Self-join on shingle (never a cartesian product): pairs sharing zero
+    shingles are never materialized. Document sizes are counted over the
+    SAME index frame, so jaccard is always measured in the universe the
+    index actually contains (matters for the DF-capped variant).
     """
-    sh = explode_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -276,6 +269,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact jaccard over distinct word shingles via the inverted-index
+    self-join.
+
+    Skew note: a shingle appearing in f docs contributes f² join rows.
+    At 100 TB use ``ngram_jaccard_pairs_capped`` — same construction
+    over a document-frequency-capped index, which removes the quadratic
+    blowup of boilerplate shingles.
+    """
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    return _jaccard_pairs_from_index(sh, id_col, threshold)
+
+
+def df_capped_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """(id, shingle) inverted index with corpus-frequent shingles removed.
+
+    A shingle present in f documents contributes f² rows to any
+    inverted-index self-join; on Zipfian text the head shingles
+    (boilerplate, licenses, templates) dominate the join while carrying
+    no dedup signal. Capping document frequency bounds per-shingle join
+    fan-out at max_df² — the standard guard (the same move Google's
+    near-dup pipeline and every MinHash paper's preprocessing make).
+
+    Shape: one groupBy(shingle) to find hot shingles (map-side partial
+    agg makes this cheap), then a BROADCAST anti-join — the hot list is
+    tiny by construction (few shingles exceed the cap; that's why they
+    are the problem), so the cap costs no extra full shuffle of the
+    index itself.
+    """
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Scale-tier exact jaccard: the same inverted-index construction as
+    ``ngram_jaccard_pairs``, over the DF-capped index.
+
+    Jaccard is measured in the capped shingle universe. When no shingle
+    exceeds the cap the result is IDENTICAL to the uncapped tier
+    (property-tested); when hot shingles exist, pairs whose only overlap
+    was boilerplate drop out — the desired behavior for dedup. Fully
+    deterministic, so it carries a DuckDB value-hash oracle.
+    """
+    sh = df_capped_shingles(df, text_col, id_col, shingle_n, max_df)
+    return _jaccard_pairs_from_index(sh, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -144,6 +144,46 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 5  # sf0.01's hottest shingle hits df=7, so the cap is live
+
+
+@register(
+    "ngram_jaccard_pairs_capped",
+    _SHINGLES_CTE
+    + f""",
+hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+capped AS (SELECT doc_id, shingle FROM shingles
+           WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-tier exact jaccard: document-frequency-capped shingle index.
+
+    The cap bounds self-join fan-out at max_df² per shingle — the guard
+    that makes the exact tier survive Zipfian boilerplate at 100 TB.
+    Deterministic (jaccard measured in the capped universe), so fully
+    value-hash-oracled, unlike the probabilistic LSH tiers.
+    """
+    return dedup.ngram_jaccard_pairs_capped(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        max_df=MAX_SHINGLE_DF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (full oracle via generated 60-bit SQL)
 # ---------------------------------------------------------------------------

@@ -120,6 +120,44 @@ def test_simhash_block_pairs_equal_all_pairs(spark, docs):
     assert exact  # sf0.01 documents contain near-dups; empty = broken test
 
 
+def test_df_cap_identity_when_cap_not_hit(spark, docs):
+    """With a cap above the corpus's max shingle DF, the capped tier is
+    exactly the uncapped tier (cap only ever REMOVES hot shingles)."""
+    uncapped = {
+        tuple(r) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs_capped(
+            docs, threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert capped == uncapped
+    assert uncapped
+
+
+def test_df_cap_drops_boilerplate_only_pairs(spark):
+    """Docs overlapping ONLY through a corpus-frequent shingle lose that
+    pair under the cap; genuinely-similar docs keep theirs."""
+    boiler = "common license header text"  # shingles shared by ALL docs
+    rows = [Row(doc_id=i, text=f"{boiler} unique{i} filler{i} tail{i}") for i in range(8)]
+    # two genuinely near-identical docs
+    rows += [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs_capped(df, threshold=0.2, max_df=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), f"boilerplate pair survived: {got}"
+
+
+def test_df_cap_uses_broadcast_anti_join(spark, docs):
+    plan = dedup.df_capped_shingles(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_simhash_block_pairs_rejects_indivisible_bits():
     with pytest.raises(ValueError):
         dedup.simhash_block_near_pairs(None, max_hamming=6)  # 60 % 7 != 0
