@@ -79,6 +79,47 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return coords
 
 
+def _lsh_bucketed(
+    base: DataFrame,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, tbl, bucket): multi-table random-hyperplane sign-pattern
+    bucket assignment — the shared front half of every LSH consumer
+    (ANN search and near-dup pairing).
+
+    All num_tables*num_planes projections run as ONE Arrow-batched
+    matmul. The naive form — one F.aggregate(zip_with(...)) column per
+    projection — runs in Catalyst's higher-order-function interpreter
+    (HOFs don't codegen) and measured ~10x slower than numpy over the
+    same batch; hyperplane projection is matrix math, so the vectorized
+    Python path is the fast path here. Deterministic _hyperplane
+    coefficients, so bucket assignments are reproducible across runs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
+    ).T  # dim x (tables*planes)
+    weights = 1 << np.arange(num_planes)
+
+    @pandas_udf("array<int>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # batch x dim
+        bits = (mat @ planes) >= 0  # batch x (tables*planes)
+        bits = bits.reshape(len(mat), num_tables, num_planes)
+        ids = (bits * weights).sum(axis=2).astype("int32")  # batch x tables
+        return pd.Series(list(ids))
+
+    return base.select(
+        F.col(id_col),
+        F.col("vec"),
+        F.posexplode(bucket_ids(F.col("vec"))).alias("tbl", "bucket"),
+    )
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -107,33 +148,7 @@ def lsh_bucket_ann(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    # All num_tables*num_planes projections as ONE Arrow-batched matmul.
-    # The naive form — 32 separate F.aggregate(zip_with(...)) columns —
-    # runs in Catalyst's higher-order-function interpreter (HOFs don't
-    # codegen) and measured ~10x slower than numpy over the same batch;
-    # hyperplane projection is matrix math, so the vectorized Python
-    # path is the fast path here. Same _hyperplane coefficients, so
-    # bucket assignments are unchanged.
-    from pyspark.sql.functions import pandas_udf
-
-    planes = np.array(
-        [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
-    ).T  # dim x (tables*planes)
-    weights = 1 << np.arange(num_planes)
-
-    @pandas_udf("array<int>")
-    def bucket_ids(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # batch x dim
-        bits = (mat @ planes) >= 0  # batch x (tables*planes)
-        bits = bits.reshape(len(mat), num_tables, num_planes)
-        ids = (bits * weights).sum(axis=2).astype("int32")  # batch x tables
-        return pd.Series(list(ids))
-
-    bucketed = base.select(
-        F.col(id_col),
-        F.col("vec"),
-        F.posexplode(bucket_ids(F.col("vec"))).alias("tbl", "bucket"),
-    )
+    bucketed = _lsh_bucketed(base, id_col, num_planes, num_tables, dim)
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -170,8 +185,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
-    Correctness-tier all-pairs implementation; the oracle for LSH-based
-    near-dup at scale (bucket first, then this kernel per bucket).
+    Correctness-tier all-pairs implementation; the oracle for
+    ``embedding_near_dup_lsh`` below, which buckets first and runs this
+    cosine kernel only within buckets — use THAT at scale.
     """
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -181,6 +197,50 @@ def embedding_near_dup_pairs(
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-tier embedding near-dup: LSH buckets first, the exact cosine
+    kernel only WITHIN buckets — the composition the all-pairs tier's
+    docstring prescribes.
+
+    A pair is a candidate iff it shares a sign-pattern bucket in ANY of
+    the `num_tables` tables; candidates are deduped across tables BEFORE
+    the cosine so each pair is scored once. Work is sum over buckets of
+    |bucket|² instead of corpus² — with b-bit patterns and roughly
+    uniform occupancy that's a ~2^b reduction per table. Recall for
+    cosine ≥ 0.95 pairs at the defaults (4 planes × 8 tables):
+    P(miss in one table) = 1-(1-θ/π)^4 ≈ 0.35 at θ ≈ 18°, so
+    P(miss everywhere) ≈ 0.35^8 ≈ 2e-4 — recall-tested vs the all-pairs
+    tier. At 100 TB, repartition by (tbl, bucket) so each bucket's
+    self-join is partition-local.
+    """
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    bucketed = _lsh_bucketed(base, id_col, num_planes, num_tables, dim)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket"
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -235,6 +235,26 @@ def test_frame_sample_plan(spark, docs):
         assert r["frame_index"] % 30 == 0
 
 
+def test_embedding_lsh_near_dup_recall(spark, embeddings):
+    """Bucketed near-dup vs the all-pairs oracle: output must be a strict
+    subset (candidates are exactly verified, so no false positives are
+    possible) with recall >= 0.9 at 16 tables for the corpus threshold."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            embeddings, threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_lsh(
+            embeddings, threshold=0.4, num_tables=16
+        ).collect()
+    }
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    assert exact and len(lsh) / len(exact) >= 0.9
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with nprobe=4/16 cells must recover a solid fraction of the
     exact top-5 neighbor sets; with nprobe=16 (probe everything) it must
