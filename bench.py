@@ -52,8 +52,18 @@ HEADLINE = [
     "dedup_group_assignment",
     "latest_event_per_user",
     "pipeline_training_batches",
+    "pipeline_training_batches_lsh",  # scale-path edge builder; delta vs exact
     "funnel_conversion",
     "bm25_search",
+    # round-2 breadth: heavy hitters that were previously unbenched, so
+    # round-over-round regressions are visible for the whole surface
+    "tpch_q8_market_share",
+    "cohort_retention",
+    "window_time_range_sum",
+    "events_variant_extract",
+    "simhash_block_near_pairs",
+    "ngram_jaccard_pairs_capped",
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -165,31 +165,33 @@ def lsh_candidate_pairs(
 
     Signature is split into `bands` bands of num_hashes/bands rows; two
     docs are candidates if ANY band matches exactly. The join key is
-    (band_index, band_hash) — bucket sizes stay tiny, so the self-join is
-    linear-ish in practice; no all-pairs computation happens anywhere.
+    (band_index, raw member hashes) — bucket sizes stay tiny, so the
+    self-join is linear-ish in practice; no all-pairs computation happens
+    anywhere. The key uses the RAW band values, not a re-hash of them:
+    same shuffle width to within a few bytes, no possibility of a hash
+    collision admitting a spurious candidate, and — because every value
+    comes from the portable md5/universal family — the whole candidate
+    set is reproducible in ANSI SQL, which is what lets the LSH tier
+    carry a full DuckDB value-hash oracle instead of a rows-only check.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh"))
-        )
+        members = [
+            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *members))
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bh")
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    ).select(id_col, "bk.*")
+    join_keys = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    left = buckets
+    right = buckets.withColumnRenamed(id_col, "_rid")
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        left.join(right, join_keys)
+        .filter(F.col(id_col) < F.col("_rid"))
+        .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
         .distinct()
     )
 

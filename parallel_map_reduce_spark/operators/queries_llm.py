@@ -83,7 +83,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_sigs_cte() -> str:
+    """CTE chain ending in sigs(doc_id, h0..h{k-1}) — shared by the
+    signature query and the LSH-pair oracle."""
     mins = ",\n       ".join(
         f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
         for i, (a, b) in enumerate(universal_params(NUM_MINHASHES))
@@ -91,21 +93,61 @@ def _minhash_oracle() -> str:
     return (
         _SHINGLES_CTE
         + f""",
-hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles)
-SELECT doc_id,
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+sigs AS (SELECT doc_id,
        {mins}
-FROM hashed GROUP BY doc_id"""
+FROM hashed GROUP BY doc_id)"""
     )
 
 
-@register("minhash_signatures", _minhash_oracle())
+def _band_match_sql(bands: int = 4) -> str:
+    """ANY-band-equal predicate between sigs aliases a and b."""
+    rpb = NUM_MINHASHES // bands
+    ors = []
+    for b in range(bands):
+        conds = " AND ".join(
+            f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb)
+        )
+        ors.append(f"({conds})")
+    return " OR ".join(ors)
+
+
+@register("minhash_signatures", _minhash_sigs_cte() + "\nSELECT * FROM sigs")
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(
         load_table(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES
     )
 
 
-@register("minhash_lsh_dedup_pairs")  # rows-only: LSH banding is the approx step
+@register(
+    "minhash_lsh_dedup_pairs",
+    # Full value-hash oracle (upgraded from rows-only): the banding joins
+    # on RAW signature values from the portable md5/universal family, so
+    # DuckDB reproduces the candidate set exactly — LSH is approximate vs
+    # ground truth, but deterministic as a function, and determinism is
+    # all an oracle needs.
+    _minhash_sigs_cte()
+    + f""",
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_band_match_sql()})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM cand c
+JOIN common p ON c.id_a = p.id_a AND c.id_b = p.id_b
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+""",
+)
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -820,9 +862,11 @@ def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_training_batches",
-    f"""
+# The training-batch pipeline oracle, built from shared pieces so the
+# exact-Jaccard and MinHash-LSH edge-builder variants replay the same DAG
+# and differ ONLY in the `thr` (edge list) CTE.
+
+_PIPE_HEAD = f"""
 WITH RECURSIVE kept AS (
   SELECT d.* FROM documents d
   JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
@@ -839,13 +883,41 @@ pairs AS (
   FROM shingles a JOIN shingles b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+_PIPE_EXACT_THR = f""",
 thr AS (
   SELECT id_a, id_b FROM pairs
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _pipe_lsh_thr() -> str:
+    mins = ",\n       ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(NUM_MINHASHES))
+    )
+    return f""",
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+sigs AS (SELECT doc_id,
+       {mins}
+FROM hashed GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_band_match_sql()})
 ),
+thr AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+_PIPE_TAIL = """,
 sym AS (SELECT id_a AS u, id_b AS v FROM thr
         UNION ALL SELECT id_b, id_a FROM thr),
 reach AS (SELECT u, v FROM sym
@@ -875,26 +947,21 @@ packed AS (
 SELECT batch_id, COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS batch_tokens
 FROM packed
 GROUP BY batch_id
-""",
-)
-def q_pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE training-data prep DAG as one query — what a user of
-    this engine actually ships: exact dedup (min-id survivor per md5) →
-    near-dup removal (exact-Jaccard pairs → connected components → drop
-    losers) → context-window chunking (32/16) → sharded sequence packing
-    into 1024-token batches → batch-level stats. Every stage is the
-    already-oracle-checked operator, composed; the DuckDB oracle replays
-    the identical DAG (recursive CTE for the components), so the full
-    pipeline is value-hash-verified end to end — not just its pieces.
+"""
 
-    Scale shape: one corpus scan feeds dedup and shingling; the only
-    data-sized shuffles are the fingerprint groupBy, the shingle
-    inverted-index join, and the per-shard packing window."""
+
+def _training_batches(spark: SparkSession, sf_dir: str, use_lsh: bool) -> DataFrame:
+    """Shared DAG body; the two registrations differ only in edge builder."""
     docs = load_table(spark, sf_dir, "documents")
     kept = dedup.dedup_exact(docs)
-    edges = dedup.ngram_jaccard_pairs(kept, threshold=JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
-    )
+    if use_lsh:
+        edges = dedup.minhash_lsh_dedup_pairs(
+            kept, num_hashes=NUM_MINHASHES, threshold=JACCARD_THRESHOLD
+        ).select("id_a", "id_b")
+    else:
+        edges = dedup.ngram_jaccard_pairs(kept, threshold=JACCARD_THRESHOLD).select(
+            "id_a", "id_b"
+        )
     losers = (
         dedup.connected_components(edges)
         .filter(F.col("u") != F.col("label"))
@@ -921,6 +988,39 @@ def q_pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").alias("batch_tokens"),
         )
     )
+
+
+@register("pipeline_training_batches", _PIPE_HEAD + _PIPE_EXACT_THR + _PIPE_TAIL)
+def q_pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep DAG as one query — what a user of
+    this engine actually ships: exact dedup (min-id survivor per md5) →
+    near-dup removal (exact-Jaccard pairs → connected components → drop
+    losers) → context-window chunking (32/16) → sharded sequence packing
+    into 1024-token batches → batch-level stats. Every stage is the
+    already-oracle-checked operator, composed; the DuckDB oracle replays
+    the identical DAG (recursive CTE for the components), so the full
+    pipeline is value-hash-verified end to end — not just its pieces.
+
+    Scale shape: one corpus scan feeds dedup and shingling; the only
+    data-sized shuffles are the fingerprint groupBy, the shingle
+    inverted-index join, and the per-shard packing window. This exact
+    variant is the sf0.01 oracle twin; ship
+    ``pipeline_training_batches_lsh`` at 100 TB."""
+    return _training_batches(spark, sf_dir, use_lsh=False)
+
+
+@register(
+    "pipeline_training_batches_lsh", _PIPE_HEAD + _pipe_lsh_thr() + _PIPE_TAIL
+)
+def q_pipeline_training_batches_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME training-batch DAG with the scale-path edge builder:
+    MinHash+LSH candidate pairs (banded equality join) verified by exact
+    jaccard, instead of the full shingle inverted-index self-join. This
+    is the variant to ship at 100 TB — the edge stage's join is on band
+    keys whose bucket sizes don't grow with corpus-frequent shingles.
+    Because banding joins on raw portable-hash values, the DuckDB oracle
+    replays it exactly: the full pipeline stays value-hash-verified."""
+    return _training_batches(spark, sf_dir, use_lsh=True)
 
 
 @register(
