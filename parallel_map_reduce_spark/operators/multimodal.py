@@ -7,10 +7,15 @@ Design for 100 TB media pipelines:
 - decode/feature-extract run as Arrow-batched `mapInPandas` over
   partition-local batches — each executor touches only its own payloads;
   nothing ever collects to the driver.
-- the decode kernels themselves are STUBBED here (no PIL/ffmpeg in this
-  container): `decode_image` raises NotImplementedError by default and
-  tests exercise the deterministic fake. The Spark-side plumbing —
-  schema, batching, partitioning, UDF signatures — is real and tested.
+- image decode is REAL at the container level: payloads built by
+  `documents_as_png_media` are spec-valid PNGs, and `decode_image`
+  parses dimensions from the actual PNG/JPEG/GIF/BMP bytes
+  (functions/imaging.py, stdlib struct) — an encode -> binary column ->
+  decode round trip with no faking, oracle-checked end to end
+  (`multimodal_real_decode`). Only full pixel-raster decode (and
+  audio/video codecs) still raises NotImplementedError — that genuinely
+  needs PIL/ffmpeg, which this container lacks; `fake_decode` remains
+  for those kinds.
 """
 
 from __future__ import annotations
@@ -70,13 +75,24 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decoder stub — the image libraries are not in this container.
+    """REAL image decode from bytes: dimensions parsed out of the actual
+    PNG/JPEG/GIF/BMP container structure (functions/imaging.py, stdlib
+    struct parsing — no PIL needed for header-level decode).
 
-    At deploy time replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+    Full pixel-raster decode is the only part still stubbed: that needs
+    an image library this container doesn't have, and raises
+    NotImplementedError so the gap is explicit rather than faked.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; use fake_decode for testing"
-    )
+    from parallel_map_reduce_spark.functions.imaging import image_dims
+
+    dims = image_dims(payload)
+    if dims is None:
+        raise NotImplementedError(
+            "payload is not a recognized image container (PNG/JPEG/GIF/BMP); "
+            "full raster decode of other formats requires PIL/opencv"
+        )
+    _, w, h = dims
+    return (w, h)
 
 
 def _dims_from_hex(h: str, kind: str) -> tuple[int, int, int]:
@@ -90,6 +106,54 @@ def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     """Deterministic fake decode: (width, height, n_frames) derived from a
     content hash — stable across runs/engines, shaped like real metadata."""
     return _dims_from_hex(hashlib.md5(payload or b"").hexdigest(), kind)
+
+
+def documents_as_png_media(docs: DataFrame) -> DataFrame:
+    """Adapter: REAL spec-valid PNG payloads, deterministically derived
+    from each document (dims from the text's md5; pixels a cheap
+    deterministic gradient). Unlike documents_as_media (opaque text
+    bytes + fake decode), the payloads here are actual images, so the
+    decode stage downstream parses real container bytes — an end-to-end
+    encode -> binary column -> decode round trip with no faking.
+
+    Runs as mapInPandas: PNG encoding is per-row Python (zlib), executor-
+    local, Arrow-batched — the exact shape a real media ingest has.
+    """
+    from parallel_map_reduce_spark.functions.imaging import png_encode_gray
+
+    src = docs.select("doc_id", "text", "source")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5((text or "").encode()).hexdigest()
+                w = 1 + int(h[:4], 16) % 64
+                ht = 1 + int(h[4:8], 16) % 64
+                row = bytes((x * 7 + int(h[:2], 16)) % 256 for x in range(w))
+                payloads.append(png_encode_gray(w, ht, row * ht))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    out = src.mapInPandas(
+        batches, schema="media_id long, kind string, payload binary, source string"
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("source").alias("source"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+        ).alias("meta"),
+    )
 
 
 def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
@@ -112,7 +176,9 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                 # feature_hash (the content fingerprint IS the md5)
                 hexes = [hashlib.md5(d).hexdigest() for d in data]
                 dims = [_dims_from_hex(h, k) for h, k in zip(hexes, kinds)]
-            else:  # pragma: no cover - requires real decoders
+            else:
+                # REAL decode: dimensions parsed from the payload's
+                # actual container bytes (PNG/JPEG/GIF/BMP headers)
                 hexes = [hashlib.md5(d).hexdigest() for d in data]
                 dims = [(*decode_image(d), 1) for d in data]
             yield pd.DataFrame(

@@ -547,6 +547,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_decode",
+    """
+SELECT doc_id AS media_id,
+       CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS INTEGER) AS width,
+       CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS INTEGER) AS height
+FROM documents
+""",
+)
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end to end: each document is
+    encoded as a spec-valid grayscale PNG (functions/imaging.py, zlib +
+    CRC chunks), shipped through a binary column, and the feature stage
+    parses width/height back out of the actual PNG header bytes — no
+    fake decoder anywhere in this path. The oracle recomputes the
+    expected dimensions from the same md5-derived formula the encoder
+    used, so a hash match proves the byte-level encode->decode round
+    trip, not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(docs)
+    feats = multimodal.extract_features(media, use_fake_decoder=False)
+    return feats.select("media_id", "width", "height")
+
+
+@register(
     "multimodal_frame_samples",
     _MEDIA_CTE
     + """
