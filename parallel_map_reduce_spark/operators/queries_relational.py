@@ -469,7 +469,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_value
 FROM events
 """,
@@ -495,8 +495,8 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT * FROM (
   SELECT event_id, user_id,
-         ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
-         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS delta_prev,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
   FROM events
 ) t WHERE gap_us IS NOT NULL
 """,
@@ -1547,7 +1547,7 @@ SELECT user_id, event_id, event_type, ts
 FROM (
     SELECT user_id, event_id, event_type, ts,
            row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts DESC, event_id DESC) AS rn
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
     FROM events
 ) t
 WHERE rn = 1

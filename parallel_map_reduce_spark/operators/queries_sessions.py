@@ -30,7 +30,7 @@ WITH marked AS (
                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 sess AS (
   SELECT *, CAST(SUM(is_new) OVER (

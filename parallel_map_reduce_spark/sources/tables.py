@@ -53,12 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every table at sf_dir and register each as a temp view."""
+    """Load every table at sf_dir and register each as a temp view.
+
+    Routes through :func:`load_table` so per-table special cases (the
+    events TIMESTAMP(NANOS) → microsecond conversion) apply uniformly —
+    a view registered here has the same schema every other consumer sees.
+    """
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

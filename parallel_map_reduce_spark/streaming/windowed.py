@@ -72,12 +72,22 @@ def tumbling_counts(
     Identical expression tree to the batch query
     queries_relational.q_events_tumbling — only the source differs.
     """
+    # Group by the window STRUCT (not window.start): the struct carries the
+    # event-time metadata the watermark attaches to, so append mode can
+    # finalize and evict closed windows. Projecting .start inside groupBy
+    # severs that linkage and forces complete-mode-only execution.
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_size).start.alias("window_start"), "event_type")
+        .groupBy(F.window("ts", window_size), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -91,11 +101,13 @@ def sliding_means(
     """Sliding-window mean value per event_type (overlapping windows)."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", window_size, slide).start.alias("window_start"),
-            "event_type",
-        )
+        .groupBy(F.window("ts", window_size, slide), "event_type")
         .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+        )
     )
 
 
@@ -296,8 +308,15 @@ def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     State = one entry per event_id seen within the watermark; the
     watermark bounds it — state for ids older than the horizon is
     evicted, so memory is O(events per horizon), not O(stream length).
+
+    dropDuplicatesWithinWatermark (not plain dropDuplicates) is what
+    delivers that bound: with dropDuplicates the event-time column would
+    have to be part of the dedup key for state to evict, and event_id
+    alone would keep state forever.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def running_user_totals_tws(events: DataFrame) -> DataFrame:

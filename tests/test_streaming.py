@@ -314,3 +314,56 @@ def test_transform_with_state_matches_legacy_stateful_op(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_tumbling_counts_runs_in_append_mode(spark, tmp_path):
+    """The watermark must actually attach to the tumbling aggregation:
+    grouping by the window STRUCT (not window.start) is what lets append
+    mode finalize closed windows. Before the fix this raised
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; now closed windows are
+    emitted and the open tail window is withheld."""
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+    shutil.copy(src, stage / "a.parquet")
+    # second identical file: its rows re-advance the watermark so every
+    # window strictly below (max_ts - 2h) is guaranteed closed
+    shutil.copy(src, stage / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(windowed.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    stream = windowed.tumbling_counts(raw)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_tumbling_append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = _collect_memory(spark, "t_tumbling_append")
+    assert rows, "append mode must emit finalized (closed) windows"
+    ev = load_table(spark, SF, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # append emits only windows whose end <= watermark (max_ts - 2h);
+    # doubled input => every count is exactly 2x the batch count
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        )
+    }
+    for r in rows:
+        assert r["window_start"] < max_ts, "open tail window must be withheld"
+        assert r["n_events"] == 2 * batch[(r["window_start"], r["event_type"])]
