@@ -35,19 +35,29 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (parquet) from a scale-factor directory.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read it as long nanoseconds
-    (`spark.sql.legacy.parquet.nanosAsLong` — a dynamic SQLConf, so this
-    works in any caller's session) and floor-divide to microsecond
-    timestamps, Spark's native precision. Sub-microsecond ordering is
-    preserved for analytics by tie-breaking on event_id.
+    `events.ts` has shipped in two parquet encodings across test-data
+    generations, and we normalize both to session-zone TIMESTAMP (µs):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read as
+      long nanoseconds (`spark.sql.legacy.parquet.nanosAsLong` — a dynamic
+      SQLConf, works in any caller's session) and floor-divide to
+      microsecond timestamps. Sub-microsecond ordering is preserved for
+      analytics by tie-breaking on event_id.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+      TIMESTAMP_NTZ, which instant functions (`unix_micros`, `window`)
+      reject. The session timezone is pinned to UTC (session.py), so a
+      cast to TIMESTAMP reinterprets the naive wall clock as UTC —
+      exactly how the DuckDB oracle treats the same bytes.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -27,16 +27,17 @@ from pyspark.sql import types as T
 
 # Events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as long
 # nanoseconds, same trick as sources/tables.py, then converted).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanoseconds
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,6 +47,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's file source requires a DIRECTORY; the testdata ships a single
     read-only file, so we stage a symlink dir under /tmp (file content is
     never copied).
+
+    The events file has shipped as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS, naive) across test-data generations; a one-row batch
+    probe of the footer decides which readStream schema + normalization to
+    use (streams need an explicit schema, so we cannot let inference pick).
+    Both normalize to session-zone TIMESTAMP at µs, same as the batch path
+    (sources/tables.load_table).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
@@ -56,12 +64,32 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(stage)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_events_dir(spark, stage, probe_path=src)
+
+
+def stream_events_dir(
+    spark: SparkSession,
+    stage_dir: str,
+    probe_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Raw event stream over a directory of events parquet files with ts
+    normalized to session-zone TIMESTAMP (µs). `probe_path` is one file of
+    the directory used for the batch footer probe (defaults to the
+    directory itself)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = dict(spark.read.parquet(probe_path or stage_dir).dtypes).get("ts")
+    if probed == "bigint":  # TIMESTAMP(NANOS) read as long ns
+        schema, norm = T.LongType(), lambda c: F.timestamp_micros(
+            F.expr("ts div 1000")
+        )
+    else:  # TIMESTAMP(MICROS, naive) → TIMESTAMP_NTZ
+        schema, norm = T.TimestampNTZType(), lambda c: c.cast("timestamp")
+    reader = spark.readStream.schema(_events_raw_schema(schema))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.format("parquet").load(stage_dir)
+    return raw.withColumn("ts", norm(F.col("ts")))
 
 
 def tumbling_counts(

@@ -240,13 +240,7 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
     shutil.copy(src, stage / "a.parquet")
     shutil.copy(src, stage / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(windowed.EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = windowed.stream_events_dir(spark, str(stage))
     counted = windowed.deduped_events(raw).groupBy().agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -332,14 +326,7 @@ def test_tumbling_counts_runs_in_append_mode(spark, tmp_path):
     # window strictly below (max_ts - 2h) is guaranteed closed
     shutil.copy(src, stage / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(windowed.EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = windowed.stream_events_dir(spark, str(stage), max_files_per_trigger=1)
     stream = windowed.tumbling_counts(raw)
     q = (
         stream.writeStream.outputMode("append")
