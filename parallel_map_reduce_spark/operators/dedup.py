@@ -357,20 +357,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Term-frequency-weighted: every token occurrence votes +1/-1 per bit of
     its 60-bit content hash; the signature bit is 1 where the vote sum is
-    ≥ 0. Entirely JVM-side: explode + 60 conditional-sum aggregations in
-    one hash-agg pass (one shuffle on id).
+    ≥ 0. Entirely JVM-side, two hash-agg passes:
+
+    1. term frequencies per (id, token) — a cheap count agg whose map-side
+       combine collapses repeated tokens before any wide computation;
+    2. the 60 conditional sums, weighted by tf — now over distinct
+       (id, token) rows only, so the 60-expression row cost and the
+       per-row 60-bit hash are paid once per distinct term instead of
+       once per occurrence (natural text repeats terms heavily).
+
+    Both aggs partially aggregate map-side, so shuffle volume stays
+    ~vocabulary-sized per partition regardless of corpus size.
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     h = hash64(F.col("tok"), seed=0)
+    cnt = F.col("tf")
     votes = [
         F.sum(
-            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, cnt).otherwise(
+                -cnt
+            )
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    voted = tok.groupBy(id_col).agg(*votes)
+    voted = tf.groupBy(id_col).agg(*votes)
     sig = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
