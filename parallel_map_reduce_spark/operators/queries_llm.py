@@ -226,6 +226,39 @@ def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_pairs_prefix",
+    _SHINGLES_CTE
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact jaccard via prefix filtering (AllPairs, Bayardo et al.
+    WWW'07): joins only each document's rarest ``n - ceil(t*n) + 1``
+    shingles, then verifies candidates against full shingle sets. Output
+    is IDENTICAL to ngram_jaccard_pairs — same oracle SQL — but the plan
+    never fans out on Zipfian head shingles, making it the 100 TB form
+    of the exact tier (the naive self-join stays the default because it
+    wins at bounded shingle frequency, like this sandbox's corpora).
+    """
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (full oracle via generated 60-bit SQL)
 # ---------------------------------------------------------------------------

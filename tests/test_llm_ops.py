@@ -120,6 +120,51 @@ def test_simhash_block_pairs_equal_all_pairs(spark, docs):
     assert exact  # sf0.01 documents contain near-dups; empty = broken test
 
 
+def test_prefix_filtered_pairs_equal_naive(spark, docs):
+    """Prefix filtering (AllPairs) is lossless: joining only each doc's
+    rarest n - ceil(t*n) + 1 shingles plus exact verify must return
+    EXACTLY the naive self-join's (id_a, id_b, jaccard) set — at two
+    thresholds, so both heavy (t=0.5) and light (t=0.2) pruning paths
+    are exercised."""
+    for t in (0.5, 0.2):
+        naive = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        prefix = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert prefix == naive, f"t={t}"
+    assert naive  # sf corpus plants near-dups; empty = broken test
+
+
+def test_prefix_filter_excludes_hot_shingles_from_join(spark):
+    """The ranking must push corpus-frequent shingles out of the joined
+    prefix: docs overlapping ONLY via boilerplate that fills their
+    suffixes still pair correctly (completeness), and a doc's prefix is
+    strictly smaller than its shingle set when t > 0."""
+    boiler = "common license header text always present"
+    rows = [
+        Row(doc_id=i, text=f"u{i}a u{i}b u{i}c {boiler}") for i in range(6)
+    ]
+    rows += [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs_prefix(df, threshold=0.2).collect()
+    }
+    assert prefix == naive
+    assert (100, 101) in prefix
+
+
 def test_df_cap_identity_when_cap_not_hit(spark, docs):
     """With a cap above the corpus's max shingle DF, the capped tier is
     exactly the uncapped tier (cap only ever REMOVES hot shingles)."""
