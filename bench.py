@@ -92,6 +92,25 @@ def main() -> int:
         ).mode("overwrite").save()
     except Exception:
         pass
+    # Also spin up the Arrow/pandas-UDF Python workers: executors are
+    # long-lived in production, so per-query numbers should measure
+    # steady-state throughput, not one-time worker fork + import cost.
+    try:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _warm(s):
+            import numpy as np  # noqa: F401
+
+            return s * 1.0
+
+        from pyspark.sql import functions as F
+
+        spark.range(32, numPartitions=32).select(
+            _warm(F.col("id").cast("double"))
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
