@@ -30,14 +30,78 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# The driver's correctness check covers the FIRST 50 registry entries per
+# round.  Rounds 1-2 covered the flagship + relational core (81 distinct
+# names); this window lists every query that has never had a driver
+# CORRECTNESS row, plus the r1-red queries whose fixes landed in r2 but
+# never re-entered the window, plus round-3-new queries.  Names not listed
+# keep registration order after these.  (VERDICT.md round 2, item 1.)
+_PRIORITY: list[str] = [
+    # round-3 new: streaming engine + LSH component twins
+    "streaming_tumbling_counts",
+    "dedup_group_assignment_lsh",
+    "dedup_keep_corpus_lsh",
+    # never driver-checked: UDF / sessions / temporal / SQL-interface
+    "udaf_geomean_price",
+    "grouped_zscore_events",
+    "udtf_token_lengths",
+    "events_sessionization",
+    "events_session_windows",
+    "funnel_conversion",
+    "cohort_retention",
+    "asof_join_purchase_to_view",
+    "interval_join_event_pairs",
+    "sql_interface_q6",
+    "sql_interface_segments",
+    # never driver-checked: r2 scale tiers
+    "ngram_jaccard_pairs_capped",
+    "ngram_jaccard_pairs_prefix",
+    "simhash_block_near_pairs",
+    "embedding_near_dup_lsh",
+    "multimodal_real_decode",
+    "pipeline_training_batches_lsh",
+    # never driver-checked: relational stragglers
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "window_ntile_quartiles",
+    "window_time_range_sum",
+    "stats_aggregates",
+    "latest_event_per_user",
+    "daily_revenue_gapfill",
+    "hll_mergeable_daily_users",
+    "events_variant_extract",
+    # r1-red fixes from r2 that never re-entered the window
+    "pipeline_clean_corpus",
+    "dataset_split_assignment",
+    "pack_batches_by_budget",
+    "pipeline_training_batches",
+    "inverted_index_postings",
+    "minhash_lsh_dedup_pairs",
+    # remaining slots: keep the flagship + heaviest relational anchors green
+    "wordcount",
+    "wordcount_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    head = {n: d[n] for n in _PRIORITY if n in d}
+    tail = {n: v for n, v in d.items() if n not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return dict(_QUERIES)
+    return _prioritized(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _prioritized(_ORACLES)
 
 
 _LOADED = False
