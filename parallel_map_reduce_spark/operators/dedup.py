@@ -226,11 +226,15 @@ def minhash_lsh_dedup_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
+    # Threshold on the UNROUNDED jaccard (rounding is display-only): a pair
+    # with true j in [t-5e-5, t) must NOT pass, and the DuckDB oracle
+    # filters the raw value, so filtering the rounded one would disagree
+    # at the boundary.
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -272,12 +276,37 @@ def _jaccard_pairs_from_index(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Filter on the UNROUNDED jaccard and round only the output column:
+    # both Spark tiers and the DuckDB oracle must agree at the threshold
+    # boundary (a 9999-in-20000 containment at t=0.5 gives j=0.49995,
+    # which rounds UP to 0.5 — filtering the rounded value would emit it
+    # while the oracle and the prefix twin's size-ratio prune drop it).
     return (
         pairs.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
+        .filter(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ranked_shingle_index(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) index ranked for prefix filtering: each document's
+    shingles ordered by (corpus document frequency asc, shingle asc) — one
+    deterministic global total order — with per-doc rank ``_rn`` and size
+    ``n_sh``. The prefix tier joins only rows with
+    ``_rn <= n_sh - ceil(t*n_sh) + 1``; exposed so tests can assert the
+    exclusion property (hot shingles rank last, outside every prefix)."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    wn = Window.partitionBy(id_col)
+    return sh.join(dfreq, "shingle").select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("n_sh"),
     )
 
 
@@ -306,17 +335,7 @@ def _jaccard_pairs_prefix_filtered(
     always measured in the universe the index actually contains (matters
     for the DF-capped variant).
     """
-    from pyspark.sql import Window
-
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
-    wn = Window.partitionBy(id_col)
-    ranked = sh.join(dfreq, "shingle").select(
-        F.col(id_col),
-        F.col("shingle"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wn).alias("n_sh"),
-    )
+    ranked = ranked_shingle_index(sh, id_col)
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
@@ -345,11 +364,15 @@ def _jaccard_pairs_prefix_filtered(
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    # Unrounded threshold filter (see _jaccard_pairs_from_index): keeps the
+    # prefix tier's documented IDENTICAL-output contract exact even for
+    # pairs whose true jaccard rounds up across the threshold.
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .withColumn("jaccard", F.round(jac, 4))
         .select("id_a", "id_b", "jaccard")
     )
 

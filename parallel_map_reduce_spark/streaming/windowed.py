@@ -79,17 +79,25 @@ def stream_events_dir(
     directory itself)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = dict(spark.read.parquet(probe_path or stage_dir).dtypes).get("ts")
+    # Mirror tables.load_table's three-way branch exactly: a stream schema
+    # that mismatches the parquet physical type either errors or silently
+    # reinterprets, so each encoding gets its own (schema, normalize) pair.
+    # `norm` takes the column NAME so integer `div` stays exact (float
+    # division on ns-epoch longs exceeds double's 2^53 mantissa).
     if probed == "bigint":  # TIMESTAMP(NANOS) read as long ns
-        schema, norm = T.LongType(), lambda c: F.timestamp_micros(
-            F.expr("ts div 1000")
-        )
-    else:  # TIMESTAMP(MICROS, naive) → TIMESTAMP_NTZ
-        schema, norm = T.TimestampNTZType(), lambda c: c.cast("timestamp")
+        schema = T.LongType()
+        norm = lambda name: F.timestamp_micros(F.expr(f"{name} div 1000"))
+    elif probed == "timestamp_ntz":  # TIMESTAMP(MICROS, naive)
+        schema = T.TimestampNTZType()
+        norm = lambda name: F.col(name).cast("timestamp")
+    else:  # TIMESTAMP(MICROS, isAdjustedToUTC=true) — already instant µs
+        schema = T.TimestampType()
+        norm = F.col
     reader = spark.readStream.schema(_events_raw_schema(schema))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.format("parquet").load(stage_dir)
-    return raw.withColumn("ts", norm(F.col("ts")))
+    return raw.withColumn("ts", norm("ts"))
 
 
 def tumbling_counts(

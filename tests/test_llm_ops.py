@@ -2,6 +2,8 @@
 multimodal plumbing. The deterministic cores are oracle-checked by the
 driver; these tests cover the approximate/engine-side behavior."""
 
+import math
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -143,7 +145,7 @@ def test_prefix_filter_excludes_hot_shingles_from_join(spark):
     """The ranking must push corpus-frequent shingles out of the joined
     prefix: docs overlapping ONLY via boilerplate that fills their
     suffixes still pair correctly (completeness), and a doc's prefix is
-    strictly smaller than its shingle set when t > 0."""
+    strictly smaller than its shingle set whenever ceil(t*n_sh) > 1."""
     boiler = "common license header text always present"
     rows = [
         Row(doc_id=i, text=f"u{i}a u{i}b u{i}c {boiler}") for i in range(6)
@@ -163,6 +165,30 @@ def test_prefix_filter_excludes_hot_shingles_from_join(spark):
     }
     assert prefix == naive
     assert (100, 101) in prefix
+    # The exclusion property itself: each doc's joined prefix has exactly
+    # n_sh - ceil(t*n_sh) + 1 shingles, which is a STRICT subset whenever
+    # ceil(t*n_sh) > 1 (the boiler docs here: 7 shingles → prefix 6, so
+    # their hottest shingle — boilerplate, df-ranked last — never joins).
+    t = 0.2
+    ranked = dedup.ranked_shingle_index(dedup.explode_shingles(df))
+    sizes = {
+        r["doc_id"]: (r["n_prefix"], r["n_sh"])
+        for r in ranked.groupBy("doc_id", "n_sh")
+        .agg(
+            F.sum(
+                (
+                    F.col("_rn")
+                    <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1
+                ).cast("long")
+            ).alias("n_prefix")
+        )
+        .collect()
+    }
+    assert sizes
+    for n_prefix, n_sh in sizes.values():
+        assert n_prefix == n_sh - math.ceil(t * n_sh) + 1
+    shrunk = [v for v in sizes.values() if math.ceil(t * v[1]) > 1]
+    assert shrunk and all(n_prefix < n_sh for n_prefix, n_sh in shrunk)
 
 
 def test_df_cap_identity_when_cap_not_hit(spark, docs):
