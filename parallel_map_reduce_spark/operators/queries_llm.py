@@ -834,61 +834,63 @@ def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_group_assignment",
-    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
+# Component-formation oracles, built from shared pieces so the exact and
+# MinHash-LSH edge-builder variants replay the same DAG and differ ONLY
+# in the `thr` (edge list) CTE — the same structure the training-batch
+# pipeline below uses.
+
+_COMP_PAIRS = """,
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shingles a JOIN shingles b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+_COMP_THR_EXACT = f""",
 thr AS (
   SELECT id_a, id_b FROM pairs
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _comp_thr_lsh() -> str:
+    """LSH edge-list CTE: banded signature match gates the exact verify —
+    deterministic (raw portable-hash band values), so fully oracled."""
+    mins = ",\n       ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(NUM_MINHASHES))
+    )
+    return f""",
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+sigs AS (SELECT doc_id,
+       {mins}
+FROM hashed GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_band_match_sql()})
 ),
+thr AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+_COMP_GROUP_TAIL = """,
 sym AS (SELECT id_a AS u, id_b AS v FROM thr
         UNION ALL SELECT id_b, id_a FROM thr),
 reach AS (SELECT u, v FROM sym
           UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u
-""",
-)
-def q_dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup group formation: exact-Jaccard pairs -> connected
-    components -> (doc_id, canonical group id). The step that turns a
-    pair list into the keep/drop decision of a dedup pipeline. The
-    DuckDB oracle computes the same components with a recursive CTE —
-    the iterative Spark fixpoint and the SQL recursion must agree
-    exactly."""
-    edges = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
-    ).select("id_a", "id_b")
-    comp = dedup.connected_components(edges)
-    return comp.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
+"""
 
-
-@register(
-    "dedup_keep_corpus",
-    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT id_a, id_b FROM pairs
-  JOIN sizes sa ON id_a = sa.doc_id
-  JOIN sizes sb ON id_b = sb.doc_id
-  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
-),
+_COMP_KEEP_TAIL = """,
 sym AS (SELECT id_a AS u, id_b AS v FROM thr
         UNION ALL SELECT id_b, id_a FROM thr),
 reach AS (SELECT u, v FROM sym
@@ -897,26 +899,107 @@ comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
-""",
-)
-def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's final answer: the corpus with near-dup
-    losers removed — every document either untouched by any pair or the
-    canonical (min-id) member of its component. Composes the pair
-    generator and connected components, then one anti join against the
-    loser set (tiny relative to the corpus, so it broadcasts)."""
+"""
+
+_COMP_RECURSIVE_HEAD = _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _near_dup_edges(docs: DataFrame, edge_builder: str) -> DataFrame:
+    """(id_a, id_b) near-dup edge list under the chosen strategy.
+
+    ``exact``  — shingle inverted-index self-join (f² fan-out on hot
+                 shingles; the sandbox-scale oracle twin).
+    ``lsh``    — MinHash banding gates an exact verify (the 100 TB ship
+                 path: join keys are band values, not raw shingles).
+    ``prefix`` — AllPairs prefix filtering (exact output, hot shingles
+                 never join; the 100 TB form of the exact tier).
+    """
+    if edge_builder == "lsh":
+        pairs = dedup.minhash_lsh_dedup_pairs(
+            docs, num_hashes=NUM_MINHASHES, threshold=JACCARD_THRESHOLD
+        )
+    elif edge_builder == "prefix":
+        pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=JACCARD_THRESHOLD)
+    elif edge_builder == "exact":
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    else:
+        raise ValueError(f"unknown edge_builder: {edge_builder!r}")
+    return pairs.select("id_a", "id_b")
+
+
+def _dedup_group_assignment(
+    spark: SparkSession, sf_dir: str, edge_builder: str
+) -> DataFrame:
+    edges = _near_dup_edges(load_table(spark, sf_dir, "documents"), edge_builder)
+    comp = dedup.connected_components(edges)
+    return comp.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def _dedup_keep_corpus(
+    spark: SparkSession, sf_dir: str, edge_builder: str
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
-    )
     losers = (
-        dedup.connected_components(edges)
+        dedup.connected_components(_near_dup_edges(docs, edge_builder))
         .filter(F.col("u") != F.col("label"))
         .select(F.col("u").alias("doc_id"))
     )
     return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "dedup_group_assignment",
+    _COMP_RECURSIVE_HEAD + _COMP_PAIRS + _COMP_THR_EXACT + _COMP_GROUP_TAIL,
+)
+def q_dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group formation: exact-Jaccard pairs -> connected
+    components -> (doc_id, canonical group id). The step that turns a
+    pair list into the keep/drop decision of a dedup pipeline. The
+    DuckDB oracle computes the same components with a recursive CTE —
+    the iterative Spark fixpoint and the SQL recursion must agree
+    exactly. Oracle twin; ship ``dedup_group_assignment_lsh`` at
+    100 TB."""
+    return _dedup_group_assignment(spark, sf_dir, edge_builder="exact")
+
+
+@register(
+    "dedup_group_assignment_lsh",
+    _COMP_RECURSIVE_HEAD + _COMP_PAIRS + _comp_thr_lsh() + _COMP_GROUP_TAIL,
+)
+def q_dedup_group_assignment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group formation with the scale-path edge builder: MinHash+LSH
+    candidates verified by exact jaccard feed the same connected
+    components. The banding join never fans out on corpus-frequent
+    shingles, so this is the variant to run at 100 TB. Banding joins on
+    raw portable-hash values, so the DuckDB oracle replays the edge list
+    exactly and the component labels stay value-hash-verified."""
+    return _dedup_group_assignment(spark, sf_dir, edge_builder="lsh")
+
+
+@register(
+    "dedup_keep_corpus",
+    _COMP_RECURSIVE_HEAD + _COMP_PAIRS + _COMP_THR_EXACT + _COMP_KEEP_TAIL,
+)
+def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final answer: the corpus with near-dup
+    losers removed — every document either untouched by any pair or the
+    canonical (min-id) member of its component. Composes the pair
+    generator and connected components, then one anti join against the
+    loser set (tiny relative to the corpus, so it broadcasts). Oracle
+    twin; ship ``dedup_keep_corpus_lsh`` at 100 TB."""
+    return _dedup_keep_corpus(spark, sf_dir, edge_builder="exact")
+
+
+@register(
+    "dedup_keep_corpus_lsh",
+    _COMP_RECURSIVE_HEAD + _COMP_PAIRS + _comp_thr_lsh() + _COMP_KEEP_TAIL,
+)
+def q_dedup_keep_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-corpus with the MinHash-LSH edge builder — the 100 TB ship
+    path for the final dedup answer (see dedup_group_assignment_lsh)."""
+    return _dedup_keep_corpus(spark, sf_dir, edge_builder="lsh")
 
 
 # The training-batch pipeline oracle, built from shared pieces so the
