@@ -122,5 +122,6 @@ def _load_all() -> None:
     from parallel_map_reduce_spark.operators import queries_temporal  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_sql  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_llm  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_streaming  # noqa: F401
 
     _LOADED = True
