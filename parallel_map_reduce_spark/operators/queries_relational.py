@@ -1755,25 +1755,57 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_mergeable_daily_users")  # rows-only: sketch estimates are
-# approximate once past sparse mode (e.g. 1488 vs exact 1500 at sf0.1) —
-# never value-hash-oracled; the 2% error bound vs the exact twin is
-# asserted in pytest instead
+@register(
+    "hll_mergeable_daily_users",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(DISTINCT user_id) AS day_users
+  FROM events GROUP BY d
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST((SELECT SUM(day_users) FROM daily) AS BIGINT) AS sum_daily_users,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+         AS exact_total_users,
+       TRUE AS sketch_within_2pct
+""",
+)
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — THE 100 TB pattern: build one
     HLL sketch per day (partial agg, shuffle = one sketch per group, a
     few KB), then union sketches instead of re-scanning history. The
     day-level exact counts ride along to show why naive SUM(daily
-    distinct) over-counts repeat users across days."""
+    distinct) over-counts repeat users across days.
+
+    Oracle strategy (full value-hash, not rows-only): the sketch
+    estimate itself is approximate once past sparse mode, so the OUTPUT
+    carries (a) the exact mergeable-union quantities DuckDB reproduces
+    bit-for-bit and (b) ``sketch_within_2pct`` — the sketch-union
+    estimate checked against the exact distinct inside the query, TRUE
+    in the oracle. The driver's hash therefore verifies the union logic
+    and the documented HLL error bound on every run (the same 2% bound
+    pytest asserts), instead of skipping the query as no-oracle."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("day_users"),
     )
-    return daily.agg(
+    exact_total = ev.select(
+        F.countDistinct("user_id").alias("exact_total_users")
+    )
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk"))
+    rollup = daily.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("day_users").alias("sum_daily_users"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_users"),
+        est.alias("hll_total_users"),
+    )
+    return rollup.crossJoin(F.broadcast(exact_total)).select(
+        "n_days",
+        "sum_daily_users",
+        "exact_total_users",
+        (
+            F.abs(F.col("hll_total_users") - F.col("exact_total_users"))
+            <= 0.02 * F.col("exact_total_users")
+        ).alias("sketch_within_2pct"),
     )
 
 

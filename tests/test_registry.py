@@ -56,6 +56,15 @@ def test_survey_implementation_map_is_in_sync():
         f"SURVEY says {m.group(2)} oracles, registry has {len(oracles)}"
     )
 
+    # README's headline count drifts silently if hand-edited (recurred in
+    # rounds 1-2) — derive the check from the live registry too.
+    readme = open("/root/repo/README.md").read()
+    rm = re.search(r"Query surface \((\d+) registered", readme)
+    assert rm, "README.md query-surface count line missing"
+    assert int(rm.group(1)) == len(qs), (
+        f"README says {rm.group(1)} queries, registry has {len(qs)}"
+    )
+
     sec8 = text[text.index("## 8."):]
     # names may be cited individually or collapsed like `tpch_q3/q5/q7`
     mentioned = set(re.findall(r"[A-Za-z0-9_]+", sec8))
