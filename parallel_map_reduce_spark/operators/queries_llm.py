@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.functions.hashing import (
+    hash64,
     hash64_sql,
     universal_hash_sql,
     universal_params,
@@ -1372,3 +1373,182 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: semantic dedup, benchmark decontamination, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_keep(
+    spark: SparkSession, sf_dir: str, edge_builder: str
+) -> DataFrame:
+    """Kept corpus after embedding-cosine (semantic) dedup under the
+    chosen edge builder: ``exact`` = all-pairs cosine (oracle twin),
+    ``ann`` = hyperplane-LSH buckets with the in-bucket cosine kernel
+    (the 100 TB path; candidate set is a verified SUBSET of exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if edge_builder == "ann":
+        pairs = similarity.embedding_near_dup_lsh(
+            emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
+        )
+    elif edge_builder == "exact":
+        pairs = similarity.embedding_near_dup_pairs(
+            emb, threshold=EMBED_DUP_THRESHOLD
+        )
+    else:
+        raise ValueError(f"unknown edge_builder: {edge_builder!r}")
+    losers = (
+        dedup.connected_components(pairs.select("id_a", "id_b"))
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "semantic_dedup_keep_corpus",
+    f"""
+WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+thr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
+)"""
+    + _COMP_KEEP_TAIL,
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs →
+    connected components → keep the min-id representative of each
+    cluster (ABBAS et al. 2023's pipeline shape, over the embeddings
+    table whose vec_id aligns with documents.doc_id). This exact-edge
+    registration is the sandbox-scale oracle twin — the recursive-CTE
+    oracle replays components over the same all-pairs cosine edges; ship
+    ``semantic_dedup_keep_corpus_ann`` at 100 TB."""
+    return _semantic_dedup_keep(spark, sf_dir, edge_builder="exact")
+
+
+@register("semantic_dedup_keep_corpus_ann")  # rows-only: LSH bucketing is
+# approximate (recall bounded in pytest; keep-set ⊇ exact twin's asserted)
+def q_semantic_dedup_keep_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with the scale-path edge builder: sign-pattern LSH
+    buckets + per-bucket Gram-matrix cosine kernel (Σ|bucket|² work, not
+    corpus²). Missing an edge can only SPLIT a component — never merge
+    one — so the kept set provably contains the exact twin's kept set;
+    pytest asserts that containment plus the edge recall bound."""
+    return _semantic_dedup_keep(spark, sf_dir, edge_builder="ann")
+
+
+# Decontamination eval set: every 50th doc stands in for a benchmark
+# suite; contamination = >= 20% of a training doc's shingles appear in
+# ANY eval doc (integer-exact 1/5 threshold, no float boundary).
+_DECON_EVAL_MOD = 50
+
+
+@register(
+    "decontaminate_corpus",
+    _SHINGLES_CTE
+    + f""",
+eval_sh AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % {_DECON_EVAL_MOD} <> 0)
+SELECT t.doc_id,
+       COUNT(*) AS n_sh,
+       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) * 5 >= COUNT(*)
+         AS contaminated
+FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+GROUP BY t.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the overlap check every training-data
+    pipeline runs before shipping a corpus: flag training documents
+    whose 3-gram shingles overlap an evaluation set (here: every 50th
+    doc stands in for the benchmark suite). A doc is contaminated when
+    ≥20% of its distinct shingles appear in any eval doc; the threshold
+    compares ``n_shared*5 >= n_sh`` so both engines decide with integer
+    arithmetic (no float boundary).
+
+    Scale posture: THE decontamination shape at 100 TB — the eval
+    shingle set is tiny and broadcasts (benchmarks are MBs; the corpus
+    is TBs), so the training side is never shuffled at all: one scan,
+    map-side hash probe, per-doc partial agg. No inverted-index
+    self-join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.explode_shingles(docs)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_shared",
+            (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
+        )
+    )
+
+
+# Data-mixing sample rates per language (a tiny config, broadcast by
+# construction); thresholds are precomputed as integers against the
+# 60-bit portable hash so both engines compare exactly.
+_SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.1}
+_HASH_SPACE = 1 << 60
+_SAMPLE_SEED = 42
+
+
+def _sample_thresholds() -> dict[str, int]:
+    return {
+        lang: int(rate * _HASH_SPACE) for lang, rate in _SAMPLE_RATES.items()
+    }
+
+
+def _sample_case_sql() -> str:
+    arms = "\n       ".join(
+        f"WHEN lang = '{lang}' THEN {thr}"
+        for lang, thr in _sample_thresholds().items()
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@register(
+    "stratified_sample_deterministic",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hash64_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)} < {_sample_case_sql()}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) Bernoulli sampling — the
+    data-mixing step that downsamples over-represented strata. Unlike
+    ``TABLESAMPLE``/``df.sample`` (partition-order-dependent), the keep
+    decision is ``portable_hash(doc_id) < rate * 2^60`` — a pure
+    function of the row, so the sample is reproducible across engines,
+    cluster sizes, and partitionings (and the DuckDB oracle verifies the
+    exact membership, not just the rate). One scan, no shuffle; the
+    rate table is a literal CASE so the probe is codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(0)
+    for lang, t in _sample_thresholds().items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    keep = hash64(F.col("doc_id").cast("string"), _SAMPLE_SEED) < thr
+    return docs.filter(keep).select("doc_id", "lang", "source")

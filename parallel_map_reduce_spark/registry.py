@@ -37,10 +37,14 @@ def register(name: str, sql: str | None = None):
 # never re-entered the window, plus round-3-new queries.  Names not listed
 # keep registration order after these.  (VERDICT.md round 2, item 1.)
 _PRIORITY: list[str] = [
-    # round-3 new: streaming engine + LSH component twins
+    # round-3 new: streaming engine, LSH component twins, curation ops
     "streaming_tumbling_counts",
     "dedup_group_assignment_lsh",
     "dedup_keep_corpus_lsh",
+    "semantic_dedup_keep_corpus",
+    "semantic_dedup_keep_corpus_ann",
+    "decontaminate_corpus",
+    "stratified_sample_deterministic",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",

@@ -470,3 +470,84 @@ def test_binary_file_source_reads_payload_bytes(spark):
     meta_only = read_binary_files(spark, "/root/reference/files", glob="small_*.txt")
     total = meta_only.select(F.sum("length").alias("n")).collect()[0]["n"]
     assert total == sum(os.path.getsize(p) for p in disk.values())
+
+
+def test_semantic_dedup_ann_keep_set_contains_exact(spark, docs):
+    """LSH edge recall < 1 can only SPLIT components (a missed edge never
+    merges two), so the ANN tier keeps a SUPERSET of the exact tier's
+    docs — the containment that makes rows-only driver checks safe."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        _semantic_dedup_keep,
+    )
+
+    exact = {
+        r["doc_id"] for r in _semantic_dedup_keep(spark, SF, "exact").collect()
+    }
+    ann = {r["doc_id"] for r in _semantic_dedup_keep(spark, SF, "ann").collect()}
+    assert exact, "corpus should contain semantic near-dups"
+    assert exact <= ann
+    # and the ANN tier must still drop MOST of what exact drops
+    n_docs = docs.count()
+    dropped_exact, dropped_ann = n_docs - len(exact), n_docs - len(ann)
+    assert dropped_ann >= 0.8 * dropped_exact
+
+
+def test_decontaminate_eval_docs_excluded_and_flags_consistent(spark):
+    """Eval docs never appear in the output; a fully-contained training
+    doc is flagged; a disjoint doc is not."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta epsilon"),  # eval (0 % 50)
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),  # fully shared
+        Row(doc_id=2, text="u2a u2b u2c u2d u2e"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    from parallel_map_reduce_spark.operators import queries_llm
+
+    sh = dedup.explode_shingles(df)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    out = {
+        r["doc_id"]: (r["n_shared"], r["n_sh"], r["contaminated"])
+        for r in train.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_shared",
+            (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
+        )
+        .collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][2] is True and out[1][0] == out[1][1]
+    assert out[2][2] is False and out[2][0] == 0
+
+
+def test_stratified_sample_deterministic_and_rate(spark, docs):
+    """Same rows on every run (pure function of doc_id), and the en-rate
+    lands near 0.5 (binomial tolerance at sf0.01's ~100 en docs)."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_stratified_sample,
+    )
+
+    s1 = {r["doc_id"] for r in q_stratified_sample(spark, SF).collect()}
+    s2 = {r["doc_id"] for r in q_stratified_sample(spark, SF).collect()}
+    assert s1 == s2 and s1
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = (
+        q_stratified_sample(spark, SF).filter(F.col("lang") == "en").count()
+    )
+    assert abs(en_kept / en_total - 0.5) < 0.2
