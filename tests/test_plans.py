@@ -233,3 +233,22 @@ def test_funnel_single_exchange_window_chain(spark):
     plan = plan_of(spark, "funnel_conversion", mode="simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination must probe a broadcast eval-shingle hash table —
+    a sort-merge join here would shuffle the whole training corpus on
+    the shingle key, the exact cost the operator exists to avoid."""
+    plan = plan_of(spark, "decontaminate_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_single_scan_no_shuffle(spark):
+    """Hash-gated sampling is a pure row predicate: one pruned parquet
+    scan, a codegen'd Filter, and NO Exchange — any shuffle would mean
+    the sample stopped being embarrassingly parallel."""
+    plan = plan_of(spark, "stratified_sample_deterministic")
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # pruning: never reads the payload
