@@ -66,6 +66,11 @@ HEADLINE = [
     "simhash_block_near_pairs",
     "ngram_jaccard_pairs_capped",
     "embedding_near_dup_lsh",
+    # round-3 breadth: curation ops + the streaming engine path
+    "semantic_dedup_keep_corpus_ann",
+    "decontaminate_corpus",
+    "stratified_sample_deterministic",
+    "streaming_tumbling_counts",
 ]
 
 

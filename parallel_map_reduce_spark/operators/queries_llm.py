@@ -1552,3 +1552,64 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
     keep = hash64(F.col("doc_id").cast("string"), _SAMPLE_SEED) < thr
     return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "doc_repetition_stats",
+    _TOKS_CTE
+    + """,
+bigrams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-1, 0))) AS t(i)
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_bigrams,
+         COUNT(DISTINCT bg) AS n_distinct
+  FROM bigrams GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_distinct,
+       ROUND((n_bigrams - n_distinct) * 1.0 / n_bigrams, 4) AS dup_frac,
+       (n_bigrams - n_distinct) * 5 >= n_bigrams AS repetitive
+FROM per_doc
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/C4 duplicated-n-gram
+    rule): per document, the fraction of bigram OCCURRENCES that are
+    repeats of an earlier bigram — high values mean boilerplate loops,
+    keyboard mash, or templated spam. ``repetitive`` flags docs with
+    ≥20% duplicated bigrams via integer arithmetic (``(n-d)*5 >= n``) so
+    both engines agree at the boundary; ``dup_frac`` rides along rounded
+    for human consumption.
+
+    Scale posture: tokenize → one partial+final agg keyed by doc_id
+    (count + approx-free exact distinct per doc — the distinct is
+    WITHIN the doc's own bigrams, so the agg state is bounded by doc
+    length, not corpus size). No joins, no corpus-wide distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    ws = F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    per_doc = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_distinct"),
+    )
+    dup = F.col("n_bigrams") - F.col("n_distinct")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.round(dup / F.col("n_bigrams"), 4).alias("dup_frac"),
+        (dup * 5 >= F.col("n_bigrams")).alias("repetitive"),
+    )

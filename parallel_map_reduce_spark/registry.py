@@ -45,6 +45,7 @@ _PRIORITY: list[str] = [
     "semantic_dedup_keep_corpus_ann",
     "decontaminate_corpus",
     "stratified_sample_deterministic",
+    "doc_repetition_stats",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
