@@ -74,3 +74,21 @@ def test_survey_implementation_map_is_in_sync():
             p.startswith("q") and p[1:].isdigit() and p[1:] in sec8 for p in parts
         )
         assert name in mentioned or collapsed, f"{name} missing from SURVEY §8"
+
+
+def test_driver_window_covers_all_unchecked_queries():
+    """Driver-visibility invariant (VERDICT r2 item 1): the driver only
+    oracle-checks the first 50 registry entries per round, so every
+    registered query must either already have a CORRECTNESS row from a
+    past round or be inside the upcoming window — otherwise it ships
+    forever unverified. Rotate registry._PRIORITY when this fails."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(p)))
+    qs = list(entrymod.queries())
+    window = set(qs[:50])
+    missing = [n for n in qs if n not in checked and n not in window]
+    assert not missing, f"never-checked and outside window: {missing}"
