@@ -50,23 +50,34 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The sink table is re-derived per call (fresh temp dir), which
     keeps the registered query deterministic and idempotent.
     """
+    counts = windowed.tumbling_counts(windowed.stream_events(spark, sf_dir))
+    return _run_to_fresh_upsert(
+        counts, sf_dir, "tumbling", ["window_start", "event_type"]
+    )
+
+
+def _run_to_fresh_upsert(
+    stream_df: DataFrame, sf_dir: str, tag: str, key_cols: list[str]
+) -> DataFrame:
+    """Run an update-mode streaming plan to completion (availableNow)
+    through the idempotent foreachBatch upsert sink into a FRESH parquet
+    table, and return a batch DataFrame over that table. Fresh target +
+    checkpoint per call keeps registered queries deterministic across
+    repeated driver invocations."""
+    spark = stream_df.sparkSession
     target = os.path.join(
         tempfile.gettempdir(),
         "pmr_spark_stream_sink",
-        sf_dir.strip("/").replace("/", "_") + "_tumbling",
+        sf_dir.strip("/").replace("/", "_") + "_" + tag,
     )
     for stale in (target, target + "_ckpt"):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     os.makedirs(os.path.dirname(target), exist_ok=True)
-
-    counts = windowed.tumbling_counts(windowed.stream_events(spark, sf_dir))
     q = (
-        counts.writeStream.outputMode("update")
+        stream_df.writeStream.outputMode("update")
         .foreachBatch(
-            lambda df, _bid: windowed.upsert_batch(
-                df, target, ["window_start", "event_type"]
-            )
+            lambda df, _bid: windowed.upsert_batch(df, target, key_cols)
         )
         .trigger(availableNow=True)
         .option("checkpointLocation", target + "_ckpt")
@@ -74,3 +85,32 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+@register(
+    "streaming_running_user_totals",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator under the driver's oracle:
+    per-user cumulative (count, total) maintained in the state store by
+    ``applyInPandasWithState`` (streaming/windowed.running_user_totals),
+    emitted in update mode through the upsert sink keyed on user_id.
+    After the availableNow run drains the source, each user's final
+    upserted row is their complete running total — which must equal the
+    plain batch GROUP BY the DuckDB oracle computes. This is the one
+    operator class Spark SQL cannot express declaratively (arbitrary
+    per-key Python state machines); the driver row proves the state
+    plumbing, not just the arithmetic.
+
+    Scale posture: state is one (long, double) pair per user — bounded
+    per key and watermark-evictable; the pandas update function sees
+    Arrow batches per group, never the driver."""
+    totals = windowed.running_user_totals(windowed.stream_events(spark, sf_dir))
+    return _run_to_fresh_upsert(totals, sf_dir, "running", ["user_id"])

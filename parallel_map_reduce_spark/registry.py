@@ -39,6 +39,7 @@ def register(name: str, sql: str | None = None):
 _PRIORITY: list[str] = [
     # round-3 new: streaming engine, LSH component twins, curation ops
     "streaming_tumbling_counts",
+    "streaming_running_user_totals",
     "dedup_group_assignment_lsh",
     "dedup_keep_corpus_lsh",
     "semantic_dedup_keep_corpus",
