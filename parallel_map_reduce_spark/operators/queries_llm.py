@@ -1583,28 +1583,26 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree at the boundary; ``dup_frac`` rides along rounded
     for human consumption.
 
-    Scale posture: tokenize → one partial+final agg keyed by doc_id
-    (count + approx-free exact distinct per doc — the distinct is
-    WITHIN the doc's own bigrams, so the agg state is bounded by doc
-    length, not corpus size). No joins, no corpus-wide distinct."""
+    Scale posture: ZERO shuffles — the distinct is within one row's own
+    bigram array, so the whole operator is a projection
+    (``size``/``array_distinct`` on the tokenized row), one codegen'd
+    scan at any corpus size. The tempting explode→groupBy(doc_id) shape
+    would shuffle every bigram occurrence just to reunite rows that
+    started out together."""
     docs = load_table(spark, sf_dir, "documents")
     from parallel_map_reduce_spark.functions.tokenize import tokens
 
     ws = F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))
-    bigrams = docs.select(
+    bg = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_doc = docs.select(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bg"),
-    )
-    per_doc = bigrams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.countDistinct("bg").alias("n_distinct"),
-    )
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct"),
+    ).filter(F.col("n_bigrams") > 0)  # <2-token docs have no bigram rows
     dup = F.col("n_bigrams") - F.col("n_distinct")
     return per_doc.select(
         "doc_id",

@@ -257,3 +257,11 @@ def test_stratified_sample_is_single_scan_no_shuffle(spark):
     if "InMemoryTableScan" not in plan:
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "text" not in read_schema  # never reads the payload
+
+
+def test_doc_repetition_is_projection_only(spark):
+    """The duplicated-bigram stats are computed inside each row's own
+    array — the plan must contain NO Exchange (an explode→groupBy shape
+    would shuffle every bigram occurrence at corpus scale)."""
+    plan = plan_of(spark, "doc_repetition_stats")
+    assert "Exchange" not in plan
