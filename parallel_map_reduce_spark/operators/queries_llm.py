@@ -298,7 +298,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@register("simhash_near_pairs")  # rows-only: pair pruning strategy is engine-side
+@register(
+    "simhash_near_pairs",
+    # Same brute-force oracle as the block tier below: the all-pairs
+    # tier is deterministic (portable simhash, exact hamming filter) and
+    # pytest asserts the two tiers' outputs are identical, so both earn
+    # the full value-hash check.
+    _simhash_sigs_cte()
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+""",
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=4

@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "decontaminate_corpus",
     "stratified_sample_deterministic",
     "doc_repetition_stats",
+    "simhash_near_pairs",  # oracle upgraded r3: rows-only -> full value-hash
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
