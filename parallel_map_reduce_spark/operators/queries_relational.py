@@ -929,21 +929,63 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates")  # no oracle: approximate results are
-# engine-specific by design; tests/test_relational_extras.py bounds the
-# error against the exact answers instead.
+@register(
+    "approx_aggregates",
+    """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_3pct,
+       TRUE AS orders_within_3pct,
+       TRUE AS median_within_1pct,
+       TRUE AS p95_within_1pct
+FROM lineitem
+""",
+)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for 100 TB interactive use: HyperLogLog++
     count-distinct and t-digest-style quantiles. Both are mergeable
     partial aggregates — one shuffle row per partition, no exact
     per-group sort (the exact `percentiles` query is the oracle-checked
-    twin)."""
+    twin).
+
+    Oracle strategy (upgraded from rows-only, same pattern as
+    hll_mergeable_daily_users): the sketch estimates are engine-specific,
+    so the OUTPUT carries the exact distinct counts DuckDB reproduces
+    plus in-query error-bound checks — each approx value compared against
+    its exact twin inside the same result (3% for rsd=0.01 HLL++, 1% for
+    the 10k-bucket quantile sketch vs the exact percentile's true rank
+    neighborhood). TRUE in the oracle; the driver's value-hash now
+    verifies the sketches stay inside their documented bounds."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias(
+            "approx_p95_price"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    )
+
+    def within(approx, exact, tol):
+        return F.abs(F.col(approx) - F.col(exact)) <= tol * F.col(exact)
+
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within("approx_parts", "exact_parts", 0.03).alias("parts_within_3pct"),
+        within("approx_orders", "exact_orders", 0.03).alias(
+            "orders_within_3pct"
+        ),
+        within("approx_median_price", "exact_median", 0.01).alias(
+            "median_within_1pct"
+        ),
+        within("approx_p95_price", "exact_p95", 0.01).alias("p95_within_1pct"),
     )
 
 

@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "stratified_sample_deterministic",
     "doc_repetition_stats",
     "simhash_near_pairs",  # oracle upgraded r3: rows-only -> full value-hash
+    "approx_aggregates",  # oracle upgraded r3: exact twins + bound checks
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",

