@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Compare bench rounds: per-query table + regression flags.
+
+Usage:
+    python tools/compare_bench.py BENCH_r01.json BENCH_r02.json [...]
+    python tools/compare_bench.py BENCH_r01.json /tmp/bench_local.json
+
+Accepts both formats: the driver's wrapper ({"n", "rc", "cpus", "sf",
+"tail"} with the bench's JSON line buried in `tail` among \\r progress
+junk) and bench.py's raw single-line output. Queries are compared against
+the FIRST file given; >1.3x is flagged (the sandbox shows ~30% noise on
+single-shot timings — only trust flags reproduced across best-of-N runs).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+REGRESSION_RATIO = 1.3
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "tail" in d:  # driver wrapper: extract the JSON line from raw output
+        m = re.search(r'\{"metric".*\}', d["tail"])
+        if not m:
+            raise ValueError(f"{path}: no bench JSON line inside 'tail'")
+        d = json.loads(m.group(0))
+    return d
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    rounds = [(p, load_bench(p)) for p in argv]
+    base_name, base = rounds[0]
+    names = [p for p, _ in rounds]
+    qnames = sorted(
+        set().union(*[set(d["queries"]) for _, d in rounds]),
+        key=lambda q: -base["queries"].get(q, 0.0),
+    )
+    header = f"{'query':40s}" + "".join(f"{n[-12:]:>13s}" for n in names)
+    print(header + f"{'last/base':>10s}")
+    flagged = []
+    for q in qnames:
+        cells = ""
+        for _, d in rounds:
+            v = d["queries"].get(q)
+            cells += f"{v:13.3f}" if v is not None else f"{'-':>13s}"
+        b, last = base["queries"].get(q), rounds[-1][1]["queries"].get(q)
+        if b and last:
+            ratio = last / b
+            flag = "  <-- REGR" if ratio > REGRESSION_RATIO else ""
+            if flag:
+                flagged.append(q)
+            print(f"{q:40s}{cells}{ratio:10.2f}{flag}")
+        else:
+            print(f"{q:40s}{cells}{'-':>10s}")
+    shared = set(base["queries"]) & set(rounds[-1][1]["queries"])
+    tb = sum(base["queries"][q] for q in shared)
+    tl = sum(rounds[-1][1]["queries"][q] for q in shared)
+    print(f"\nshared-query total: {tb:.1f}s ({base_name}) -> {tl:.1f}s")
+    for _, d in rounds:
+        rc = d.get("reference_corpus_wordcount")
+        if rc:
+            print(f"reference corpus: {rc['seconds']}s / {rc['mb_per_s']} MB/s")
+    print(f"regressions >{REGRESSION_RATIO}x: {flagged or 'none'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
