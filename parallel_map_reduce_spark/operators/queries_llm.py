@@ -1020,7 +1020,12 @@ def q_dedup_keep_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-Jaccard and MinHash-LSH edge-builder variants replay the same DAG
 # and differ ONLY in the `thr` (edge list) CTE.
 
-_PIPE_HEAD = f"""
+# The pipeline replays the component oracle's sizes/pairs/thr fragments
+# verbatim over a shingle CTE built from the exact-deduped `kept` set —
+# ONE definition of the edge-list SQL serves both surfaces, so a
+# threshold or banding tweak can never diverge the twins.
+_PIPE_HEAD = (
+    f"""
 WITH RECURSIVE kept AS (
   SELECT d.* FROM documents d
   JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
@@ -1030,45 +1035,13 @@ toks AS (SELECT doc_id, {_TOKS} AS ws FROM kept),
 shingles AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-2, 0))) AS t(i)
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
 )"""
+    + _COMP_PAIRS
+)
 
-_PIPE_EXACT_THR = f""",
-thr AS (
-  SELECT id_a, id_b FROM pairs
-  JOIN sizes sa ON id_a = sa.doc_id
-  JOIN sizes sb ON id_b = sb.doc_id
-  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
-)"""
+_PIPE_EXACT_THR = _COMP_THR_EXACT
 
-
-def _pipe_lsh_thr() -> str:
-    mins = ",\n       ".join(
-        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
-        for i, (a, b) in enumerate(universal_params(NUM_MINHASHES))
-    )
-    return f""",
-hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
-sigs AS (SELECT doc_id,
-       {mins}
-FROM hashed GROUP BY doc_id),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_band_match_sql()})
-),
-thr AS (
-  SELECT p.id_a, p.id_b FROM pairs p
-  JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
-  JOIN sizes sa ON p.id_a = sa.doc_id
-  JOIN sizes sb ON p.id_b = sb.doc_id
-  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
-)"""
+_pipe_lsh_thr = _comp_thr_lsh
 
 
 _PIPE_TAIL = """,
@@ -1492,31 +1465,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set is tiny and broadcasts (benchmarks are MBs; the corpus
     is TBs), so the training side is never shuffled at all: one scan,
     map-side hash probe, per-doc partial agg. No inverted-index
-    self-join anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.explode_shingles(docs)
-    eval_sh = (
-        sh.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    train = sh.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
-    return (
-        train.join(F.broadcast(eval_sh), "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
-                "n_shared"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_sh",
-            "n_shared",
-            (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
-        )
+    self-join anywhere. Implementation shared with pytest via
+    textstats.decontaminate_against_eval."""
+    return textstats.decontaminate_against_eval(
+        load_table(spark, sf_dir, "documents"), eval_mod=_DECON_EVAL_MOD
     )
 
 

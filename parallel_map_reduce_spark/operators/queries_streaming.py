@@ -13,7 +13,6 @@ streaming is part of the beyond-reference surface (SURVEY.md §2.4).
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +35,8 @@ GROUP BY window_start, event_type
 def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts computed by the STREAMING engine: the events
     parquet is consumed as a file-source stream (availableNow), aggregated
-    with a 2-hour watermark in update mode, and landed through the
-    idempotent foreachBatch upsert sink into a parquet table keyed on
+    with a watermark in update mode, and landed through the idempotent
+    foreachBatch upsert sink into a parquet table keyed on
     (window_start, event_type). The returned DataFrame reads that table,
     so the driver's value-hash covers the whole streaming path — source
     schema probe, micro-batch aggregation state, sink merge — against the
@@ -50,40 +49,43 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The sink table is re-derived per call (fresh temp dir), which
     keeps the registered query deterministic and idempotent.
     """
-    counts = windowed.tumbling_counts(windowed.stream_events(spark, sf_dir))
-    return _run_to_fresh_upsert(
-        counts, sf_dir, "tumbling", ["window_start", "event_type"]
+    # Oracle-gate configuration: the horizon must exceed the events
+    # table's full time span so eviction can NEVER drop a late row even
+    # if the source arrives as many unordered files/micro-batches — the
+    # oracle is a full-history batch GROUP BY. Production uses a finite
+    # horizon (late-data eviction itself is pytest-covered,
+    # tests/test_streaming.py).
+    counts = windowed.tumbling_counts(
+        windowed.stream_events(spark, sf_dir), watermark="3650 days"
     )
+    return _run_to_fresh_upsert(counts, "tumbling", ["window_start", "event_type"])
 
 
 def _run_to_fresh_upsert(
-    stream_df: DataFrame, sf_dir: str, tag: str, key_cols: list[str]
+    stream_df: DataFrame, tag: str, key_cols: list[str]
 ) -> DataFrame:
     """Run an update-mode streaming plan to completion (availableNow)
     through the idempotent foreachBatch upsert sink into a FRESH parquet
-    table, and return a batch DataFrame over that table. Fresh target +
-    checkpoint per call keeps registered queries deterministic across
-    repeated driver invocations."""
+    table, and return a batch DataFrame over that table. mkdtemp gives
+    every call its own target + checkpoint, so repeated or concurrent
+    driver/bench/pytest invocations can never rmtree each other's
+    in-progress sink."""
     spark = stream_df.sparkSession
-    target = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_stream_sink",
-        sf_dir.strip("/").replace("/", "_") + "_" + tag,
-    )
-    for stale in (target, target + "_ckpt"):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
-    os.makedirs(os.path.dirname(target), exist_ok=True)
+    run_dir = tempfile.mkdtemp(prefix=f"pmr_spark_stream_{tag}_")
+    target = os.path.join(run_dir, "table")
     q = (
         stream_df.writeStream.outputMode("update")
         .foreachBatch(
             lambda df, _bid: windowed.upsert_batch(df, target, key_cols)
         )
         .trigger(availableNow=True)
-        .option("checkpointLocation", target + "_ckpt")
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own once the source drains; no
+    # timeout — a bounded wait that ignores awaitTermination's False
+    # return would hand a partially-written sink to the driver's hash.
+    q.awaitTermination()
     return spark.read.parquet(target)
 
 
@@ -112,5 +114,8 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: state is one (long, double) pair per user — bounded
     per key and watermark-evictable; the pandas update function sees
     Arrow batches per group, never the driver."""
-    totals = windowed.running_user_totals(windowed.stream_events(spark, sf_dir))
-    return _run_to_fresh_upsert(totals, sf_dir, "running", ["user_id"])
+    # Same oracle-gate horizon rationale as streaming_tumbling_counts.
+    totals = windowed.running_user_totals(
+        windowed.stream_events(spark, sf_dir), watermark="3650 days"
+    )
+    return _run_to_fresh_upsert(totals, "running", ["user_id"])

@@ -250,3 +250,43 @@ def chunk_documents(
             ).alias("chunk_len"),
         )
     )
+
+
+def decontaminate_against_eval(
+    docs: DataFrame, eval_mod: int = 50, id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination: per training document (id % eval_mod
+    != 0), how many of its distinct 3-gram shingles appear in ANY eval
+    document (id % eval_mod == 0), with a ≥20% overlap flag decided by
+    integer arithmetic (``n_shared*5 >= n_sh``).
+
+    Scale shape: the eval shingle set is tiny (benchmarks are MBs) and
+    broadcasts; the training side is one scan + map-side hash probe +
+    per-doc partial agg — never shuffled on the shingle key.
+    """
+    from parallel_map_reduce_spark.operators.dedup import explode_shingles
+
+    sh = explode_shingles(docs, id_col=id_col)
+    eval_sh = (
+        sh.filter(F.col(id_col) % eval_mod == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col(id_col) % eval_mod != 0)
+    return (
+        train.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            id_col,
+            "n_sh",
+            "n_shared",
+            (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
+        )
+    )

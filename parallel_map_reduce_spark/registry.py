@@ -132,4 +132,9 @@ def _load_all() -> None:
     from parallel_map_reduce_spark.operators import queries_llm  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_streaming  # noqa: F401
 
+    # A typo'd _PRIORITY name would silently waste one of the driver's 50
+    # check slots (the dict comprehension would just skip it) — fail loud.
+    missing = set(_PRIORITY) - set(_QUERIES)
+    assert not missing, f"_PRIORITY names not in registry: {sorted(missing)}"
+
     _LOADED = True

@@ -503,33 +503,13 @@ def test_decontaminate_eval_docs_excluded_and_flags_consistent(spark):
         Row(doc_id=2, text="u2a u2b u2c u2d u2e"),  # disjoint
     ]
     df = spark.createDataFrame(rows, schema="doc_id long, text string")
-    from parallel_map_reduce_spark.operators import queries_llm
-
-    sh = dedup.explode_shingles(df)
-    eval_sh = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+    from parallel_map_reduce_spark.operators.textstats import (
+        decontaminate_against_eval,
     )
-    train = sh.filter(F.col("doc_id") % 50 != 0)
+
     out = {
         r["doc_id"]: (r["n_shared"], r["n_sh"], r["contaminated"])
-        for r in train.join(F.broadcast(eval_sh), "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
-            ).alias("n_shared"),
-        )
-        .select(
-            "doc_id",
-            "n_sh",
-            "n_shared",
-            (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
-        )
-        .collect()
+        for r in decontaminate_against_eval(df, eval_mod=50).collect()
     }
     assert set(out) == {1, 2}
     assert out[1][2] is True and out[1][0] == out[1][1]

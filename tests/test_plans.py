@@ -25,13 +25,19 @@ def plan_of(spark, name: str, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def read_schema_line(plan: str) -> str:
+    lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert lines, f"no ReadSchema line in plan:\n{plan}"
+    return lines[0]
+
+
 def test_filter_and_projection_pushed_to_scan(spark):
     plan = plan_of(spark, "filter_project")
     assert "PushedFilters:" in plan
     assert "GreaterThan(l_quantity,45.0)" in plan
     assert "EqualTo(l_returnflag,R)" in plan
     # column pruning: the scan must not read all 11 lineitem columns
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    read_schema = read_schema_line(plan)
     assert "l_extendedprice" in read_schema
     assert "l_shipdate" not in read_schema
     assert "l_discount" not in read_schema
@@ -255,8 +261,7 @@ def test_stratified_sample_is_single_scan_no_shuffle(spark):
     # session, in which case the plan reads the full-schema
     # InMemoryRelation and the ReadSchema line is the cache's, not ours.
     if "InMemoryTableScan" not in plan:
-        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-        assert "text" not in read_schema  # never reads the payload
+        assert "text" not in read_schema_line(plan)  # never reads the payload
 
 
 def test_doc_repetition_is_projection_only(spark):

@@ -52,7 +52,7 @@ def main(argv: list[str]) -> int:
             v = d["queries"].get(q)
             cells += f"{v:13.3f}" if v is not None else f"{'-':>13s}"
         b, last = base["queries"].get(q), rounds[-1][1]["queries"].get(q)
-        if b and last:
+        if b is not None and last is not None and b > 0:
             ratio = last / b
             flag = "  <-- REGR" if ratio > REGRESSION_RATIO else ""
             if flag:
