@@ -71,6 +71,7 @@ HEADLINE = [
     "decontaminate_corpus",
     "stratified_sample_deterministic",
     "streaming_tumbling_counts",
+    "streaming_running_user_totals",
 ]
 
 
