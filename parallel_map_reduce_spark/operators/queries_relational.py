@@ -430,6 +430,43 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+@register(
+    "intersect_all_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving intersection (bag semantics): each nationkey
+    appears min(customer-count, supplier-count) times — the multiset
+    variant Spark compiles to an aggregate of per-side counts, NOT a
+    distinct; at scale it's one shuffle keyed on the row value, same as
+    the DISTINCT form."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "except_all_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving difference (bag semantics): each nationkey
+    survives max(customer-count - supplier-count, 0) times — the
+    multiset EXCEPT the ANSI spec defines alongside the DISTINCT form
+    covered by except_nations."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # window functions
 # ---------------------------------------------------------------------------

@@ -49,6 +49,8 @@ _PRIORITY: list[str] = [
     "doc_repetition_stats",
     "simhash_near_pairs",  # oracle upgraded r3: rows-only -> full value-hash
     "approx_aggregates",  # oracle upgraded r3: exact twins + bound checks
+    "intersect_all_nations",
+    "except_all_nations",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
