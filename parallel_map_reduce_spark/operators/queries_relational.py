@@ -1592,6 +1592,41 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_value_functions",
+    """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS latest_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / last_value / nth_value) over
+    each customer's order history in date order — 'first order price,
+    most recent price, second-ever price' per order row. The explicit
+    UNBOUNDED..UNBOUNDED frame makes last_value the true partition last
+    (the default frame would degenerate it to the current row) and is
+    stated identically in both engines. One shuffle on o_custkey,
+    in-partition sort only."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
     "stats_aggregates",
     """
 SELECT l_returnflag,

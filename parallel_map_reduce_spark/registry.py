@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "approx_aggregates",  # oracle upgraded r3: exact twins + bound checks
     "intersect_all_nations",
     "except_all_nations",
+    "window_value_functions",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
