@@ -128,3 +128,80 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-of-component
     expected = _union_find_components(edges)
     assert got == expected
+
+
+# --- curation-op properties over a word-level generator --------------------
+#
+# A tiny vocabulary maximizes shingle/bigram collisions between docs, so
+# the generator actually explores overlap and repetition edge cases.
+
+WORDS = st.sampled_from(["a", "b", "c", "dd", "ee"])
+DOCS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_shingles(text: str) -> set[str]:
+    ws = model_tokens(text)
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+@given(texts=DOCS)
+@PROP_SETTINGS
+def test_decontaminate_matches_python_model(spark, texts):
+    """n_sh / n_shared / contaminated agree with a pure-Python model of
+    'distinct 3-gram shingles vs the union of eval-doc shingles', for
+    every generated corpus shape (empty docs, all-eval, full overlap)."""
+    from parallel_map_reduce_spark.operators.textstats import (
+        decontaminate_against_eval,
+    )
+
+    mod = 2  # doc 0, 2, 4 are eval — generator corpora are small
+    eval_sh = set().union(
+        *[_model_shingles(t) for i, t in enumerate(texts) if i % mod == 0],
+        set(),
+    )
+    expected = {}
+    for i, t in enumerate(texts):
+        if i % mod == 0:
+            continue
+        sh = _model_shingles(t)
+        if sh:
+            n_shared = len(sh & eval_sh)
+            expected[i] = (len(sh), n_shared, n_shared * 5 >= len(sh))
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_shared"], r["contaminated"])
+        for r in decontaminate_against_eval(_df(spark, texts), eval_mod=mod).collect()
+    }
+    assert got == expected
+
+
+@given(texts=DOCS)
+@PROP_SETTINGS
+def test_doc_repetition_matches_python_model(spark, texts):
+    """n_bigrams / n_distinct / repetitive agree with a pure-Python bag
+    model of per-doc bigram occurrences."""
+    from parallel_map_reduce_spark.operators.queries_llm import q_doc_repetition
+
+    expected = {}
+    for i, t in enumerate(texts):
+        ws = model_tokens(t)
+        bgs = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        if bgs:
+            n, d = len(bgs), len(set(bgs))
+            expected[i] = (n, d, (n - d) * 5 >= n)
+    import os
+    import tempfile
+
+    # q_doc_repetition reads a documents table from a sf_dir; stage one
+    tmp = tempfile.mkdtemp(prefix="pmr_repetition_prop_")
+    _df(spark, texts).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_distinct"], r["repetitive"])
+        for r in q_doc_repetition(spark, tmp).collect()
+    }
+    assert got == expected
