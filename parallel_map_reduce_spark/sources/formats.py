@@ -1,4 +1,4 @@
-"""File-format connectors beyond parquet/text: CSV, JSON lines, ORC.
+"""File-format connectors beyond parquet/text: CSV, JSON lines, ORC, XML.
 
 The reference reads raw text only (reference: src/serial_count_words.cpp:50-74);
 these are part of the extension surface. Production rules baked in:
@@ -43,6 +43,31 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row") -> None:
+    """XML via Spark 4's built-in source (spark-xml, merged upstream)."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML ingest boundary — same rules as CSV/JSON: explicit schema,
+    FAILFAST, land once and rewrite to parquet. XML does NOT split
+    within a file (a row can span lines), so at scale the source must
+    arrive as many files; one giant XML file serializes the scan."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+    )
 
 
 def write_orc(df: DataFrame, path: str) -> None:

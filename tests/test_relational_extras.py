@@ -211,7 +211,7 @@ def test_salted_count_distinct_equals_exact(spark):
     assert got == want
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "xml"])
 def test_format_connectors_roundtrip(spark, tmp_path, fmt):
     from pyspark.sql import types as T
 
@@ -237,6 +237,9 @@ def test_format_connectors_roundtrip(spark, tmp_path, fmt):
     elif fmt == "json":
         formats.write_json(src, d)
         back = formats.read_json(spark, d, schema)
+    elif fmt == "xml":
+        formats.write_xml(src, d)
+        back = formats.read_xml(spark, d, schema)
     else:
         formats.write_orc(src, d)
         back = formats.read_orc(spark, d)
