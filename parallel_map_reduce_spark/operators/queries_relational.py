@@ -721,6 +721,37 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ansi_safe_functions",
+    """
+SELECT event_id,
+       user_id % 5 AS denom,
+       ROUND(value / NULLIF(user_id % 5, 0), 4) AS safe_ratio,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_as_long,
+       TRY_CAST(event_type AS BIGINT) AS type_as_long
+FROM events
+""",
+)
+def q_ansi_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic and casts — Spark 4 runs ANSI SQL by
+    default, where x/0 and bad casts THROW instead of returning NULL;
+    the ``try_*`` family restores explicit NULL-on-error semantics per
+    expression. ``safe_ratio`` exercises a real divide-by-zero (every
+    user_id ≡ 0 mod 5), ``type_as_long`` a guaranteed cast failure
+    ('purchase' → bigint), both mapped to NULL exactly as the oracle's
+    NULLIF/TRY_CAST compute them. All row-local: one scan, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("user_id") % 5).alias("denom"),
+        F.round(
+            F.try_divide(F.col("value"), F.col("user_id") % 5), 4
+        ).alias("safe_ratio"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_as_long"),
+        F.col("event_type").try_cast("bigint").alias("type_as_long"),
+    )
+
+
+@register(
     "conditional_bucketing",
     """
 SELECT CASE

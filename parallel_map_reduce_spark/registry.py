@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "intersect_all_nations",
     "except_all_nations",
     "window_value_functions",
+    "ansi_safe_functions",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
