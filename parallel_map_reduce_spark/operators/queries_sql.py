@@ -78,3 +78,35 @@ def q_sql_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The customer side broadcasts exactly as in the DataFrame
     twin — SQL entry does not change the physical strategy."""
     return run_sql(spark, sf_dir, _SQL_TOP_SEGMENTS)
+
+
+_SQL_RECURSIVE_MONTHS = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(TIMESTAMP '1996-01-01 00:00:00' AS TIMESTAMP)
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '1996-12-01 00:00:00'
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS TIMESTAMP) AS month_start,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+@register("sql_interface_recursive_months", _SQL_RECURSIVE_MONTHS)
+def q_sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE executed by BOTH engines from one ANSI text —
+    Spark 4 added WITH RECURSIVE, so the month spine + zero-filled monthly
+    revenue rollup that previously only the DuckDB oracle could run now
+    runs natively under Catalyst too. The recursion generates a
+    constant-bounded 12-row spine (driver-side-trivial at any corpus
+    size); the data-sized work stays one partial+final agg on the month
+    key plus a broadcast-sized left join against the spine."""
+    return run_sql(spark, sf_dir, _SQL_RECURSIVE_MONTHS)

@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "except_all_nations",
     "window_value_functions",
     "ansi_safe_functions",
+    "sql_interface_recursive_months",
     # never driver-checked: UDF / sessions / temporal / SQL-interface
     "udaf_geomean_price",
     "grouped_zscore_events",
