@@ -48,7 +48,8 @@ _PRIORITY: list[str] = [
     "stratified_sample_deterministic",
     "doc_repetition_stats",
     "simhash_near_pairs",  # oracle upgraded r3: rows-only -> full value-hash
-    "approx_aggregates",  # oracle upgraded r3: exact twins + bound checks
+    # (approx_aggregates also upgraded r3 but its r2 row was rows-only, not
+    # red — it yields its window slot to the minhash_lsh red-fix below)
     "intersect_all_nations",
     "except_all_nations",
     "window_value_functions",
