@@ -575,7 +575,14 @@ def simhash_block_near_pairs(
         raise ValueError(
             f"{SIMHASH_BITS}-bit signature not divisible into {n_blocks} blocks"
         )
-    sig = simhash(df, text_col, id_col)
+    # Materialize signatures before the self-join: the a/b sides alias
+    # columns differently, so Catalyst can't reuse one exchange and would
+    # otherwise run the whole tokenize→two-hash-agg signature pipeline
+    # TWICE (plan audit: 4 corpus scans, 20 HashAggregates). This is also
+    # the production shape — Manku et al.'s pipeline stores signatures as
+    # a table and joins against it; one signature computation per corpus,
+    # ever. (Same localCheckpoint precedent as connected_components.)
+    sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     mask = F.lit((1 << bits_per) - 1).cast("long")
     blocks = F.array(
         *[
