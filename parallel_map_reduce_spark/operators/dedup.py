@@ -214,13 +214,22 @@ def minhash_lsh_dedup_pairs(
     shingle self-join (that inverted-index join is the exact tier,
     ngram_jaccard_pairs, and blows up when shingles are corpus-frequent).
     """
+    # Materialize signatures and shingle sets once: both feed SELF-joins
+    # whose sides alias columns differently, so Catalyst replans each
+    # branch from the corpus scan (plan audit: 8 scans, 12 HashAggregates
+    # without this). Production stores both as tables (signatures are the
+    # Broder/Manku pipeline's persistent artifact); localCheckpoint is
+    # the in-session equivalent, same precedent as connected_components.
     candidates = lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        .localCheckpoint(eager=True),
         id_col,
         num_hashes,
         bands,
     )
-    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    sets = shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
