@@ -214,21 +214,31 @@ def minhash_lsh_dedup_pairs(
     shingle self-join (that inverted-index join is the exact tier,
     ngram_jaccard_pairs, and blows up when shingles are corpus-frequent).
     """
-    # Materialize signatures and shingle sets once: both feed SELF-joins
-    # whose sides alias columns differently, so Catalyst replans each
-    # branch from the corpus scan (plan audit: 8 scans, 12 HashAggregates
-    # without this). Production stores both as tables (signatures are the
-    # Broder/Manku pipeline's persistent artifact); localCheckpoint is
-    # the in-session equivalent, same precedent as connected_components.
+    # Materialize signatures once: they feed a SELF-join whose sides
+    # alias columns differently, so Catalyst replans both branches from
+    # the corpus scan (plan audit: 8 scans, 12 HashAggregates without
+    # this). Production stores signatures as a table (the Broder/Manku
+    # pipeline's persistent artifact); localCheckpoint is the in-session
+    # equivalent, same precedent as connected_components.
     candidates = lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
         .localCheckpoint(eager=True),
         id_col,
         num_hashes,
         bands,
+    ).localCheckpoint(eager=True)
+    # Verify stage: shingle sets are needed ONLY for docs that appear in
+    # some candidate pair — a tiny fraction of the corpus. Restricting
+    # first (semi-join on the materialized candidate ids) means the
+    # collect_set shuffle moves candidate docs, not the corpus, and the
+    # two verify branches (id_a / id_b) recompute only that small frame.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sets = shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(
-        eager=True
+    sets = shingle_sets(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
