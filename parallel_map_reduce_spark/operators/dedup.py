@@ -281,6 +281,10 @@ def _jaccard_pairs_from_index(
     corpora) this 3-shuffle shape is the fastest, so it stays the
     default; the prefix twin is the 100 TB shape.
     """
+    # The index feeds three branches (a-side, b-side, sizes) whose
+    # differing aliases defeat exchange reuse — materialize the shingle
+    # explode+distinct once instead of running it three times.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
