@@ -726,8 +726,9 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        user_id % 5 AS denom,
        ROUND(value / NULLIF(user_id % 5, 0), 4) AS safe_ratio,
-       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_as_long,
-       TRY_CAST(event_type AS BIGINT) AS type_as_long
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+         AS k_as_long,
+       COALESCE(TRY_CAST(event_type AS BIGINT), -1) AS type_as_long
 FROM events
 """,
 )
@@ -737,8 +738,11 @@ def q_ansi_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``try_*`` family restores explicit NULL-on-error semantics per
     expression. ``safe_ratio`` exercises a real divide-by-zero (every
     user_id ≡ 0 mod 5), ``type_as_long`` a guaranteed cast failure
-    ('purchase' → bigint), both mapped to NULL exactly as the oracle's
-    NULLIF/TRY_CAST compute them. All row-local: one scan, no shuffle."""
+    ('purchase' → bigint); cast failures surface as the -1 sentinel
+    (COALESCE over the NULL) so the integer columns stay non-nullable —
+    a nullable BIGINT drifts to float64 through the driver's pandas
+    fetch (tests/test_oracle_dtypes.py). All row-local: one scan, no
+    shuffle."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -746,8 +750,12 @@ def q_ansi_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.col("value"), F.col("user_id") % 5), 4
         ).alias("safe_ratio"),
-        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_as_long"),
-        F.col("event_type").try_cast("bigint").alias("type_as_long"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast("bigint"), F.lit(-1)
+        ).alias("k_as_long"),
+        F.coalesce(
+            F.col("event_type").try_cast("bigint"), F.lit(-1)
+        ).alias("type_as_long"),
     )
 
 
