@@ -358,6 +358,11 @@ def _jaccard_pairs_prefix_filtered(
     always measured in the universe the index actually contains (matters
     for the DF-capped variant).
     """
+    # `ranked` feeds the a-prefix, b-prefix, and full-set branches. It is
+    # deliberately NOT materialized: the frame is corpus × shingles wide,
+    # and measured at sf0.1 checkpointing it costs more (7.1 s) than the
+    # triple recompute (4.5 s) — unlike the 1-row-per-doc signature
+    # frames, which are materialized (see simhash/minhash tiers).
     ranked = ranked_shingle_index(sh, id_col)
     prefix = ranked.filter(
         F.col("_rn")
@@ -554,7 +559,9 @@ def simhash_near_pairs(
     pigeonhole block-bucket equality join that returns the identical
     pair set without the all-pairs nested loop.
     """
-    sig = simhash(df, text_col, id_col)
+    # materialized once: both nested-loop sides would otherwise rerun
+    # the signature pipeline (see simhash_block_near_pairs)
+    sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
