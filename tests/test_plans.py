@@ -270,3 +270,11 @@ def test_doc_repetition_is_projection_only(spark):
     would shuffle every bigram occurrence at corpus scale)."""
     plan = plan_of(spark, "doc_repetition_stats")
     assert "Exchange" not in plan
+
+
+def test_lsh_verify_restricted_to_candidates(spark):
+    """The LSH verify stage must compute shingle sets only for docs in
+    candidate pairs: a LeftSemi join gates the documents scan, so the
+    collect_set shuffle moves candidates, not the corpus."""
+    plan = plan_of(spark, "minhash_lsh_dedup_pairs", mode="simple")
+    assert "LeftSemi" in plan
