@@ -346,9 +346,7 @@ def q_simhash_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "knn_bruteforce",
-    f"""
+_KNN_EXACT_CTE = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 q AS (
   SELECT vec_id AS query_id, vec AS qvec FROM base
@@ -359,15 +357,35 @@ scored AS (
          ROUND(list_cosine_similarity(qvec, vec), 6) AS cosine_sim
   FROM base b CROSS JOIN q
   WHERE b.vec_id <> query_id
-)
-SELECT query_id, neighbor_id, cosine_sim
-FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-  FROM scored
-)
-WHERE rn <= {KNN_K}
-""",
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine_sim
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+  )
+  WHERE rn <= {KNN_K}
+)"""
+
+# Audit shape shared by both ANN registrations (the HLL pattern,
+# VERDICT r3 #2): the exact twin's deterministic aggregates are
+# value-hashed by the oracle, and the in-query recall check rides along
+# as a boolean the oracle expects TRUE.
+_KNN_AUDIT_SELECT = """
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS n_exact,
+       CAST(SUM(neighbor_id) AS BIGINT) AS sum_exact_neighbor_ids,
+       CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_exact_sim_e6,
+       TRUE AS recall_ok
+FROM topk
+"""
+
+
+@register(
+    "knn_bruteforce",
+    _KNN_EXACT_CTE + "\nSELECT query_id, neighbor_id, cosine_sim FROM topk",
 )
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(
@@ -375,41 +393,139 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh_ann")  # rows-only: approximate by design (recall tested in pytest)
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_bucket_ann(
-        load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
+def _knn_recall_audit(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Shared audit body for the two ANN top-k registrations: run the
+    approximate tier AND the brute-force twin in the same query; emit
+    the exact side's deterministic aggregates (value-hashed by the
+    DuckDB oracle) plus ``recall_ok`` = mean recall@k >= 0.5 computed
+    in-query (the pytest bound: these synthetic embeddings are
+    near-uniform, the hardest case for both LSH and IVF — measured mean
+    recall 0.64-0.74 across sf0.001-0.1; clustered real-world
+    embeddings do far better at the same settings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    if method == "lsh":
+        approx = similarity.lsh_bucket_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+    elif method == "ivf":
+        approx = similarity.ivf_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    hit = (
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
+@register("knn_lsh_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN with a driver-visible recall
+    audit: the brute-force twin runs in the same query and its
+    deterministic aggregates are what the oracle hashes; the LSH tier's
+    recall@{k} feeds the in-query ``recall_ok`` bound the oracle
+    expects TRUE. The ship-path operator itself is
+    similarity.lsh_bucket_ann (returns real neighbor rows)."""
+    return _knn_recall_audit(spark, sf_dir, method="lsh")
+
+
+_EMB_EXACT_PAIRS_CTE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine_sim
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
+)"""
 
 
 @register(
     "embedding_near_dup_pairs",
-    f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine_sim
-FROM base a JOIN base b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
-""",
+    _EMB_EXACT_PAIRS_CTE + "\nSELECT id_a, id_b, cosine_sim FROM exact_pairs",
 )
 def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
+    """Exact embedding-cosine near-dup pairs via the blocked Gram
+    kernel (similarity.embedding_all_pairs_blocked) — bit-identical to
+    the join+fold form the oracle replays, but the N² work is spread
+    over B(B+1)/2 Arrow-batched kernels instead of one JVM join that
+    materializes every pair (measured 3.6 s vs 6.0 s at sf0.01; the gap
+    widens quadratically with corpus size)."""
+    return similarity.embedding_all_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=EMBED_DUP_THRESHOLD
     )
 
 
-@register("embedding_near_dup_lsh")  # rows-only: approximate (recall in pytest)
+@register(
+    "embedding_near_dup_lsh",
+    _EMB_EXACT_PAIRS_CTE
+    + """
+SELECT COUNT(*) AS n_exact_pairs,
+       CAST(SUM(id_a + id_b) AS BIGINT) AS sum_exact_pair_ids,
+       CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_exact_sim_e6,
+       TRUE AS lsh_subset_ok,
+       TRUE AS recall_ok
+FROM exact_pairs
+""",
+)
 def q_embed_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-tier embedding near-dup: sign-pattern LSH buckets, cosine
-    kernel only within buckets. 16 tables because the corpus threshold
-    (0.4 ≈ 66°) is a WIDE angle for hyperplane LSH — measured recall
-    0.95 at sf0.01 vs the all-pairs twin (0.78 at the 8-table default);
-    output is always a SUBSET of the exact tier since every candidate is
-    exactly verified."""
-    return similarity.embedding_near_dup_lsh(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=EMBED_DUP_THRESHOLD,
-        num_tables=16,
+    """Scale-tier embedding near-dup (sign-pattern LSH buckets, cosine
+    kernel only within buckets) with a driver-visible audit: the exact
+    blocked-Gram twin runs in the same query; the oracle value-hashes
+    its aggregates and expects ``lsh_subset_ok`` (every LSH pair is
+    exactly verified, so the LSH output is provably a subset of the
+    exact tier) and ``recall_ok`` (pair recall >= 0.85; measured
+    0.949-0.955 across sf0.01-0.1 at 16 tables — the corpus threshold
+    0.4 ≈ 66° is a WIDE angle for hyperplane LSH, hence 16 tables vs
+    the 8-table default). The ship-path operator itself is
+    similarity.embedding_near_dup_lsh (returns real pair rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_all_pairs_blocked(
+        emb, threshold=EMBED_DUP_THRESHOLD
+    ).localCheckpoint(eager=True)
+    lsh = (
+        similarity.embedding_near_dup_lsh(
+            emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    ek = exact.select("id_a", "id_b")
+    aux = (
+        lsh.join(ek, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(
+            lsh.join(ek, ["id_a", "id_b"], "left_anti").agg(
+                F.count(F.lit(1)).alias("n_viol")
+            )
+        )
+    )
+    stats = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("sum_exact_pair_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(aux)).select(
+        "n_exact_pairs",
+        "sum_exact_pair_ids",
+        "sum_exact_sim_e6",
+        (F.col("n_viol") == 0).alias("lsh_subset_ok"),
+        (F.col("n_hits") * 20 >= F.col("n_exact_pairs") * 17).alias("recall_ok"),
     )
 
 
@@ -635,14 +751,17 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=30)
 
 
-@register("knn_ivf_ann")  # rows-only: approximate by design (recall tested in pytest)
+@register("knn_ivf_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN — the scale path where even LSH bucket
-    unions are too many candidates; recall bounded vs knn_bruteforce in
-    tests/test_llm_ops.py."""
-    return similarity.ivf_ann(
-        load_table(spark, sf_dir, "embeddings"), query_ids=KNN_QUERY_IDS, k=KNN_K
-    )
+    unions are too many candidates — with a driver-visible recall audit:
+    the brute-force twin runs in the same query, the oracle value-hashes
+    its deterministic aggregates, and ``recall_ok`` certifies mean
+    recall@k >= 0.5 in-query (measured 0.64-0.74 across sf tiers; the
+    KMeans quantizer is seed-fixed so the audit is deterministic). The
+    ship-path operator itself is similarity.ivf_ann (returns real
+    neighbor rows)."""
+    return _knn_recall_audit(spark, sf_dir, method="ivf")
 
 
 @register(
@@ -1370,9 +1489,11 @@ def _semantic_dedup_keep(
     spark: SparkSession, sf_dir: str, edge_builder: str
 ) -> DataFrame:
     """Kept corpus after embedding-cosine (semantic) dedup under the
-    chosen edge builder: ``exact`` = all-pairs cosine (oracle twin),
-    ``ann`` = hyperplane-LSH buckets with the in-bucket cosine kernel
-    (the 100 TB path; candidate set is a verified SUBSET of exact)."""
+    chosen edge builder: ``exact`` = all-pairs cosine (oracle twin, via
+    the blocked Gram kernel — bit-identical to the join+fold form but
+    the N² work is spread over block-pair Arrow kernels), ``ann`` =
+    hyperplane-LSH buckets with the in-bucket cosine kernel (the 100 TB
+    path; candidate set is a verified SUBSET of exact)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     if edge_builder == "ann":
@@ -1380,7 +1501,7 @@ def _semantic_dedup_keep(
             emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
         )
     elif edge_builder == "exact":
-        pairs = similarity.embedding_near_dup_pairs(
+        pairs = similarity.embedding_all_pairs_blocked(
             emb, threshold=EMBED_DUP_THRESHOLD
         )
     else:
@@ -1395,17 +1516,33 @@ def _semantic_dedup_keep(
     )
 
 
-@register(
-    "semantic_dedup_keep_corpus",
-    f"""
+_SEM_EXACT_HEAD = f"""
 WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 thr AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM base a JOIN base b ON a.vec_id < b.vec_id
   WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
 )"""
-    + _COMP_KEEP_TAIL,
-)
+
+# Aggregated keep-set tail for the ann audit: same recursive components
+# as _COMP_KEEP_TAIL, but the final SELECT emits the exact keep-set's
+# deterministic aggregates plus the TRUE audit booleans.
+_SEM_KEEP_AGG_TAIL = """,
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_keep,
+       CAST(SUM(d.doc_id) AS BIGINT) AS sum_exact_keep_ids,
+       TRUE AS ann_superset_ok,
+       TRUE AS ann_extra_frac_ok
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+"""
+
+
+@register("semantic_dedup_keep_corpus", _SEM_EXACT_HEAD + _COMP_KEEP_TAIL)
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs →
     connected components → keep the min-id representative of each
@@ -1417,15 +1554,47 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_keep(spark, sf_dir, edge_builder="exact")
 
 
-@register("semantic_dedup_keep_corpus_ann")  # rows-only: LSH bucketing is
-# approximate (recall bounded in pytest; keep-set ⊇ exact twin's asserted)
+@register("semantic_dedup_keep_corpus_ann", _SEM_EXACT_HEAD + _SEM_KEEP_AGG_TAIL)
 def q_semantic_dedup_keep_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup with the scale-path edge builder: sign-pattern LSH
-    buckets + per-bucket Gram-matrix cosine kernel (Σ|bucket|² work, not
-    corpus²). Missing an edge can only SPLIT a component — never merge
-    one — so the kept set provably contains the exact twin's kept set;
-    pytest asserts that containment plus the edge recall bound."""
-    return _semantic_dedup_keep(spark, sf_dir, edge_builder="ann")
+    """Semantic dedup with the scale-path edge builder — sign-pattern
+    LSH buckets + per-bucket Gram-matrix cosine kernel (Σ|bucket|² work,
+    not corpus²) — with a driver-visible audit: the exact twin runs in
+    the same query, the oracle value-hashes its keep-set aggregates, and
+    two in-query booleans certify the approximation. Missing an edge can
+    only SPLIT a component — never merge one — so the ann keep-set
+    provably contains the exact twin's (``ann_superset_ok``), and the
+    extra docs it keeps stay under 5% (``ann_extra_frac_ok``; measured
+    0.7-1.0% across sf0.001-0.1). The ship-path operator itself is
+    _semantic_dedup_keep(edge_builder='ann') (returns the real kept
+    corpus)."""
+    exact_keep = (
+        _semantic_dedup_keep(spark, sf_dir, edge_builder="exact")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    ann_keep = (
+        _semantic_dedup_keep(spark, sf_dir, edge_builder="ann")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    aux = (
+        exact_keep.join(ann_keep, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+        .crossJoin(ann_keep.agg(F.count(F.lit(1)).alias("n_ann_keep")))
+    )
+    stats = exact_keep.agg(
+        F.count(F.lit(1)).alias("n_exact_keep"),
+        F.sum("doc_id").alias("sum_exact_keep_ids"),
+    )
+    return stats.crossJoin(F.broadcast(aux)).select(
+        "n_exact_keep",
+        "sum_exact_keep_ids",
+        (F.col("n_missing") == 0).alias("ann_superset_ok"),
+        (
+            (F.col("n_ann_keep") - F.col("n_exact_keep")) * 20
+            <= F.col("n_exact_keep")
+        ).alias("ann_extra_frac_ok"),
+    )
 
 
 # Decontamination eval set: every 50th doc stands in for a benchmark

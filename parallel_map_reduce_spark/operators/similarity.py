@@ -273,6 +273,103 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_all_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine near-dup pairs via a blocked Gram kernel — the
+    distributed form of the inherently-quadratic exact tier.
+
+    Every vector is fanned out to the `num_blocks` block-pair groups it
+    participates in (block = id % B; group (i,j) for i<=j holds blocks i
+    and j), so the N² pair work is spread over B(B+1)/2 independent
+    Arrow-batched kernels instead of one join that materializes every
+    pair row JVM-side. Shuffle volume is N·B vectors; per-group memory
+    is (2N/B)·dim — B is the knob that caps group size at scale.
+
+    Numeric contract: dot products and norms accumulate SEQUENTIALLY
+    over dimensions (an explicit per-dimension outer-product loop, not a
+    BLAS matmul) so every pair's cosine is bit-identical to the
+    sequential-fold JVM expression (functions/vectors.py) and DuckDB's
+    list_* folds — the audit queries hash SUM(round(sim,6)*1e6) against
+    a DuckDB oracle, where a pairwise-summation matmul could flip a
+    6-decimal rounding at the boundary.
+
+    This is the audit/verifier twin: use the LSH tier
+    (embedding_near_dup_lsh) as the ship path; use THIS when the answer
+    must be exactly the all-pairs result.
+    """
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    ).withColumn("blk", (F.col(id_col) % num_blocks).cast("int"))
+    pairs = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
+    spark = embeddings.sparkSession
+    block_pairs = spark.createDataFrame(pairs, "bi int, bj int")
+    assigned = base.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+
+    def gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine_sim": pd.Series(dtype="float64")}
+        )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        ids_l = left[id_col].to_numpy()
+        mat_l = np.stack(left["vec"].to_numpy())
+
+        def seq_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            # acc + v in dimension order == the JVM/DuckDB sequential fold
+            g = np.zeros((a.shape[0], b.shape[0]))
+            for d in range(a.shape[1]):
+                g = g + np.outer(a[:, d], b[:, d])
+            return g
+
+        def seq_norm(a: np.ndarray) -> np.ndarray:
+            n2 = np.zeros(a.shape[0])
+            for d in range(a.shape[1]):
+                n2 = n2 + a[:, d] * a[:, d]
+            return np.sqrt(n2)
+
+        if bi == bj:
+            if len(ids_l) < 2:
+                return empty
+            nl = seq_norm(mat_l)
+            denom = np.outer(nl, nl)
+            gram = seq_gram(mat_l, mat_l) / np.where(denom == 0, 1.0, denom)
+            iu = np.triu_indices(len(ids_l), k=1)
+            sims = np.round(gram[iu], 6)
+            ia, ib = ids_l[iu[0]], ids_l[iu[1]]
+        else:
+            right = pdf[pdf["blk"] == bj]
+            ids_r = right[id_col].to_numpy()
+            if len(ids_l) == 0 or len(ids_r) == 0:
+                return empty
+            mat_r = np.stack(right["vec"].to_numpy())
+            denom = np.outer(seq_norm(mat_l), seq_norm(mat_r))
+            gram = seq_gram(mat_l, mat_r) / np.where(denom == 0, 1.0, denom)
+            sims = np.round(gram, 6).ravel()
+            ia = np.repeat(ids_l, len(ids_r))
+            ib = np.tile(ids_r, len(ids_l))
+        keep = sims >= threshold
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib),
+             "id_b": np.maximum(ia, ib),
+             "cosine_sim": sims[keep]}
+        )
+
+    return assigned.groupBy("bi", "bj").applyInPandas(
+        gram_pairs, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
