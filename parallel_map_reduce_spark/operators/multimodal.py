@@ -7,15 +7,15 @@ Design for 100 TB media pipelines:
 - decode/feature-extract run as Arrow-batched `mapInPandas` over
   partition-local batches — each executor touches only its own payloads;
   nothing ever collects to the driver.
-- image decode is REAL at the container level: payloads built by
-  `documents_as_png_media` are spec-valid PNGs, and `decode_image`
-  parses dimensions from the actual PNG/JPEG/GIF/BMP bytes
-  (functions/imaging.py, stdlib struct) — an encode -> binary column ->
-  decode round trip with no faking, oracle-checked end to end
-  (`multimodal_real_decode`). Only full pixel-raster decode (and
-  audio/video codecs) still raises NotImplementedError — that genuinely
-  needs PIL/ffmpeg, which this container lacks; `fake_decode` remains
-  for those kinds.
+- image decode is REAL end to end for PNG: payloads built by
+  `documents_as_png_media` are spec-valid PNGs; `decode_image` parses
+  dimensions from actual PNG/JPEG/GIF/BMP container bytes, and
+  `pixel_stats` decodes the FULL raster (zlib inflate + per-row
+  unfilter, functions/imaging.py, stdlib only) — an encode -> binary
+  column -> decode round trip with no faking, oracle-checked end to end
+  (`multimodal_real_decode`, `multimodal_pixel_stats`). JPEG/GIF raster
+  (entropy coding) and audio/video codecs genuinely need PIL/ffmpeg,
+  which this container lacks; `fake_decode` remains for those kinds.
 """
 
 from __future__ import annotations
@@ -77,19 +77,15 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> tuple[int, int]:
     """REAL image decode from bytes: dimensions parsed out of the actual
     PNG/JPEG/GIF/BMP container structure (functions/imaging.py, stdlib
-    struct parsing — no PIL needed for header-level decode).
-
-    Full pixel-raster decode is the only part still stubbed: that needs
-    an image library this container doesn't have, and raises
-    NotImplementedError so the gap is explicit rather than faked.
+    struct parsing — no PIL needed for header-level decode). For PNG,
+    the full raster is decodable too — see pixel_stats below.
     """
     from parallel_map_reduce_spark.functions.imaging import image_dims
 
     dims = image_dims(payload)
     if dims is None:
-        raise NotImplementedError(
-            "payload is not a recognized image container (PNG/JPEG/GIF/BMP); "
-            "full raster decode of other formats requires PIL/opencv"
+        raise ValueError(
+            "payload is not a recognized image container (PNG/JPEG/GIF/BMP)"
         )
     _, w, h = dims
     return (w, h)
@@ -194,6 +190,57 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, sum_pixels long, "
+    "min_pixel int, max_pixel int"
+)
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """FULL pixel-raster decode over PNG payloads + per-image channel
+    statistics — no fake anywhere: each payload's raster is recovered by
+    stdlib zlib inflate and per-row unfiltering (all five PNG filter
+    types; functions/imaging.py png_decode_gray), and the stats are
+    integer-exact sums/extrema over the decoded pixel values.
+
+    Runs as mapInPandas so payload bytes stay executor-local and
+    Arrow-batched; per-batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch. At 100 TB this is the
+    canonical decode stage shape — swap the kernel body for PIL/ffmpeg
+    where those exist; the Spark plumbing is identical.
+    """
+    import numpy as np
+
+    from parallel_map_reduce_spark.functions.imaging import png_decode_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, ws, hs, nps, sums, mins, maxs = [], [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode_gray(bytes(p))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                mids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                nps.append(w * h)
+                sums.append(int(arr.sum(dtype=np.int64)))
+                mins.append(int(arr.min()))
+                maxs.append(int(arr.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "width": ws,
+                    "height": hs,
+                    "n_pixels": nps,
+                    "sum_pixels": sums,
+                    "min_pixel": mins,
+                    "max_pixel": maxs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
 def media_metadata_summary(media: DataFrame) -> DataFrame:

@@ -734,6 +734,47 @@ def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pixel_stats",
+    """
+WITH params AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS c,
+         1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS w,
+         1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS h
+  FROM documents
+),
+rowpx AS (
+  SELECT media_id, w, h,
+         list_transform(generate_series(0, CAST(w - 1 AS INTEGER)),
+                        x -> (x * 7 + c) % 256) AS px
+  FROM params
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(px, 'sum') * h AS BIGINT) AS sum_pixels,
+       CAST(list_aggregate(px, 'min') AS INTEGER) AS min_pixel,
+       CAST(list_aggregate(px, 'max') AS INTEGER) AS max_pixel
+FROM rowpx
+""",
+)
+def q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL pixel-raster decode, oracle-checked end to end: documents
+    are encoded as spec-valid grayscale PNGs (zlib + CRC chunks), the
+    decode stage inflates the IDAT stream and unfilters every row back
+    to raw pixels (stdlib only — functions/imaging.py png_decode_gray),
+    and the output is integer-exact per-image channel statistics. The
+    oracle recomputes the stats from the deterministic generator
+    parameters (pixel x of every row is (x*7 + md5[0]) % 256), so a
+    hash match proves the byte-level raster round trip — the last piece
+    of the multimodal path that was previously header-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(docs)
+    return multimodal.pixel_stats(media)
+
+
+@register(
     "multimodal_frame_samples",
     _MEDIA_CTE
     + """

@@ -13,9 +13,11 @@ streaming is part of the beyond-reference surface (SURVEY.md §2.4).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.registry import register
 from parallel_map_reduce_spark.streaming import windowed
@@ -66,10 +68,12 @@ def _run_to_fresh_upsert(
 ) -> DataFrame:
     """Run an update-mode streaming plan to completion (availableNow)
     through the idempotent foreachBatch upsert sink into a FRESH parquet
-    table, and return a batch DataFrame over that table. mkdtemp gives
+    table, and return the result as a batch DataFrame. mkdtemp gives
     every call its own target + checkpoint, so repeated or concurrent
     driver/bench/pytest invocations can never rmtree each other's
-    in-progress sink."""
+    in-progress sink; the sink + checkpoint dirs are deleted before
+    returning (the readback is localCheckpoint-materialized first), so
+    repeated runs don't accumulate parquet/checkpoint litter in /tmp."""
     spark = stream_df.sparkSession
     run_dir = tempfile.mkdtemp(prefix=f"pmr_spark_stream_{tag}_")
     target = os.path.join(run_dir, "table")
@@ -86,7 +90,9 @@ def _run_to_fresh_upsert(
     # timeout — a bounded wait that ignores awaitTermination's False
     # return would hand a partially-written sink to the driver's hash.
     q.awaitTermination()
-    return spark.read.parquet(target)
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
 
 
 @register(
@@ -119,3 +125,100 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed.stream_events(spark, sf_dir), watermark="3650 days"
     )
     return _run_to_fresh_upsert(totals, "running", ["user_id"])
+
+
+@register(
+    "streaming_sliding_means",
+    """
+WITH bucketed AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+           AS window_start,
+         event_type, value
+  FROM events
+),
+expanded AS (
+  SELECT window_start, event_type, value FROM bucketed
+  UNION ALL
+  SELECT window_start - INTERVAL 30 MINUTE, event_type, value FROM bucketed
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM expanded
+GROUP BY window_start, event_type
+""",
+)
+def q_streaming_sliding_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows through the real streaming engine: 1-hour windows
+    every 30 minutes (each event lands in exactly two overlapping
+    windows), aggregated with a watermark in update mode and landed via
+    the idempotent upsert sink keyed on (window_start, event_type) —
+    same engine path as streaming_tumbling_counts but exercising the
+    overlapping-window state layout. The DuckDB oracle expands each
+    event into its two covering windows with integer epoch-microsecond
+    arithmetic (window starts are 30-minute multiples since the epoch,
+    exactly Spark's window() alignment) and replays the aggregate.
+
+    Scale posture: overlapping windows multiply state rows by
+    size/slide (2x here) — that ratio, not the stream length, is the
+    state cost; watermark eviction still bounds it to the horizon.
+    """
+    means = windowed.sliding_means(
+        windowed.stream_events(spark, sf_dir), watermark="3650 days"
+    )
+    # The oracle hashes the mergeable (count, sum) pair; avg_value stays a
+    # library-surface column (its division lands on round-4 boundaries
+    # where cross-engine summation-order ulps flip the last digit).
+    out = _run_to_fresh_upsert(
+        means, "sliding", ["window_start", "event_type"]
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+@register(
+    "streaming_dedup_user_totals",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_streaming_dedup_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once REDELIVERY DEDUP through the real streaming engine:
+    the events file is staged TWICE (two paths, same bytes — an
+    at-least-once upstream re-delivering the whole feed) and consumed
+    one file per micro-batch, so the second delivery arrives in a later
+    batch and must be eliminated by dropDuplicatesWithinWatermark state
+    carried ACROSS batches, not within-batch hashing. The deduped
+    stream feeds a per-user aggregate landed via the upsert sink; the
+    DuckDB oracle is the single-delivery batch GROUP BY — the hash
+    matches only if every one of the redelivered rows was dropped.
+
+    Scale posture: dedup state is one entry per event_id inside the
+    watermark horizon (evicted past it, O(events/horizon) not
+    O(stream)); the aggregate state is one pair per user. This is the
+    standard idempotency front-end every production streaming pipeline
+    places before its aggregates.
+    """
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = tempfile.mkdtemp(prefix="pmr_spark_stream_redeliver_")
+    os.symlink(src, os.path.join(stage, "delivery_1.parquet"))
+    os.symlink(src, os.path.join(stage, "delivery_2.parquet"))
+    ev = windowed.stream_events_dir(
+        spark, stage, probe_path=src, max_files_per_trigger=1
+    )
+    totals = (
+        windowed.deduped_events(ev, watermark="3650 days")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    try:
+        return _run_to_fresh_upsert(totals, "dedup", ["user_id"])
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

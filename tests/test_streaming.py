@@ -354,3 +354,30 @@ def test_tumbling_counts_runs_in_append_mode(spark, tmp_path):
     for r in rows:
         assert r["window_start"] < max_ts, "open tail window must be withheld"
         assert r["n_events"] == 2 * batch[(r["window_start"], r["event_type"])]
+
+
+def test_redelivery_dedup_totals_match_single_delivery(spark):
+    """The registered redelivery-dedup query: the feed staged twice, one
+    file per micro-batch, so the duplicate delivery lands in a LATER
+    batch and is dropped by dropDuplicatesWithinWatermark state carried
+    across batches. Per-user totals must equal the single-delivery batch
+    GROUP BY — doubled counts mean the cross-batch state failed."""
+    from parallel_map_reduce_spark.operators.queries_streaming import (
+        q_streaming_dedup_user_totals,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in q_streaming_dedup_user_totals(spark, SF).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
