@@ -213,6 +213,15 @@ def minhash_lsh_dedup_pairs(
     array_intersect — O(|candidates|) work. It never runs the global
     shingle self-join (that inverted-index join is the exact tier,
     ngram_jaccard_pairs, and blows up when shingles are corpus-frequent).
+
+    Banding guidance (measured, tools/bench_lsh_banding.py + PLANS.md):
+    a pair at jaccard s is a candidate with p = 1-(1-s^r)^b, r =
+    num_hashes/bands; the S-curve midpoint is ~(1/b)^(1/r). The (12, 4)
+    default (r=3, midpoint 0.63) gives full recall at t=0.5 with 4×
+    fewer candidates than r=2. Raise r toward 4 at scale when candidate
+    volume is the bottleneck (measured −0.4% recall); r=8 (midpoint
+    0.92) is a t≈0.9 near-exact setting and drops ~10% of true pairs if
+    run at t=0.5.
     """
     # Materialize signatures once: they feed a SELF-join whose sides
     # alias columns differently, so Catalyst replans both branches from
@@ -358,25 +367,61 @@ def _jaccard_pairs_prefix_filtered(
     always measured in the universe the index actually contains (matters
     for the DF-capped variant).
     """
-    # `ranked` feeds the a-prefix, b-prefix, and full-set branches. It is
-    # deliberately NOT materialized: the frame is corpus × shingles wide,
-    # and measured at sf0.1 checkpointing it costs more (7.1 s) than the
-    # triple recompute (4.5 s) — unlike the 1-row-per-doc signature
-    # frames, which are materialized (see simhash/minhash tiers).
-    ranked = ranked_shingle_index(sh, id_col)
-    prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    # Dictionary-encode shingles to unique longs, then materialize ONE
+    # compact (id, _sid, _df) index — three longs per row — that every
+    # downstream stage reads: the ranking window, both prefix self-join
+    # sides, and the verify intersects all move/compare 8-byte longs
+    # instead of ~25-byte shingle strings (the verify's 765k
+    # candidate-pair array intersects were 70% of wall time on string
+    # hash sets). monotonically_increasing_id is unique per row
+    # (collision-FREE — intersection counts stay provably exact, unlike
+    # a 64-bit content hash) and, though nondeterministic across
+    # recomputes, is computed inside the single `idx` plan below and
+    # frozen by its eager materialization — the same "the index is a
+    # stored table" discipline as the minhash/simhash tiers; at 100 TB
+    # the shingle dictionary is a persisted linear-size artifact. The
+    # shingle STRING never leaves this plan.
+    dict_df = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+    )
+    idx = (
+        sh.join(dict_df, "shingle")
+        .select(id_col, "_sid", "_df")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    # Rank tiebreak by _sid, not the shingle string: the prefix-filter
+    # theorem needs only SOME global total order shared by all documents
+    # ((_df, _sid) is total since _sid is unique), and longs sort/ship
+    # cheaper. Output is order-independent either way (exact verify).
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_sid").asc())
+    wn = Window.partitionBy(id_col)
+    prefix = (
+        idx.select(
+            F.col(id_col),
+            F.col("_sid"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("n_sh"),
+        )
+        .filter(
+            F.col("_rn")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+        )
+        .select(id_col, "_sid", "n_sh")
+        .localCheckpoint(eager=True)
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col(id_col).alias("id_a"), "_sid", F.col("n_sh").alias("n_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col(id_col).alias("id_b"), "_sid", F.col("n_sh").alias("n_b")
     )
     t = F.lit(threshold)
     candidates = (
-        a.join(b, "shingle")
+        a.join(b, "_sid")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") * t <= F.col("n_a"))
@@ -384,14 +429,26 @@ def _jaccard_pairs_prefix_filtered(
         )
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # built from `ranked`, which the window already hash-partitioned by
-    # id_col — Catalyst reuses that exchange, so no extra shuffle
-    sets = ranked.groupBy(id_col).agg(F.collect_list("shingle").alias("sh_set"))
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Verify stage, candidate-restricted (same shape as the LSH verify):
+    # full shingle-id sets are needed ONLY for docs appearing in some
+    # candidate pair, so semi-join the compact index down first — the
+    # collect_list shuffle moves candidate docs' longs, not the corpus.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        idx.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("_sid").alias("sid_set"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sid_set").alias("sid_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sid_set").alias("sid_b"))
+    inter = F.size(F.array_intersect(F.col("sid_a"), F.col("sid_b")))
+    union = F.size("sid_a") + F.size("sid_b") - inter
     jac = inter / union
     # Unrounded threshold filter (see _jaccard_pairs_from_index): keeps the
     # prefix tier's documented IDENTICAL-output contract exact even for
@@ -435,10 +492,13 @@ def ngram_jaccard_pairs_prefix(
     ``ngram_jaccard_pairs`` (property-tested set equality), different
     physical shape: the self-join touches only each document's rarest
     ``n - ceil(t*n) + 1`` shingles, so Zipfian head shingles never fan
-    out. The 100 TB form of the exact tier; at sandbox scale its extra
-    shuffles (DF count, per-doc ranking window, verify joins) cost more
-    than the naive join saves, which is why it is registered as a
-    separate query rather than replacing the default.
+    out. The 100 TB form of the exact tier. The whole pipeline past the
+    one dictionary-encode pass moves longs, not shingle strings (r4: the
+    dictionary + compact-index rework cut sf0.1 wall time 2.1×); at
+    sandbox scale the DF-capped naive join is still faster (its corpus
+    has no Zipfian head — see PLANS.md's measured crossover), which is
+    why the prefix tier is registered as a separate query rather than
+    replacing the default.
     """
     sh = explode_shingles(df, text_col, id_col, shingle_n)
     return _jaccard_pairs_prefix_filtered(sh, id_col, threshold)

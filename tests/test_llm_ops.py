@@ -191,6 +191,36 @@ def test_prefix_filter_excludes_hot_shingles_from_join(spark):
     assert shrunk and all(n_prefix < n_sh for n_prefix, n_sh in shrunk)
 
 
+def test_prefix_equals_naive_on_zipfian_boilerplate(spark):
+    """Pytest twin of tools/bench_skew_crossover.py: on a corpus with a
+    genuine Zipfian head (a boilerplate block shared by 120 of 440 docs
+    — hot-shingle document frequency f=120, far past anything in the
+    synthetic testdata), the prefix tier must still return EXACTLY the
+    naive tier's pair set. This is the regime the prefix tier exists
+    for; equality here pins the lossless claim where pruning actually
+    bites."""
+    boiler = " ".join(f"boiler{i}" for i in range(15))
+    n_docs, hot_f = 400, 120
+    rows = []
+    for d in range(n_docs):
+        body = " ".join(f"w{d}x{i}" for i in range(40))
+        rows.append((d, body + " " + boiler if d < hot_f else body))
+    for i in range(40):  # true near-dup clones, some inside the hot set
+        body = " ".join(f"w{i}x{j}" for j in range(40))
+        suffix = " " + boiler if i < hot_f else ""
+        rows.append((n_docs + i, body + " zz" + str(i) + suffix))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {
+        tuple(r) for r in dedup.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs_prefix(df, threshold=0.2).collect()
+    }
+    assert prefix == naive
+    assert len(naive) >= 40  # every clone pair found
+
+
 def test_df_cap_identity_when_cap_not_hit(spark, docs):
     """With a cap above the corpus's max shingle DF, the capped tier is
     exactly the uncapped tier (cap only ever REMOVES hot shingles)."""
