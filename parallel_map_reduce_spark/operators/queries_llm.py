@@ -1608,16 +1608,42 @@ def q_semantic_dedup_keep_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.7-1.0% across sf0.001-0.1). The ship-path operator itself is
     _semantic_dedup_keep(edge_builder='ann') (returns the real kept
     corpus)."""
-    exact_keep = (
-        _semantic_dedup_keep(spark, sf_dir, edge_builder="exact")
-        .select("doc_id")
+    # Both keep-sets need connected components, and at bench scale the
+    # component LOOP's per-round overhead dominates the tiny dedup
+    # graphs — so run ONE joint fixpoint over the disjoint union of the
+    # two edge sets (ann-graph node ids offset out of the exact graph's
+    # id space). Labels can't cross the offset boundary (components
+    # only connect via edges), so the split results are identical to
+    # two separate runs at half the loop cost.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_edges = (
+        similarity.embedding_all_pairs_blocked(emb, threshold=EMBED_DUP_THRESHOLD)
+        .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    ann_keep = (
-        _semantic_dedup_keep(spark, sf_dir, edge_builder="ann")
-        .select("doc_id")
+    ann_edges = (
+        similarity.embedding_near_dup_lsh(
+            emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
+        )
+        .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
+    off = F.lit(1 << 40)
+    joint = exact_edges.unionByName(
+        ann_edges.select(
+            (F.col("id_a") + off).alias("id_a"), (F.col("id_b") + off).alias("id_b")
+        )
+    )
+    comp = dedup.connected_components(joint).localCheckpoint(eager=True)
+    losers_exact = comp.filter(
+        (F.col("u") < off) & (F.col("u") != F.col("label"))
+    ).select(F.col("u").alias("doc_id"))
+    losers_ann = comp.filter(
+        (F.col("u") >= off) & (F.col("u") != F.col("label"))
+    ).select((F.col("u") - off).alias("doc_id"))
+    exact_keep = docs.join(F.broadcast(losers_exact), "doc_id", "left_anti")
+    ann_keep = docs.join(F.broadcast(losers_ann), "doc_id", "left_anti")
     aux = (
         exact_keep.join(ann_keep, "doc_id", "left_anti")
         .agg(F.count(F.lit(1)).alias("n_missing"))

@@ -176,6 +176,71 @@ def q_streaming_sliding_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n_events", "sum_value")
 
 
+def _run_append_to_fresh_parquet(stream_df: DataFrame, tag: str) -> DataFrame:
+    """Run an APPEND-mode streaming plan to completion (availableNow)
+    into a fresh parquet sink and return the rows as a batch DataFrame.
+    Append mode is the native output mode for stream-stream joins (each
+    matched pair is final the moment it is emitted — nothing to upsert);
+    same fresh-dir + cleanup discipline as _run_to_fresh_upsert."""
+    spark = stream_df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix=f"pmr_spark_stream_{tag}_")
+    target = os.path.join(run_dir, "table")
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       v.event_id AS view_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 60 MINUTE
+WHERE p.event_type = 'purchase'
+  AND v.event_type = 'view'
+""",
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join through the real engine: purchases and
+    views are two streaming projections of the same file-source stream,
+    joined on user with a 60-minute event-time band, run availableNow in
+    append mode into a fresh parquet sink (append is the join's native
+    mode — an inner match is final when emitted). Cross-micro-batch
+    matches must come out of the join STATE STORE — a purchase in batch
+    N joins views buffered from batches < N — so the driver's value-hash
+    against the batch self-join oracle proves the buffered-state path,
+    not just the join predicate. Batch twin of the same shape:
+    ``interval_join_event_pairs``.
+
+    Scale posture: both sides carry watermarks and the join condition
+    bounds event-time distance, so state is evicted past
+    (watermark + band) and an unbounded run holds a bounded buffer;
+    the oracle-gate horizon is set beyond the table's span so no match
+    can be lost to eviction (eviction itself is pytest-covered)."""
+    pairs = windowed.stream_stream_purchase_view_join(
+        windowed.stream_events(spark, sf_dir),
+        band="60 minutes",
+        watermark="3650 days",
+    )
+    return _run_append_to_fresh_parquet(pairs, "ssjoin")
+
+
 @register(
     "streaming_dedup_user_totals",
     """

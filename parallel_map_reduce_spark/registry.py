@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "multimodal_pixel_stats",
     "streaming_sliding_means",
     "streaming_dedup_user_totals",
+    "streaming_stream_stream_join",
     # r4 code change: prefix-tier shuffle trim (VERDICT r3 #4)
     "ngram_jaccard_pairs_prefix",
     # flagship anchors (fell off at r3 slots 51-54; last green r2)
@@ -100,7 +101,6 @@ _PRIORITY: list[str] = [
     "tpch_q15_top_supplier",
     "skew_salted_join_top_words",
     "salted_count_distinct_users",
-    "percentiles",
 ]
 
 
