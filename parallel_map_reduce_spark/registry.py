@@ -75,29 +75,34 @@ _PRIORITY: list[str] = [
     "embedding_near_dup_lsh",
     "semantic_dedup_keep_corpus_ann",
     "semantic_dedup_keep_corpus",
-    # round-4 new
+    # round-4 new, plus r3-green rows whose code the r4 imaging /
+    # streaming-sink changes touched (rows must postdate the code)
     "multimodal_pixel_stats",
+    "multimodal_real_decode",
     "streaming_sliding_means",
     "streaming_dedup_user_totals",
     "streaming_stream_stream_join",
-    # r4 code change: prefix-tier shuffle trim (VERDICT r3 #4)
+    "streaming_tumbling_counts",
+    "streaming_running_user_totals",
+    # r4 code changes: prefix-tier dictionary rework (VERDICT r3 #4) and
+    # connected-components pointer jumping — every components consumer
+    # whose latest green row (r3) predates the r4 CC change re-windows
+    # here so no row is older than the code under it
     "ngram_jaccard_pairs_prefix",
+    "dedup_group_assignment_lsh",
+    "dedup_keep_corpus_lsh",
+    "pipeline_training_batches",
+    "pipeline_training_batches_lsh",
     # flagship anchors (fell off at r3 slots 51-54; last green r2)
     "wordcount",
     "wordcount_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # heaviest r2-latest rows fill the remaining slots
+    # heaviest r2-latest rows (on UNCHANGED code — r2 green stays valid)
+    # fill the remaining slots
     "wordcount_per_doc",
-    "wordcount_rdd",
-    "word_totals",
-    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "skew_salted_join_top_words",
     "salted_count_distinct_users",
