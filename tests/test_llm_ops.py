@@ -521,6 +521,23 @@ def test_connected_components_chain_and_cliques(spark):
     }
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph (diameter 63) must converge inside the
+    default max_iter=25 — possible only because each round composes a
+    pointer jump (label(u) <- label(label(u))) with the neighbor
+    propagation, making convergence O(log diameter). Plain min-label
+    propagation would need 63 rounds and silently return unconverged
+    labels; this pins the jump against regression."""
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {r["u"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_binary_file_source_reads_payload_bytes(spark):
     """binaryFile ingestion: content bytes and lengths must match the
     on-disk files exactly, and a metadata-only projection must not fail
