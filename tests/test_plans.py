@@ -278,3 +278,15 @@ def test_lsh_verify_restricted_to_candidates(spark):
     collect_set shuffle moves candidates, not the corpus."""
     plan = plan_of(spark, "minhash_lsh_dedup_pairs", mode="simple")
     assert "LeftSemi" in plan
+
+
+def test_prefix_tier_materializes_index_once(spark):
+    """The prefix tier's final plan must read ONLY materialized frames:
+    the dictionary-encoded index is checkpointed once and feeds the
+    ranking, both self-join sides, and the verify sets, so no parquet
+    scan (and no re-shingling) appears downstream — and the self-join
+    key is the dictionary long `_sid`, never the shingle string."""
+    plan = plan_of(spark, "ngram_jaccard_pairs_prefix", mode="simple")
+    assert "FileScan parquet" not in plan and "Scan parquet" not in plan
+    assert "ExistingRDD" in plan  # checkpointed index/candidates inputs
+    assert "shingle" not in plan  # strings never leave the dictionary plan
