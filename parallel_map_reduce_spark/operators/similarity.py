@@ -325,16 +325,19 @@ def embedding_all_pairs_blocked(
         mat_l = np.stack(left["vec"].to_numpy())
 
         def seq_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-            # acc + v in dimension order == the JVM/DuckDB sequential fold
+            # acc + v in dimension order == the JVM/DuckDB sequential
+            # fold; in-place += keeps the identical per-element addition
+            # order (g[i,j] = ((0 + x0) + x1) + ...) while avoiding a
+            # fresh m×n allocation per dimension
             g = np.zeros((a.shape[0], b.shape[0]))
             for d in range(a.shape[1]):
-                g = g + np.outer(a[:, d], b[:, d])
+                g += a[:, d, None] * b[None, :, d]
             return g
 
         def seq_norm(a: np.ndarray) -> np.ndarray:
             n2 = np.zeros(a.shape[0])
             for d in range(a.shape[1]):
-                n2 = n2 + a[:, d] * a[:, d]
+                n2 += a[:, d] * a[:, d]
             return np.sqrt(n2)
 
         if bi == bj:
