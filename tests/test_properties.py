@@ -205,3 +205,49 @@ def test_doc_repetition_matches_python_model(spark, texts):
         for r in q_doc_repetition(spark, tmp).collect()
     }
     assert got == expected
+
+
+# --- connected components vs a union-find model -------------------------
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(ns) for r, ns in groups.items() for n in ns}
+
+
+@given(edges=EDGE_LISTS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label + pointer-jump fixpoint must label every
+    node with its component's minimum id, on arbitrary random multigraphs
+    (parallel edges, both orientations, arbitrary id gaps) — checked
+    against a pure-Python union-find model."""
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["u"]: r["label"] for r in connected_components(df).collect()}
+    assert got == model_components(edges)
