@@ -72,6 +72,12 @@ HEADLINE = [
     "stratified_sample_deterministic",
     "streaming_tumbling_counts",
     "streaming_running_user_totals",
+    # round-4 breadth: real PNG raster decode to per-image channel stats
+    # (streaming_sliding_means / _dedup_user_totals / stream_stream_join
+    # are deliberately NOT benched: each is another full engine run at
+    # ~5-10 s of pure micro-batch scheduling overhead, and the two
+    # benched streaming rows already track that engine path's cost)
+    "multimodal_pixel_stats",
 ]
 
 
