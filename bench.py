@@ -78,6 +78,7 @@ HEADLINE = [
     # ~5-10 s of pure micro-batch scheduling overhead, and the two
     # benched streaming rows already track that engine path's cost)
     "multimodal_pixel_stats",
+    "duplicated_span_stats",  # exact-substring duplication metrics (linear)
 ]
 
 

@@ -1755,6 +1755,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source")
 
 
+
+
+_SPAN_LEN = 8
+
+@register(
+    "duplicated_span_stats",
+    _TOKS_CTE
+    + f""",
+wins AS (
+  SELECT doc_id, i AS pos,
+         {hash64_sql("array_to_string(ws[i:i+%d], ' ')" % (_SPAN_LEN - 1), 0)} AS wh
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-{_SPAN_LEN - 1}, 0))) AS t(i)
+),
+canon AS (
+  SELECT wh, MIN(doc_id * 1000000000 + pos) AS cp, COUNT(*) AS cnt
+  FROM wins GROUP BY wh HAVING COUNT(*) > 1
+),
+dups AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN canon c USING (wh)
+  WHERE w.doc_id * 1000000000 + w.pos <> c.cp
+),
+cov AS (
+  SELECT doc_id,
+         LEAST({_SPAN_LEN}, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                                     {_SPAN_LEN})) AS covered
+  FROM dups
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows, SUM(covered) AS n_dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       ROUND(CASE WHEN len(t.ws) > 0
+                  THEN COALESCE(p.n_dup_tokens, 0) * 1.0 / len(t.ws)
+                  ELSE 0.0 END, 4) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication diagnostics (Lee et al. 2022,
+    ExactSubstr): per-document count and token coverage of repeated
+    8-token spans whose canonical (first) occurrence lives elsewhere in
+    the corpus — the measurement a substring-dedup pass cuts on. Linear
+    shape end to end: one window explode per token, a groupBy(hash)
+    aggregate for the canonical choice (boilerplate spans partial-agg,
+    never fan out), and an interval-merge via one lead() window."""
+    return textstats.duplicated_span_stats(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_LEN
+    )
+
+
 @register(
     "doc_repetition_stats",
     _TOKS_CTE

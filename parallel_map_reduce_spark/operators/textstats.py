@@ -290,3 +290,100 @@ def decontaminate_against_eval(
             (F.col("n_shared") * 5 >= F.col("n_sh")).alias("contaminated"),
         )
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication metrics per document (the ExactSubstr
+    diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): hash every overlapping `span_len`-token
+    window, call the corpus-first occurrence (min encoded (doc, pos))
+    canonical, and measure how much of each document is covered by
+    NON-canonical repeated spans — the fraction those pipelines cut or
+    use as a filter criterion.
+
+    Output: (doc_id, n_tokens, n_dup_windows, n_dup_tokens, dup_frac).
+    Covered-token counting merges overlapping spans exactly with one
+    lead() window: consecutive duplicated starts p, p' overlap iff
+    p' - p < span_len, so each contributes min(span_len, p' - p) tokens.
+
+    Scale posture: the window explode is one row per token (linear, no
+    distinct); the canonical choice is a groupBy(hash) AGGREGATE — a
+    corpus-frequent boilerplate span lands in one partial-agg'd group,
+    never a self-join fan-out (contrast the jaccard tiers, where pairing
+    is the point); the join back is linear. Canonical encoding
+    doc_id*1e9+pos is a single long both engines order identically.
+    Portable md5 window hashes, so DuckDB replays every step.
+    """
+    from pyspark.sql import Window
+
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(df, text_col, id_col)
+    n = F.size("tk")
+    idx = F.sequence(F.lit(1), n - (span_len - 1))
+    whs = F.transform(
+        idx,
+        lambda i: hash64(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("tk"), i + j) for j in range(span_len)]
+            ),
+            0,
+        ),
+    )
+    # posexplode the window-hash EXPRESSION, not a projected attribute —
+    # same generator rule as explode_shingles: exploding an attribute
+    # lets InferFiltersFromGenerate push a size()>0 filter below the
+    # projection, re-deriving the whole md5 array per row (measured 86 s
+    # vs 3 s at sf0.1).
+    wins = tdf.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n >= span_len, whs).otherwise(F.array())
+        ).alias("pos0", "wh"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "wh")
+    enc = F.col(id_col) * F.lit(1_000_000_000) + F.col("pos")
+    canon = (
+        wins.groupBy("wh")
+        .agg(F.min(enc).alias("cp"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    dups = (
+        wins.join(canon, "wh")
+        .filter(enc != F.col("cp"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = F.least(
+        F.lit(span_len),
+        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(span_len)),
+    )
+    per_doc = (
+        dups.select(F.col(id_col), covered.alias("cov"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("cov").alias("n_dup_tokens"),
+        )
+    )
+    return (
+        tdf.select(F.col(id_col), n.alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "streaming_tumbling_counts",
     "streaming_running_user_totals",
+    "duplicated_span_stats",
     # r4 code changes: prefix-tier dictionary rework (VERDICT r3 #4) and
     # connected-components pointer jumping — every components consumer
     # whose latest green row (r3) predates the r4 CC change re-windows
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     "wordcount_per_doc",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
     "skew_salted_join_top_words",
     "salted_count_distinct_users",
 ]

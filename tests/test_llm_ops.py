@@ -624,3 +624,30 @@ def test_stratified_sample_deterministic_and_rate(spark, docs):
         q_stratified_sample(spark, SF).filter(F.col("lang") == "en").count()
     )
     assert abs(en_kept / en_total - 0.5) < 0.2
+
+
+def test_duplicated_span_stats_planted(spark):
+    """Exact-substring span stats on a constructed corpus: doc 0 is
+    canonical; doc 1 repeats an 8-token block from doc 0 (one window's
+    coverage = 8 tokens); doc 2 repeats a 10-token block (3 overlapping
+    duplicated windows whose merged coverage is 10 tokens, pinning the
+    interval-merge arithmetic); doc 3 shares nothing."""
+    from parallel_map_reduce_spark.operators.textstats import duplicated_span_stats
+
+    block8 = " ".join(f"b{i}" for i in range(8))
+    block10 = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, block8 + " " + block10),                  # canonical for both
+        (1, "u1a u1b " + block8 + " u1c"),            # one 8-window dup
+        (2, "v1 " + block10 + " v2 v3"),              # three windows, 10 tokens
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),           # unique content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["n_dup_tokens"], r["dup_frac"])
+        for r in duplicated_span_stats(df).collect()
+    }
+    assert got[0] == (18, 0, 0, 0.0)  # canonical occurrences don't count
+    assert got[1] == (11, 1, 8, round(8 / 11, 4))
+    assert got[2] == (13, 3, 10, round(10 / 13, 4))
+    assert got[3] == (9, 0, 0, 0.0)
