@@ -1810,6 +1810,61 @@ def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "substring_dedup_corpus",
+    _TOKS_CTE
+    + f""",
+wins AS (
+  SELECT doc_id, i AS pos,
+         {hash64_sql("array_to_string(ws[i:i+%d], ' ')" % (_SPAN_LEN - 1), 0)} AS wh
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-{_SPAN_LEN - 1}, 0))) AS t(i)
+),
+canon AS (
+  SELECT wh, MIN(doc_id * 1000000000 + pos) AS cp, COUNT(*) AS cnt
+  FROM wins GROUP BY wh HAVING COUNT(*) > 1
+),
+dups AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN canon c USING (wh)
+  WHERE w.doc_id * 1000000000 + w.pos <> c.cp
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + x AS i
+  FROM dups CROSS JOIN UNNEST(generate_series(0, {_SPAN_LEN - 1})) AS u(x)
+),
+positions AS (
+  SELECT doc_id, i, ws[i] AS tok
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM positions p ANTI JOIN covered c USING (doc_id, i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): the corpus rewritten so
+    every duplicated 8-token span survives only at its corpus-first
+    occurrence — the act half of duplicated_span_stats' measurement.
+    The full rewritten text round-trips through the oracle's value
+    hash, so the token-drop arithmetic is verified string-for-string."""
+    return textstats.substring_dedup_corpus(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_LEN
+    )
+
+
 @register(
     "doc_repetition_stats",
     _TOKS_CTE

@@ -371,7 +371,7 @@ def duplicated_span_stats(
         )
     )
     return (
-        tdf.select(F.col(id_col), n.alias("n_tokens"))
+        tdf.select(F.col(id_col), n.cast("long").alias("n_tokens"))
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -386,4 +386,81 @@ def duplicated_span_stats(
                 4,
             ).alias("dup_frac"),
         )
+    )
+
+
+def substring_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the act half of duplicated_span_stats'
+    measurement, Lee et al. 2022): rewrite each document with every
+    token covered by a non-canonical repeated `span_len`-token span
+    dropped — the corpus keeps exactly one copy (the corpus-first
+    occurrence) of every duplicated substring.
+
+    Output: (doc_id, n_tokens, n_tokens_kept, clean_text).
+
+    Scale posture: the duplicated-span discovery is the linear
+    groupBy(hash) pipeline of duplicated_span_stats; the rewrite joins
+    each doc's (small) sorted span-start list back and filters the
+    token array with one indexed higher-order lambda — per-doc work is
+    tokens × spans with spans tiny, and nothing beyond the span lists
+    (not the corpus) moves through the extra join.
+    """
+    from pyspark.sql import Window  # noqa: F401 (parallel with stats op)
+
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(df, text_col, id_col)
+    n = F.size("tk")
+    idx = F.sequence(F.lit(1), n - (span_len - 1))
+    whs = F.transform(
+        idx,
+        lambda i: hash64(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("tk"), i + j) for j in range(span_len)]
+            ),
+            0,
+        ),
+    )
+    wins = tdf.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n >= span_len, whs).otherwise(F.array())
+        ).alias("pos0", "wh"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "wh")
+    enc = F.col(id_col) * F.lit(1_000_000_000) + F.col("pos")
+    canon = (
+        wins.groupBy("wh")
+        .agg(F.min(enc).alias("cp"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    starts = (
+        wins.join(canon, "wh")
+        .filter(enc != F.col("cp"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    with_spans = tdf.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("tk"),
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    # keep token at 0-based index i unless some dup span [p, p+L-1]
+    # (1-based) covers it
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("starts"),
+            lambda p: (i + 1 >= p) & (i + 1 <= p + F.lit(span_len - 1)),
+        ),
+    )
+    return with_spans.select(
+        F.col(id_col),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_counts",
     "streaming_running_user_totals",
     "duplicated_span_stats",
+    "substring_dedup_corpus",
     # r4 code changes: prefix-tier dictionary rework (VERDICT r3 #4) and
     # connected-components pointer jumping — every components consumer
     # whose latest green row (r3) predates the r4 CC change re-windows
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     # fill the remaining slots
     "wordcount_per_doc",
     "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
     "skew_salted_join_top_words",
     "salted_count_distinct_users",
 ]

@@ -651,3 +651,23 @@ def test_duplicated_span_stats_planted(spark):
     assert got[1] == (11, 1, 8, round(8 / 11, 4))
     assert got[2] == (13, 3, 10, round(10 / 13, 4))
     assert got[3] == (9, 0, 0, 0.0)
+
+
+def test_substring_dedup_removes_only_noncanonical(spark):
+    """Removal twin of the planted span-stats test: the canonical doc
+    keeps its text verbatim; dup docs lose exactly the covered tokens
+    (their own unique tokens survive, order preserved)."""
+    from parallel_map_reduce_spark.operators.textstats import substring_dedup_corpus
+
+    block8 = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, block8 + " tail0"),
+        (1, "u1a u1b " + block8 + " u1c"),
+        (2, "w1 w2 w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens_kept"], r["clean_text"])
+           for r in substring_dedup_corpus(df).collect()}
+    assert got[0] == (9, block8 + " tail0")
+    assert got[1] == (3, "u1a u1b u1c")
+    assert got[2] == (3, "w1 w2 w3")
