@@ -79,6 +79,11 @@ HEADLINE = [
     # benched streaming rows already track that engine path's cost)
     "multimodal_pixel_stats",
     "duplicated_span_stats",  # exact-substring duplication metrics (linear)
+    # round-4b breadth: retrieval fusion + sketch/mixture/band curation
+    "hybrid_retrieval_rrf",
+    "heavy_hitters_tokens",
+    "domain_mixture_resample",
+    "quality_quantile_filter",
 ]
 
 

@@ -1446,6 +1446,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only matching tokens move); corpus stats broadcast as a 1-row
     join; top-10 is a k-heap."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_doc_scores(docs)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _bm25_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every doc matching the fixed 3-term query —
+    the scoring core shared by ``bm25_search`` and the lexical leg of
+    ``hybrid_retrieval_rrf`` so the formula can't drift between them."""
     from parallel_map_reduce_spark.functions.tokenize import tokens
 
     terms = ["table", "spark", "hash"]
@@ -1474,8 +1485,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(10)
     )
 
 
@@ -1921,4 +1930,318 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(dup / F.col("n_bigrams"), 4).alias("dup_frac"),
         (dup * 5 >= F.col("n_bigrams")).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation round 4b: hybrid retrieval, heavy hitters, mixture resampling,
+# quantile-band filtering
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RETRIEVE_N = 20
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT avg(dlen) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok
+       WHERE w IN ('table', 'spark', 'hash') GROUP BY doc_id, w),
+df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ),
+               4) AS bm25
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {_RETRIEVE_N}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+qv AS (SELECT vec FROM base WHERE vec_id = 0),
+dsc AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(b.vec, qv.vec), 6) AS sim
+  FROM base b CROSS JOIN qv WHERE b.vec_id <> 0
+),
+dense AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+  FROM dsc ORDER BY sim DESC, doc_id ASC LIMIT {_RETRIEVE_N}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0.0), 8) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al., SIGIR'09): the BM25 top-20 for the fixed 3-term
+    query and the cosine top-20 around a fixed query embedding
+    (vec_id 0; vec_id aligns with documents.doc_id) merge by
+    ``Σ 1/(60 + rank)`` — the standard first stage of a RAG / hard-
+    negative-mining retrieval stack.  Both legs rank on ROUNDED scores
+    with a doc_id tie-break, and the fused ordering is on the rounded
+    RRF score, so cross-engine ulp noise can't reorder anything.
+
+    Scale posture: each leg reduces to a distributed top-N
+    (TakeOrderedAndProject — a k-heap per partition, no global sort);
+    the rank window then runs over N=20 rows on one partition, which is
+    size-independent.  The fusion join touches ≤2N rows.  The dense leg
+    broadcasts the single query vector against the corpus (the
+    brute-force kNN kernel); swap in the LSH/IVF tier from
+    similarity.py for many-query workloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from parallel_map_reduce_spark.functions.vectors import cosine, to_double_array
+
+    lex_top = (
+        _bm25_doc_scores(docs)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RETRIEVE_N)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("vec"))
+    qv = base.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    dense_top = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(_RETRIEVE_N)
+    )
+    dense = dense_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("dense_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("dense_rank"), F.lit(0)).alias("dense_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+_MG_CAPACITY = 64
+
+
+@register(
+    "heavy_hitters_tokens",
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS w FROM documents
+),
+cnt AS (SELECT w AS token, COUNT(*) AS exact_cnt FROM tok GROUP BY w)
+SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       TRUE AS underestimate_ok, TRUE AS bound_ok
+FROM cnt ORDER BY exact_cnt DESC, token ASC LIMIT 10
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via a distributed Misra-Gries sketch
+    (textstats.heavy_hitter_sketch), audited against the exact top-10 in
+    the same query — the HLL pattern (exact twin + in-query bound
+    booleans) that keeps an approximate operator fully driver-
+    value-hashable.  For each exact top-10 token the sketch estimate
+    must (a) never overcount (``underestimate_ok``) and (b) undercount
+    by at most n_total/(capacity+1) (``bound_ok``) — the MG guarantee;
+    the estimates themselves are partition-dependent, so only the exact
+    values and the booleans are emitted.
+
+    Scale posture: the sketch shuffles ≤ capacity rows per partition
+    regardless of vocabulary size — the 100 TB path when distinct
+    tokens outgrow the exact groupBy's shuffle. The exact twin here is
+    the sandbox-scale audit, same tier split as dedup exact-vs-LSH."""
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))).alias("w")
+    )
+    tok = tok.localCheckpoint(eager=False)  # sketch + exact + total share one scan
+    est = textstats.heavy_hitter_sketch(tok, capacity=_MG_CAPACITY)
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    top10 = (
+        tok.groupBy(F.col("w").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    est_cnt = F.coalesce(F.col("mg_count"), F.lit(0))
+    return (
+        top10.join(F.broadcast(est), "token", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "exact_cnt",
+            (est_cnt <= F.col("exact_cnt")).alias("underestimate_ok"),
+            (
+                (F.col("exact_cnt") - est_cnt) * (_MG_CAPACITY + 1)
+                <= F.col("n_total")
+            ).alias("bound_ok"),
+        )
+    )
+
+
+_MIX_SEED = 7
+_POW60 = float(1 << 60)
+
+
+@register(
+    "domain_mixture_resample",
+    f"""
+WITH cnts AS (
+  SELECT source, COUNT(*) AS src_n,
+         (CAST(substr(source, 4) AS INT) % 4 + 1) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(w) AS sum_w,
+         CAST(FLOOR(SUM(src_n) / 2.0) AS BIGINT) AS t_total
+  FROM cnts
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cnts USING (source) CROSS JOIN tot
+WHERE CAST({hash64_sql("CAST(d.doc_id AS VARCHAR)", _MIX_SEED)} AS DOUBLE)
+        * (CAST(sum_w AS DOUBLE) * CAST(src_n AS DOUBLE))
+      < (CAST(t_total AS DOUBLE) * CAST(w AS DOUBLE)) * {_POW60!r}
+""",
+)
+def q_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (the DoReMi / The Pile-style mixing
+    step): resample the corpus to half its size with per-source target
+    shares proportional to a per-domain weight (here derived from the
+    source name's numeric suffix, standing in for the up/down-weight
+    table a data-mixing run feeds in).  Target for source s is
+    ``t_total · w_s / Σw``; the keep rule is
+    ``portable_hash(doc_id)/2^60 < target_s / src_n`` — a pure function
+    of the row and three broadcast scalars, so the sample is
+    reproducible across engines, partitionings and cluster sizes, and
+    the oracle verifies exact row membership.  Both engines compare in
+    DOUBLE with the identical multiply shape
+    ``hash·(Σw·src_n) < (t_total·w_s)·2^60`` so IEEE rounding agrees
+    bit-for-bit.
+
+    Scale posture: the per-source counts + weights are one partial agg
+    (rows = #domains), broadcast back; the keep probe is a codegen'd
+    scan — the corpus itself never shuffles.  A measured-quality weight
+    table (DoReMi proper) swaps into ``w`` without touching the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("substring(source, 4)").cast("int") % 4 + 1
+    cnts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_n"), F.first(w).alias("w")
+    )
+    tot = cnts.agg(
+        F.sum("w").alias("sum_w"),
+        F.floor(F.sum("src_n") / 2.0).cast("long").alias("t_total"),
+    )
+    keep = (
+        hash64(F.col("doc_id").cast("string"), _MIX_SEED).cast("double")
+        * (F.col("sum_w").cast("double") * F.col("src_n").cast("double"))
+        < (F.col("t_total").cast("double") * F.col("w").cast("double"))
+        * F.lit(_POW60)
+    )
+    return (
+        docs.join(F.broadcast(cnts), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(keep)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    _TOKS_CTE.replace("SELECT doc_id,", "SELECT doc_id, lang, text,")
+    + """,
+s AS (
+  SELECT doc_id, lang,
+    ROUND((alpha / safe_total) * (1 - punct / safe_total)
+          * least(n_tokens / 20.0, 1.0), 4) AS quality_score
+  FROM (
+    SELECT doc_id, lang,
+      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+      length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+      CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END::DOUBLE AS safe_total,
+      len(ws)::DOUBLE AS n_tokens
+    FROM toks
+  )
+),
+r AS (
+  SELECT doc_id, lang, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr
+  FROM s
+)
+SELECT doc_id, lang, quality_score, ROUND(pr, 6) AS pct_rank
+FROM r WHERE pr >= 0.25 AND pr <= 0.75
+""",
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band curation: keep each language's middle two quality
+    quartiles (drop the worst 25% as noise and the top 25% as likely
+    templated/duplicative text — the FineWeb-style band filter), using
+    the shared composite quality score.  PERCENT_RANK over (score,
+    doc_id) is pure rank arithmetic — (rank-1)/(n-1) with a total
+    order — so the band membership is deterministic and both engines
+    agree exactly at the boundaries (no interpolated-percentile float
+    drift).
+
+    Scale posture: one window sort per language — acceptable while
+    languages are few and balanced; at 100 TB swap the exact
+    percent_rank for per-lang approx_percentile thresholds (computed in
+    one partial agg, broadcast back, filter ``score BETWEEN p25 AND
+    p75``) — same band, no global per-lang sort; the exact form here is
+    the oracle twin for that swap, the same tier split as
+    ``percentiles`` vs ``approx_aggregates``."""
+    from parallel_map_reduce_spark.operators.textstats import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", quality_score_expr(F.col("text")).alias("quality_score")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("quality_score").asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        s.withColumn("pr", pr)
+        .filter((F.col("pr") >= 0.25) & (F.col("pr") <= 0.75))
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.round(F.col("pr"), 6).alias("pct_rank"),
+        )
     )

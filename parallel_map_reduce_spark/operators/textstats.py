@@ -464,3 +464,53 @@ def substring_dedup_corpus(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def heavy_hitter_sketch(
+    tok_df: DataFrame, token_col: str = "w", capacity: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries, mergeable by
+    summing counts per token (Agarwal et al., "Mergeable Summaries",
+    PODS'12): output rows are (token, mg_count) with at most `capacity`
+    tokens per input partition, and for every token
+    ``true_count - capacity_bound <= sum(mg_count) <= true_count`` where
+    the total undercount across the corpus is at most
+    ``n_total / (capacity + 1)``.  Any token with frequency above that
+    bound is guaranteed to survive — the classic heavy-hitter contract.
+
+    Spark shape: ``mapInPandas`` keeps O(capacity) state per partition
+    (vectorized ``value_counts`` per Arrow batch, then a capacity prune
+    that subtracts the (capacity+1)-st largest count from all — the MG
+    merge rule), and the cluster-wide merge is a plain ``groupBy(token)
+    .sum`` over at most ``capacity × n_partitions`` rows.  This is the
+    100 TB path for "top tokens" when the vocabulary itself doesn't fit:
+    the exact ``groupBy(token).count`` twin shuffles every distinct
+    token, the sketch shuffles a constant number of rows per partition.
+
+    The per-partition counts depend on the partitioning, so downstream
+    queries must hash only partition-independent derivatives (the exact
+    twin's values plus boolean bound checks — the HLL audit pattern).
+    """
+    import pandas as pd
+
+    def sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf[token_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                # MG merge prune: subtract the (capacity+1)-st largest
+                # count from everything, drop the non-positive.
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {
+                "token": pd.Series(list(counters), dtype="object"),
+                "mg_count": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    merged = tok_df.mapInPandas(sketch, "token string, mg_count long")
+    return merged.groupBy("token").agg(F.sum("mg_count").alias("mg_count"))

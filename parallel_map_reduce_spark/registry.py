@@ -100,12 +100,13 @@ _PRIORITY: list[str] = [
     "wordcount_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # heaviest r2-latest rows (on UNCHANGED code — r2 green stays valid)
-    # fill the remaining slots
-    "wordcount_per_doc",
-    "tpch_q5_local_supplier_volume",
-    "skew_salted_join_top_words",
-    "salted_count_distinct_users",
+    # round-4b new queries (never driver-checked — must be in-window;
+    # they displace the four heaviest r2-latest rows, whose code is
+    # unchanged so their r2 green rows stay valid)
+    "hybrid_retrieval_rrf",
+    "heavy_hitters_tokens",
+    "domain_mixture_resample",
+    "quality_quantile_filter",
 ]
 
 

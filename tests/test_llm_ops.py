@@ -671,3 +671,106 @@ def test_substring_dedup_removes_only_noncanonical(spark):
     assert got[0] == (9, block8 + " tail0")
     assert got[1] == (3, "u1a u1b u1c")
     assert got[2] == (3, "w1 w2 w3")
+
+
+# --- round-4b curation ops ----------------------------------------------
+
+
+def test_misra_gries_bound_under_pruning(spark):
+    """With capacity far below the vocabulary, the sketch must still
+    (a) never overcount and (b) undercount any token by at most
+    n_total/(capacity+1) — the MG guarantee the heavy_hitters_tokens
+    audit booleans encode. capacity=4 forces real pruning."""
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+    from parallel_map_reduce_spark.operators.textstats import heavy_hitter_sketch
+
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))).alias("w")
+    ).repartition(8)
+    cap = 4
+    est = {
+        r["token"]: r["mg_count"]
+        for r in heavy_hitter_sketch(tok, capacity=cap).collect()
+    }
+    exact = {r["w"]: r["cnt"] for r in tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_total = sum(exact.values())
+    assert len(est) > 0
+    for t, e in est.items():
+        assert e <= exact[t], f"{t}: overcount {e} > {exact[t]}"
+    for t, c in exact.items():
+        e = est.get(t, 0)
+        assert (c - e) * (cap + 1) <= n_total, f"{t}: bound violated"
+    # every token frequent enough is guaranteed present
+    for t, c in exact.items():
+        if c * (cap + 1) > n_total:
+            assert t in est, f"heavy hitter {t} missing from sketch"
+
+
+def test_hybrid_rrf_scores_match_rank_formula(spark):
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_hybrid_retrieval_rrf,
+    )
+
+    rows = q_hybrid_retrieval_rrf(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] > 0:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] > 0:
+            expect += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-6
+        assert 0 <= r["lex_rank"] <= 20 and 0 <= r["dense_rank"] <= 20
+    # fused ordering is descending on the rounded score
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_domain_mixture_hits_weighted_targets(spark):
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_domain_mixture_resample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src_n = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: int(s[3:]) % 4 + 1 for s in src_n}
+    sum_w = sum(weights.values())
+    t_total = sum(src_n.values()) // 2
+    kept = q_domain_mixture_resample(spark, SF).collect()
+    by_src: dict[str, int] = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    for s, n in src_n.items():
+        target = t_total * weights[s] / sum_w
+        rate = min(1.0, target / n)
+        got = by_src.get(s, 0)
+        # 4-sigma binomial tolerance
+        sigma = math.sqrt(n * rate * (1 - rate))
+        assert abs(got - n * rate) <= 4 * sigma + 1, (s, got, n * rate)
+    # determinism: the keep decision is a pure row function
+    again = q_domain_mixture_resample(spark, SF).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_quality_quantile_filter_band(spark):
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_quality_quantile_filter,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    lang_n = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = q_quality_quantile_filter(spark, SF).collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        assert 0.25 <= r["pct_rank"] <= 0.75
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    for lang, n in lang_n.items():
+        # percent_rank keeps ~half of each stratum (±2 boundary rows)
+        assert abs(by_lang.get(lang, 0) - 0.5 * n) <= 0.02 * n + 2, lang
