@@ -84,6 +84,10 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "domain_mixture_resample",
     "quality_quantile_filter",
+    # round-4c breadth: scrubbing / boilerplate / clustering curation ops
+    "pii_redaction_stats",
+    "line_dedup_stats",
+    "embedding_kmeans_refine",
 ]
 
 
@@ -162,6 +166,44 @@ def main() -> int:
         # best-of-2 under a load spike still reports a phantom regression.
         attempts = 3 if name.startswith("streaming_") else 2
         timings[name] = round(min(_timed(run_query) for _ in range(attempts)), 3)
+
+    # Ship-path rows for the ANN family. The REGISTERED queries above
+    # (knn_lsh_ann, embedding_near_dup_lsh, semantic_dedup_keep_corpus_ann)
+    # carry the driver-visible recall audit since round 4 — the exact
+    # brute-force twin runs INSIDE the same query — so their timings
+    # include O(N²) verification work the deployed operator never does.
+    # These rows time the operator a user actually ships at 100 TB
+    # (approximate tier only), keeping the audit cost and the ship cost
+    # separately visible round-over-round.
+    from parallel_map_reduce_spark.operators import similarity as _sim
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        EMBED_DUP_THRESHOLD,
+        KNN_K,
+        KNN_QUERY_IDS,
+        _semantic_dedup_keep,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    def _emb():
+        return load_table(spark, sf_dir, "embeddings")
+
+    ship = {
+        "knn_lsh_ann_ship": lambda: _sim.lsh_bucket_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
+        "embedding_near_dup_lsh_ship": lambda: _sim.embedding_near_dup_lsh(
+            _emb(), threshold=EMBED_DUP_THRESHOLD, num_tables=16
+        ),
+        "semantic_dedup_keep_corpus_ann_ship": lambda: _semantic_dedup_keep(
+            spark, sf_dir, edge_builder="ann"
+        ),
+    }
+    for name, mk in ship.items():
+
+        def run_ship(mk=mk):
+            mk().write.format("noop").mode("overwrite").save()
+
+        timings[name] = round(min(_timed(run_ship) for _ in range(2)), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -2245,3 +2245,310 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pr"), 6).alias("pct_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, boilerplate line filtering, cluster assignment (round 4c)
+# ---------------------------------------------------------------------------
+
+# The sandbox corpus contains no natural PII, so the query injects
+# deterministic emails/IPs/phones derived from doc_id before scrubbing —
+# the SAME expression in both engines — making detection and redaction
+# observable and value-hash-checkable (the generator-pattern already
+# used by the multimodal decode queries).
+_PII_ENRICH_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call +44-' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+)
+
+_PII_SQL = (
+    "WITH enriched AS (SELECT doc_id, "
+    + _PII_ENRICH_SQL
+    + """ AS text FROM documents),
+red AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '"""
+    + textstats.PII_EMAIL
+    + """', '<EMAIL>', 'g'),
+      '"""
+    + textstats.PII_IPV4
+    + """', '<IP>', 'g'),
+      '"""
+    + textstats.PII_PHONE
+    + """', '<PHONE>', 'g') AS rtext
+  FROM enriched)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '"""
+    + textstats.PII_EMAIL
+    + """')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '"""
+    + textstats.PII_IPV4
+    + """')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '"""
+    + textstats.PII_PHONE
+    + """')) AS BIGINT) AS n_phones,
+  CAST(length(rtext) AS BIGINT) AS n_chars_redacted,
+  md5(rtext) AS redacted_fp
+FROM red
+"""
+)
+
+
+@register("pii_redaction_stats", _PII_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/Dolma-style pre-release pass): count and redact
+    emails / IPv4s / phone numbers per document, fingerprinting the
+    redacted text so the oracle proves the REPLACEMENTS, not just the
+    counts.  Patterns live in textstats.PII_* and use only the
+    Java/RE2-common regex subset.  One codegen'd projection, zero
+    shuffles — the scrub rides along any scan for free at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            opt(
+                did % 3 == 0,
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail"),
+                (did % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+            opt(
+                did % 4 == 0,
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+            opt(
+                did % 5 == 0,
+                F.lit(" call +44-"),
+                (did % 900 + 100).cast("string"),
+                F.lit("-"),
+                (did % 9000 + 1000).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(enriched)
+
+
+_LINE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS line,
+         least(8, len(ws) - i + 1) AS line_len
+  FROM toks CROSS JOIN
+    UNNEST(generate_series(1, greatest(len(ws), 1), 8)) AS t(i)
+),
+dupl AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+  ) WHERE nd > 1
+)
+SELECT l.doc_id,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN line_len < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+  CAST(SUM(CASE WHEN line_len >= 5 AND d.line IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_corpus_dup,
+  CAST(SUM(CASE WHEN line_len >= 5 AND d.line IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN line_len >= 5 AND d.line IS NULL THEN length(l.line)
+           ELSE 0 END) AS BIGINT) AS kept_chars
+FROM lines l LEFT JOIN dupl d USING (line)
+GROUP BY l.doc_id
+"""
+
+
+@register("line_dedup_stats", _LINE_DEDUP_SQL)
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb boilerplate line filtering: segment each document
+    into 8-token lines, then apply the short-line rule (<5 tokens) and
+    the duplicated-line rule (same line text in more than one document —
+    boilerplate in web corpora; the exact-dup documents here).  Emits
+    per-doc keep/drop accounting so the curation step is auditable.
+    Plan: explode + one line-key aggregate + one join back — the
+    dup-line dictionary combines map-side like wordcount and AQE
+    broadcasts it when small."""
+    return textstats.line_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+_CLUSTER_ASSIGN_SQL = """
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+seed_ids AS (SELECT label, MIN(vec_id) AS vec_id FROM base GROUP BY label),
+seeds AS (
+  SELECT b.label AS cluster, b.vec AS seed_vec
+  FROM base b JOIN seed_ids s ON b.label = s.label AND b.vec_id = s.vec_id
+),
+scored AS (
+  SELECT b.vec_id, b.label, s.cluster,
+         ROUND(list_cosine_similarity(b.vec, s.seed_vec), 6) AS sim
+  FROM base b CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, label, cluster, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_assigned,
+       CAST(SUM(CASE WHEN label = cluster THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_match,
+       ROUND(AVG(sim), 4) AS avg_sim
+FROM assigned GROUP BY cluster
+"""
+
+
+@register("embedding_cluster_assign", _CLUSTER_ASSIGN_SQL)
+def q_embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based curation kernel: the KMeans assignment step against
+    deterministic seed centroids (min-id vector per label), aggregated
+    to per-cluster size, label purity, and mean winning cosine.  This is
+    the bucketing stage of topic-aware mixture weighting and
+    cluster-sharded SemDeDup; a Lloyd iteration = this assignment plus a
+    groupBy(cluster) mean of vecs.  Seeds broadcast; the corpus never
+    shuffles before the per-vector argmax window."""
+    assigned = similarity.nearest_centroid_assign(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum((F.col("label") == F.col("cluster")).cast("long")).alias(
+            "n_label_match"
+        ),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
+
+
+_KMEANS_REFINE_SQL = """
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+seed_ids AS (SELECT label, MIN(vec_id) AS vec_id FROM base GROUP BY label),
+seeds AS (
+  SELECT b.label AS cluster, b.vec AS seed_vec
+  FROM base b JOIN seed_ids s ON b.label = s.label AND b.vec_id = s.vec_id
+),
+scored AS (
+  SELECT b.vec_id, b.label, s.cluster,
+         ROUND(list_cosine_similarity(b.vec, s.seed_vec), 6) AS sim
+  FROM base b CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, label, cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+withvec AS (
+  SELECT a.vec_id, a.label, a.cluster AS old_cluster, b.vec
+  FROM assigned a JOIN base b USING (vec_id)
+),
+comp AS (
+  SELECT old_cluster, i AS pos, ROUND(AVG(vec[i]), 6) AS cval
+  FROM withvec CROSS JOIN UNNEST(generate_series(1, len(vec))) t(i)
+  GROUP BY old_cluster, i
+),
+cent AS (SELECT old_cluster, list(cval ORDER BY pos) AS cvec
+         FROM comp GROUP BY old_cluster),
+rescored AS (
+  SELECT w.vec_id, w.label, w.old_cluster, c.old_cluster AS cand,
+         ROUND(list_cosine_similarity(w.vec, c.cvec), 6) AS sim
+  FROM withvec w CROSS JOIN cent c
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cand ASC) AS rn
+    FROM rescored
+  ) WHERE rn = 1
+)
+SELECT cand AS cluster, COUNT(*) AS n_assigned,
+  CAST(SUM(CASE WHEN label = cand THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_label_match,
+  CAST(SUM(CASE WHEN cand <> old_cluster THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  ROUND(AVG(sim), 4) AS avg_sim
+FROM best GROUP BY cand
+"""
+
+
+@register("embedding_kmeans_refine", _KMEANS_REFINE_SQL)
+def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration, driver-verified: seed-centroid
+    assignment (as in embedding_cluster_assign) -> per-cluster mean
+    centroids (components ROUNDED to 6 in BOTH engines, so the refined
+    centroids are bit-identical inputs to the rescoring) -> reassignment
+    against the refined centroids, reporting per-cluster size, label
+    purity, migration count, and mean winning cosine.  Iterating this
+    DAG k times is KMeans proper; curation pipelines typically run 1-3
+    refinements over pre-labeled shards (topic bucketing), which this
+    shape covers without RNG.
+
+    Scale posture: centroid recomputation is a posexplode + partial agg
+    on (cluster, dim) — dims x k rows out, corpus combines map-side;
+    both assignment passes broadcast k centroid rows and never shuffle
+    the corpus before the per-vector argmax window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from parallel_map_reduce_spark.functions.vectors import cosine, to_double_array
+
+    base = emb.select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("vec")
+    )
+    assigned = similarity.nearest_centroid_assign(emb).select(
+        "vec_id", F.col("cluster").alias("old_cluster")
+    )
+    withvec = base.join(assigned, "vec_id")
+    cent = (
+        withvec.select("old_cluster", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("old_cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("old_cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+        .select(F.col("old_cluster").alias("cand"), "cvec")
+    )
+    rescored = withvec.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "old_cluster",
+        "cand",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cand").asc()
+    )
+    best = rescored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return best.groupBy(F.col("cand").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum((F.col("label") == F.col("cand")).cast("long")).alias(
+            "n_label_match"
+        ),
+        F.sum((F.col("cand") != F.col("old_cluster")).cast("long")).alias(
+            "n_moved"
+        ),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )

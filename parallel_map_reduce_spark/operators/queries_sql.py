@@ -110,3 +110,24 @@ def q_sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); the data-sized work stays one partial+final agg on the month
     key plus a broadcast-sized left join against the spine."""
     return run_sql(spark, sf_dir, _SQL_RECURSIVE_MONTHS)
+
+
+_SQL_LATERAL_TOPN = """
+SELECT n_name, c_custkey, c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) top_c
+"""
+
+
+@register("sql_interface_lateral_topn", _SQL_LATERAL_TOPN)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    customers by account balance per nation) from ONE ANSI text run by
+    both engines.  Catalyst decorrelates the lateral into a
+    ranked-window join — the same physical shape as the DataFrame
+    row_number() top-N idiom — so the per-group LIMIT never materializes
+    the full per-nation sort at scale."""
+    return run_sql(spark, sf_dir, _SQL_LATERAL_TOPN)

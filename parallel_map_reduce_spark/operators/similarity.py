@@ -458,3 +458,51 @@ def ivf_ann(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def nearest_centroid_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """KMeans assignment step against deterministic seed centroids: one
+    centroid per distinct ``label_col`` value, seeded by that label's
+    minimum-id vector (no RNG — reproducible across engines, runs and
+    partitionings).  Output: (vec_id, label, cluster, sim) with
+    ``cluster`` = the winning seed's label and ``sim`` its cosine,
+    rounded to 6 before the argmax so cross-engine ulp noise cannot flip
+    a winner; ties break on the smaller seed label.
+
+    This is the inner kernel of cluster-based corpus curation (topic
+    bucketing for mixture weights, cluster-sharded SemDeDup): a full
+    Lloyd iteration is this assignment plus a groupBy(cluster) mean —
+    both shapes already present here and in the component pipeline.
+
+    Scale posture: the seed set is k rows (k = #labels) and BROADCASTS;
+    the corpus is scored in place — zero corpus shuffles until the
+    per-vector argmax, which is a window over vec_id (re-partition by
+    vec_id only).  At 100 TB with large k, swap the crossJoin for the
+    hyperplane-LSH bucketer above to prune candidate centroids.
+    """
+    base = embeddings.select(
+        F.col(id_col), F.col(label_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    seed_ids = base.groupBy(label_col).agg(F.min(id_col).alias(id_col))
+    seeds = base.join(seed_ids, [label_col, id_col]).select(
+        F.col(label_col).alias("cluster"), F.col("vec").alias("seed_vec")
+    )
+    scored = base.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        label_col,
+        "cluster",
+        F.round(cosine(F.col("vec"), F.col("seed_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -514,3 +514,121 @@ def heavy_hitter_sketch(
 
     merged = tok_df.mapInPandas(sketch, "token string, mg_count long")
     return merged.groupBy("token").agg(F.sum("mg_count").alias("mg_count"))
+
+
+# PII patterns restricted to the regex subset with identical semantics in
+# Java (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# \b word boundaries — no backrefs or lookaround.  Redaction replaces
+# emails FIRST (their local parts contain dots/digits that the other
+# patterns could otherwise bite into).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{2}-\d{3}-\d{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and redact PII spans (emails, IPv4 addresses, phone
+    numbers) — the scrubbing pass a training-data pipeline runs before
+    anything leaves the raw zone (the C4/Dolma-style rule set, reduced
+    to three engine-portable patterns).
+
+    Output: (id, n_emails, n_ips, n_phones, n_chars_redacted,
+    fingerprint-of-redacted-text).  Pure regexp built-ins — the whole
+    operator is one codegen'd projection with zero shuffles, so it
+    scales linearly and composes with any downstream scan.  Swapping in
+    a learned NER scrubber later only changes the expression, not the
+    plan shape.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(red).cast("long").alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    line_tokens: int = 8,
+    min_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate line filtering (the C4 / RefinedWeb rule pair): split
+    each document into fixed ``line_tokens``-token lines (the corpus has
+    no newlines, so token-aligned segments stand in for physical lines),
+    then per line apply (a) the short-line rule — fewer than
+    ``min_tokens`` tokens — and (b) the duplicated-line rule — the same
+    line text occurs in MORE THAN ONE document (boilerplate headers /
+    nav text in web corpora; exact-dup documents here).
+
+    Output per doc: n_lines, n_short, n_corpus_dup, n_kept, kept_chars.
+
+    Spark shape: one explode (per-row, no data movement), one
+    distinct+groupBy on the line text to build the duplicated-line set,
+    one join back on line.  The dup-line dictionary is the only shuffled
+    aggregate; at 100 TB its skew profile is the same as wordcount's
+    (hot boilerplate lines combine map-side), and AQE broadcasts it when
+    small.  No Python, all codegen.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\r\x0b\x0c]+"), lambda w: w != F.lit("")
+    )
+    lines = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks"), F.lit(1)),
+                    F.lit(line_tokens),
+                )
+            ).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.slice("_toks", F.col("_start"), line_tokens), " "
+            ).alias("line"),
+            F.least(
+                F.lit(line_tokens), F.size("_toks") - F.col("_start") + 1
+            ).alias("line_len"),
+        )
+    )
+    dup_lines = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("line", F.lit(1).alias("_dup"))
+    )
+    marked = lines.join(dup_lines, "line", "left")
+    long_enough = F.col("line_len") >= min_tokens
+    is_dup = F.col("_dup").isNotNull()
+    kept = long_enough & ~is_dup
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((~long_enough).cast("long")).alias("n_short"),
+        F.sum((long_enough & is_dup).cast("long")).alias("n_corpus_dup"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.length("line")).otherwise(0).cast("long")).alias(
+            "kept_chars"
+        ),
+    )

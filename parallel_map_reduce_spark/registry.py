@@ -59,7 +59,9 @@ _PRIORITY: list[str] = [
     "knn_bruteforce",
     "knn_ivf_ann",
     "knn_lsh_ann",
-    "lang_id",
+    # lang_id: r1-green and bit-unchanged since r1 (git log -L on the
+    # implementation) — its row already postdates its code, so it cedes
+    # its slot to the round-4c batch below; re-window it in round 5.
     "minhash_signatures",
     "multimodal_features",
     "multimodal_frame_samples",
@@ -95,18 +97,20 @@ _PRIORITY: list[str] = [
     "dedup_keep_corpus_lsh",
     "pipeline_training_batches",
     "pipeline_training_batches_lsh",
-    # flagship anchors (fell off at r3 slots 51-54; last green r2)
-    "wordcount",
-    "wordcount_topk",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    # round-4b new queries (never driver-checked — must be in-window;
-    # they displace the four heaviest r2-latest rows, whose code is
-    # unchanged so their r2 green rows stay valid)
+    # round-4b/4c new queries (never driver-checked — must be in-window;
+    # they displace first the four heaviest r2-latest rows and then the
+    # flagship anchors (wordcount / wordcount_topk / tpch_q1 / tpch_q3,
+    # code unchanged since their r2 green rows, so those rows stay valid
+    # — the anchors re-window in round 5 once this batch has its rows)
     "hybrid_retrieval_rrf",
     "heavy_hitters_tokens",
     "domain_mixture_resample",
     "quality_quantile_filter",
+    "pii_redaction_stats",
+    "line_dedup_stats",
+    "embedding_cluster_assign",
+    "sql_interface_lateral_topn",
+    "embedding_kmeans_refine",
 ]
 
 

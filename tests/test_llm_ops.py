@@ -774,3 +774,78 @@ def test_quality_quantile_filter_band(spark):
     for lang, n in lang_n.items():
         # percent_rank keeps ~half of each stratum (±2 boundary rows)
         assert abs(by_lang.get(lang, 0) - 0.5 * n) <= 0.02 * n + 2, lang
+
+
+# --- PII scrub / line dedup / cluster assignment (round 4c) --------------
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from parallel_map_reduce_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a.b+c@foo.example.org then 192.168.0.1 and +44-123-4567",
+            ),
+            Row(doc_id=2, text="no pii at all"),
+            Row(doc_id=3, text="two mails x@y.io z@w.co one ip 10.0.0.7"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (1, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 0, 0)
+    assert (rows[3]["n_emails"], rows[3]["n_ips"]) == (2, 1)
+    # redaction really replaced the spans (shorter text, no raw PII left)
+    red1 = "mail <EMAIL> then <IP> and <PHONE>"
+    assert rows[1]["n_chars_redacted"] == len(red1)
+    import hashlib
+
+    assert rows[1]["redacted_fp"] == hashlib.md5(red1.encode()).hexdigest()
+
+
+def test_line_dedup_stats_rules(spark):
+    from parallel_map_reduce_spark.operators.textstats import line_dedup_stats
+
+    boiler = "nav home about contact login search help faq"  # 8 tokens
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq_b = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} {uniq_a} tail"),  # dup, kept, short
+            Row(doc_id=2, text=f"{boiler} {uniq_b}"),  # dup, kept
+            Row(doc_id=3, text="tiny doc"),  # one short line only
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup_stats(df).collect()}
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["n_short"] == 1  # the 1-token tail
+    assert rows[1]["n_corpus_dup"] == 1  # boilerplate line shared with doc 2
+    assert rows[1]["n_kept"] == 1
+    assert rows[1]["kept_chars"] == len(uniq_a)
+    assert rows[2]["n_corpus_dup"] == 1 and rows[2]["n_kept"] == 1
+    assert rows[3]["n_lines"] == 1 and rows[3]["n_kept"] == 0
+
+
+def test_nearest_centroid_assign_seeds_self(spark, embeddings):
+    """Every seed vector must be assigned to its own cluster at sim 1.0,
+    and every vector gets exactly one assignment."""
+    assigned = similarity.nearest_centroid_assign(embeddings).cache()
+    n = embeddings.count()
+    assert assigned.count() == n
+    seed_ids = (
+        embeddings.groupBy("label").agg(F.min("vec_id").alias("vec_id")).collect()
+    )
+    got = {
+        r["vec_id"]: r
+        for r in assigned.filter(
+            F.col("vec_id").isin([s["vec_id"] for s in seed_ids])
+        ).collect()
+    }
+    for s in seed_ids:
+        r = got[s["vec_id"]]
+        assert r["cluster"] == s["label"]
+        assert r["sim"] == pytest.approx(1.0, abs=1e-6)
+    assigned.unpersist()
