@@ -241,7 +241,7 @@ def model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find_multigraph(spark, edges):
     """The iterative min-label + pointer-jump fixpoint must label every
     node with its component's minimum id, on arbitrary random multigraphs
     (parallel edges, both orientations, arbitrary id gaps) — checked
@@ -251,3 +251,92 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["u"]: r["label"] for r in connected_components(df).collect()}
     assert got == model_components(edges)
+
+
+# --- round-4c curation ops vs pure-Python models ---------------------------
+
+_PII_FRAGMENTS = st.sampled_from(
+    list(" \t.-@+")
+    + list("abz09")
+    + ["user@x.io", "10.0.0.1", "+44-123-4567", "@.", "10.0", "+44-"]
+)
+PII_TEXTS = st.lists(
+    st.lists(_PII_FRAGMENTS, min_size=0, max_size=12).map("".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=PII_TEXTS)
+@PROP_SETTINGS
+def test_pii_scrub_matches_python_model(spark, texts):
+    """Counts and the redacted fingerprint agree with Python's re module
+    applying the same three patterns in the same order, over adversarial
+    text that embeds real PII spans next to near-miss fragments."""
+    import hashlib
+
+    from parallel_map_reduce_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    rows = {r["doc_id"]: r for r in pii_scrub(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        red = re.sub(PII_EMAIL, "<EMAIL>", t)
+        red = re.sub(PII_IPV4, "<IP>", red)
+        red = re.sub(PII_PHONE, "<PHONE>", red)
+        r = rows[i]
+        assert r["n_emails"] == len(re.findall(PII_EMAIL, t))
+        assert r["n_ips"] == len(re.findall(PII_IPV4, t))
+        assert r["n_phones"] == len(re.findall(PII_PHONE, t))
+        assert r["n_chars_redacted"] == len(red)
+        assert r["redacted_fp"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def _model_line_stats(texts, line_tokens=8, min_tokens=5):
+    lines_per_doc = []
+    for t in texts:
+        ws = model_tokens(t)
+        starts = range(0, max(len(ws), 1), line_tokens)
+        lines_per_doc.append(
+            [
+                (" ".join(ws[s : s + line_tokens]), min(line_tokens, len(ws) - s))
+                for s in starts
+            ]
+        )
+    docs_with = {}
+    for i, ls in enumerate(lines_per_doc):
+        for line, _ in ls:
+            docs_with.setdefault(line, set()).add(i)
+    out = {}
+    for i, ls in enumerate(lines_per_doc):
+        short = sum(1 for _, n in ls if n < min_tokens)
+        dup = sum(
+            1 for line, n in ls if n >= min_tokens and len(docs_with[line]) > 1
+        )
+        kept = [line for line, n in ls if n >= min_tokens and len(docs_with[line]) == 1]
+        out[i] = (len(ls), short, dup, len(kept), sum(len(k) for k in kept))
+    return out
+
+
+@given(texts=DOCS)
+@PROP_SETTINGS
+def test_line_dedup_matches_python_model(spark, texts):
+    """Per-doc line accounting (n_lines/n_short/n_corpus_dup/n_kept/
+    kept_chars) agrees with a pure-Python model over tiny-vocabulary
+    corpora that maximize cross-document line collisions."""
+    from parallel_map_reduce_spark.operators.textstats import line_dedup_stats
+
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["n_short"],
+            r["n_corpus_dup"],
+            r["n_kept"],
+            r["kept_chars"],
+        )
+        for r in line_dedup_stats(_df(spark, texts)).collect()
+    }
+    assert got == _model_line_stats(texts)
