@@ -290,3 +290,31 @@ def test_prefix_tier_materializes_index_once(spark):
     assert "FileScan parquet" not in plan and "Scan parquet" not in plan
     assert "ExistingRDD" in plan  # checkpointed index/candidates inputs
     assert "shingle" not in plan  # strings never leave the dictionary plan
+
+
+def test_pii_scrub_is_projection_only(spark):
+    """PII detection + redaction is regex projection work: the plan must
+    contain NO Exchange — the scrub rides along the scan, and at corpus
+    scale any shuffle here would be pure waste."""
+    plan = plan_of(spark, "pii_redaction_stats")
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_builds_broadcast_dup_dictionary(spark):
+    """The duplicated-line dictionary must come back to the corpus as a
+    broadcast hash join (the dictionary is tiny relative to the corpus;
+    AQE picks broadcast), and the final accounting groups per doc — the
+    corpus itself is never sort-merge-joined on line text."""
+    plan = plan_of(spark, "line_dedup_stats", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_assign_broadcasts_seeds(spark):
+    """Nearest-centroid assignment must broadcast the k seed centroids
+    (BroadcastNestedLoopJoin over a k-row build side) and rank with the
+    group-limit optimization — never shuffle the corpus against the
+    seeds."""
+    plan = plan_of(spark, "embedding_cluster_assign", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
