@@ -88,6 +88,8 @@ HEADLINE = [
     "pii_redaction_stats",
     "line_dedup_stats",
     "embedding_kmeans_refine",
+    "bpe_merge_pairs",
+    "tfidf_top_terms",
 ]
 
 

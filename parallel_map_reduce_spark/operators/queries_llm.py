@@ -2552,3 +2552,139 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+_BPE_MERGE_SQL = (
+    _TOKS_CTE
+    + """,
+words AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM toks CROSS JOIN UNNEST(ws) AS t(w)
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM words CROSS JOIN
+    UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+  GROUP BY 1
+)
+SELECT pair, pair_count FROM pairs
+ORDER BY pair_count DESC, pair ASC LIMIT 10
+"""
+)
+
+
+@register("bpe_merge_pairs", _BPE_MERGE_SQL)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round — the kernel of tokenizer TRAINING (Sennrich
+    et al. 2016), distinct from bpe_token_stats' pre-tokenizer regex:
+    aggregate the corpus to (word, count), explode each word into
+    adjacent character pairs, weight each pair by its word's count, and
+    rank the top-10 merge candidates.  Real BPE iterates this with the
+    winning pair merged into a new symbol; each round is exactly this
+    DAG re-run on the rewritten symbol table (the Lloyd-iteration
+    analogy the kmeans refine query makes for clustering).
+
+    Scale posture: the corpus collapses to the word-frequency table
+    FIRST (the map-side-combined wordcount shuffle), so the pair explode
+    runs over |vocab| rows, not corpus tokens — the classic trick that
+    makes BPE training tractable on TB corpora.  Pair counting combines
+    map-side; the top-10 is a TakeOrdered, never a full sort."""
+    from parallel_map_reduce_spark.operators.wordcount import wordcount
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = wordcount(docs, "text")
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "count",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            "count", F.col("word").substr(F.col("i"), F.lit(2)).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.sum("count").alias("pair_count"))
+    )
+    return pairs.orderBy(
+        F.col("pair_count").desc(), F.col("pair").asc()
+    ).limit(10)
+
+
+_TFIDF_SQL = (
+    _TOKS_CTE
+    + """,
+tok AS (SELECT doc_id, w FROM toks CROSS JOIN UNNEST(ws) AS t(w)),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.w AS term, tf, df,
+         ROUND(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)), 6)
+           AS weight
+  FROM tf JOIN dfc USING (w) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, weight FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+)
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: classic tf·idf (weight = tf ·
+    ln(N/df), the BM25 precursor) ranked top-5 per doc with weights
+    ROUNDED to 6 before ranking and term-lexicographic tie-break, so
+    both engines agree at equal-weight boundaries (ln(1) = 0 ties are
+    common for corpus-wide words).
+
+    Scale posture: tf is one (doc, term) partial agg; df is an agg over
+    tf's output (vocabulary-sized, not corpus-sized); N broadcasts as a
+    1-row scalar; the tf-df join is vocabulary-dimension — AQE
+    broadcasts it at sandbox scale, and at 100 TB it hash-joins on the
+    term key with map-side-combined inputs.  The top-5 window
+    repartitions by doc_id only."""
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    # Materialize tf once: without this, Catalyst re-derives the
+    # (doc_id, w) aggregate from a second corpus scan for the df side
+    # (the aliased-reuse trap PLANS.md documents for the dedup tiers).
+    tf = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )

@@ -45,7 +45,11 @@ _WINDOW = 50
 _PRIORITY: list[str] = [
     # r1-stale (latest driver row is round 1; code under several refactored
     # since — minhash/simhash/jaccard materialization r3, knn audits r4)
-    "bigram_frequencies",
+    # bigram_frequencies / doc_fingerprints / lang_id: r1-green and
+    # bit-unchanged since r1 (git log -L on each implementation and on
+    # functions/{tokenize,hashing}.py) — their rows already postdate
+    # their code, so they cede slots to the round-4c batch below;
+    # re-window them in round 5.
     "bm25_search",
     "bpe_token_stats",
     "chunk_documents",
@@ -54,14 +58,10 @@ _PRIORITY: list[str] = [
     "dedup_exact_groups",
     "dedup_group_assignment",
     "dedup_keep_corpus",
-    "doc_fingerprints",
     "embedding_near_dup_pairs",
     "knn_bruteforce",
     "knn_ivf_ann",
     "knn_lsh_ann",
-    # lang_id: r1-green and bit-unchanged since r1 (git log -L on the
-    # implementation) — its row already postdates its code, so it cedes
-    # its slot to the round-4c batch below; re-window it in round 5.
     "minhash_signatures",
     "multimodal_features",
     "multimodal_frame_samples",
@@ -111,6 +111,8 @@ _PRIORITY: list[str] = [
     "embedding_cluster_assign",
     "sql_interface_lateral_topn",
     "embedding_kmeans_refine",
+    "bpe_merge_pairs",
+    "tfidf_top_terms",
 ]
 
 
