@@ -318,3 +318,26 @@ def test_cluster_assign_broadcasts_seeds(spark):
     plan = plan_of(spark, "embedding_cluster_assign", mode="simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merge_aggregates_vocab_not_corpus(spark):
+    """BPE merge-pair counting must collapse the corpus to the word
+    frequency table first (two partial→final agg pairs) and finish with
+    TakeOrderedAndProject — a full sort of the pair table would be
+    wasted work for a top-10."""
+    plan = plan_of(spark, "bpe_merge_pairs", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+
+
+def test_tfidf_materializes_tf_once(spark):
+    """The tf aggregate feeds both the per-doc side and the df side; the
+    final plan must read it as ONE checkpointed input (ExistingRDD), not
+    re-derive it from a second corpus scan."""
+    plan = plan_of(spark, "tfidf_top_terms", mode="simple")
+    assert "ExistingRDD" in plan
+    # only the 1-row corpus-count aggregate may still scan parquet
+    scan_lines = [
+        l for l in plan.splitlines() if "Scan" in l and "parquet" in l
+    ]
+    assert len(scan_lines) <= 1, scan_lines

@@ -340,3 +340,31 @@ def test_line_dedup_matches_python_model(spark, texts):
         for r in line_dedup_stats(_df(spark, texts)).collect()
     }
     assert got == _model_line_stats(texts)
+
+
+@given(texts=DOCS)
+@PROP_SETTINGS
+def test_bpe_merge_pairs_matches_python_model(spark, texts):
+    """The top-10 merge candidates (and their weighted counts) agree
+    with a pure-Python model: count adjacent character pairs per word,
+    weighted by word frequency, ranked (count desc, pair asc)."""
+    import os
+    import tempfile
+
+    from parallel_map_reduce_spark.operators.queries_llm import q_bpe_merge_pairs
+
+    word_counts = Counter(w for t in texts for w in model_tokens(t))
+    pair_counts = Counter()
+    for word, cnt in word_counts.items():
+        for i in range(len(word) - 1):
+            pair_counts[word[i : i + 2]] += cnt
+    want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    tmp = tempfile.mkdtemp(prefix="pmr_bpe_prop_")
+    _df(spark, texts).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = [
+        (r["pair"], r["pair_count"]) for r in q_bpe_merge_pairs(spark, tmp).collect()
+    ]
+    assert got == want
