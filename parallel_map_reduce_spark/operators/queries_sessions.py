@@ -240,3 +240,50 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transition_matrix", _TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each consecutive (prev → next) event-type pair, the transition
+    count and how many distinct users exhibit it — the path-analysis
+    primitive behind funnel discovery and next-action models, computed
+    with the same lag-over-(user, time) ordering the sessionization
+    queries pin (event_id tiebreak makes same-timestamp order
+    deterministic across engines).
+
+    Scale posture: one shuffle on user_id for the lag window (events
+    for one user co-locate; the user key is high-cardinality so it
+    balances), then one partial→final agg on the (prev, next) pair key
+    — the matrix itself is |event_types|² rows, trivially small."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return ordered.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
