@@ -193,6 +193,9 @@ def main() -> int:
         "knn_lsh_ann_ship": lambda: _sim.lsh_bucket_ann(
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
+        "knn_ivf_ann_ship": lambda: _sim.ivf_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
         "embedding_near_dup_lsh_ship": lambda: _sim.embedding_near_dup_lsh(
             _emb(), threshold=EMBED_DUP_THRESHOLD, num_tables=16
         ),
