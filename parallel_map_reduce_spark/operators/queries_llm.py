@@ -1409,9 +1409,11 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_search",
-    f"""
+# BM25 scoring CTE chain shared by bm25_search AND the lexical leg of
+# hybrid_retrieval_rrf — the Spark sides already share _bm25_doc_scores
+# "so the formula can't drift between them"; this closes the same drift
+# hole on the oracle side (one definition of the constants/term list).
+_BM25_SCORED_CTE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS w FROM documents
 ),
@@ -1428,7 +1430,13 @@ scored AS (
                4) AS bm25
   FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
-)
+)"""
+
+
+@register(
+    "bm25_search",
+    _BM25_SCORED_CTE
+    + """
 SELECT doc_id, bm25 FROM scored
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 10
@@ -1768,8 +1776,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_LEN = 8
 
-@register(
-    "duplicated_span_stats",
+# Span-discovery CTE chain (wins → canon → dups) shared by BOTH
+# ExactSubstr oracles — the Spark sides share _dup_span_occurrences();
+# one SQL definition keeps the hashing / canonical rule / guard from
+# drifting between the measure and act halves.
+_DUP_SPANS_CTE = (
     _TOKS_CTE
     + f""",
 wins AS (
@@ -1785,7 +1796,14 @@ dups AS (
   SELECT w.doc_id, w.pos
   FROM wins w JOIN canon c USING (wh)
   WHERE w.doc_id * 1000000000 + w.pos <> c.cp
-),
+)"""
+)
+
+
+@register(
+    "duplicated_span_stats",
+    _DUP_SPANS_CTE
+    + f""",
 cov AS (
   SELECT doc_id,
          LEAST({_SPAN_LEN}, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
@@ -1823,22 +1841,8 @@ def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "substring_dedup_corpus",
-    _TOKS_CTE
+    _DUP_SPANS_CTE
     + f""",
-wins AS (
-  SELECT doc_id, i AS pos,
-         {hash64_sql("array_to_string(ws[i:i+%d], ' ')" % (_SPAN_LEN - 1), 0)} AS wh
-  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-{_SPAN_LEN - 1}, 0))) AS t(i)
-),
-canon AS (
-  SELECT wh, MIN(doc_id * 1000000000 + pos) AS cp, COUNT(*) AS cnt
-  FROM wins GROUP BY wh HAVING COUNT(*) > 1
-),
-dups AS (
-  SELECT w.doc_id, w.pos
-  FROM wins w JOIN canon c USING (wh)
-  WHERE w.doc_id * 1000000000 + w.pos <> c.cp
-),
 covered AS (
   SELECT DISTINCT doc_id, pos + x AS i
   FROM dups CROSS JOIN UNNEST(generate_series(0, {_SPAN_LEN - 1})) AS u(x)
@@ -1944,24 +1948,8 @@ _RETRIEVE_N = 20
 
 @register(
     "hybrid_retrieval_rrf",
-    f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
-),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id),
-stats AS (SELECT avg(dlen) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
-tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok
-       WHERE w IN ('table', 'spark', 'hash') GROUP BY doc_id, w),
-df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
-scored AS (
-  SELECT tf.doc_id,
-         ROUND(SUM( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-                    * tf.tf * 2.2
-                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl)) ),
-               4) AS bm25
-  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
-  GROUP BY tf.doc_id
-),
+    _BM25_SCORED_CTE
+    + f""",
 lex AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
   FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {_RETRIEVE_N}
@@ -2390,7 +2378,12 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.line_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
-_CLUSTER_ASSIGN_SQL = """
+# Seed-centroid assignment CTE chain shared by BOTH clustering oracles:
+# embedding_cluster_assign hashes this assignment directly and
+# embedding_kmeans_refine builds its Lloyd iteration on top of the SAME
+# assignment — one definition so the seed rule / tie-break can't drift
+# between the two (the _KNN_EXACT_CTE discipline).
+_CLUSTER_ASSIGNED_CTE = """
 WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 seed_ids AS (SELECT label, MIN(vec_id) AS vec_id FROM base GROUP BY label),
 seeds AS (
@@ -2408,7 +2401,9 @@ assigned AS (
       PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
     FROM scored
   ) WHERE rn = 1
-)
+)"""
+
+_CLUSTER_ASSIGN_SQL = _CLUSTER_ASSIGNED_CTE + """
 SELECT cluster, COUNT(*) AS n_assigned,
        CAST(SUM(CASE WHEN label = cluster THEN 1 ELSE 0 END) AS BIGINT)
          AS n_label_match,
@@ -2438,25 +2433,7 @@ def q_embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_REFINE_SQL = """
-WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-seed_ids AS (SELECT label, MIN(vec_id) AS vec_id FROM base GROUP BY label),
-seeds AS (
-  SELECT b.label AS cluster, b.vec AS seed_vec
-  FROM base b JOIN seed_ids s ON b.label = s.label AND b.vec_id = s.vec_id
-),
-scored AS (
-  SELECT b.vec_id, b.label, s.cluster,
-         ROUND(list_cosine_similarity(b.vec, s.seed_vec), 6) AS sim
-  FROM base b CROSS JOIN seeds s
-),
-assigned AS (
-  SELECT vec_id, label, cluster FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
+_KMEANS_REFINE_SQL = _CLUSTER_ASSIGNED_CTE + """,
 withvec AS (
   SELECT a.vec_id, a.label, a.cluster AS old_cluster, b.vec
   FROM assigned a JOIN base b USING (vec_id)

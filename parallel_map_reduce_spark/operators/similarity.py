@@ -302,9 +302,12 @@ def embedding_all_pairs_blocked(
     (embedding_near_dup_lsh) as the ship path; use THIS when the answer
     must be exactly the all-pairs result.
     """
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative id
+    # would land in a negative residue class that matches no (bi, bj)
+    # group and silently vanish from the "exact" output.
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
-    ).withColumn("blk", (F.col(id_col) % num_blocks).cast("int"))
+    ).withColumn("blk", F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int"))
     pairs = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
     spark = embeddings.sparkSession
     block_pairs = spark.createDataFrame(pairs, "bi int, bj int")
@@ -322,6 +325,10 @@ def embedding_all_pairs_blocked(
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         left = pdf[pdf["blk"] == bi]
         ids_l = left[id_col].to_numpy()
+        # guard BEFORE np.stack: an empty residue class (sparse or gappy
+        # id space) would make np.stack([]) raise and kill the query
+        if len(ids_l) == 0 or (bi == bj and len(ids_l) < 2):
+            return empty
         mat_l = np.stack(left["vec"].to_numpy())
 
         def seq_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -341,8 +348,6 @@ def embedding_all_pairs_blocked(
             return np.sqrt(n2)
 
         if bi == bj:
-            if len(ids_l) < 2:
-                return empty
             nl = seq_norm(mat_l)
             denom = np.outer(nl, nl)
             gram = seq_gram(mat_l, mat_l) / np.where(denom == 0, 1.0, denom)
@@ -352,7 +357,7 @@ def embedding_all_pairs_blocked(
         else:
             right = pdf[pdf["blk"] == bj]
             ids_r = right[id_col].to_numpy()
-            if len(ids_l) == 0 or len(ids_r) == 0:
+            if len(ids_r) == 0:
                 return empty
             mat_r = np.stack(right["vec"].to_numpy())
             denom = np.outer(seq_norm(mat_l), seq_norm(mat_r))

@@ -292,35 +292,19 @@ def decontaminate_against_eval(
     )
 
 
-def duplicated_span_stats(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    span_len: int = 8,
-) -> DataFrame:
-    """Exact-substring duplication metrics per document (the ExactSubstr
-    diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better"): hash every overlapping `span_len`-token
-    window, call the corpus-first occurrence (min encoded (doc, pos))
-    canonical, and measure how much of each document is covered by
-    NON-canonical repeated spans — the fraction those pipelines cut or
-    use as a filter criterion.
+def _dup_span_occurrences(
+    df: DataFrame, text_col: str, id_col: str, span_len: int
+):
+    """(tokens_df, duplicated-span starts) shared by
+    ``duplicated_span_stats`` (the measure half) and
+    ``substring_dedup_corpus`` (the act half): ONE definition of the
+    window hashing, the ``n >= span_len`` guard, and the canonical
+    corpus-first choice (min encoded doc*1e9+pos per hash), so the two
+    halves — documented as one ExactSubstr contract — cannot drift.
 
-    Output: (doc_id, n_tokens, n_dup_windows, n_dup_tokens, dup_frac).
-    Covered-token counting merges overlapping spans exactly with one
-    lead() window: consecutive duplicated starts p, p' overlap iff
-    p' - p < span_len, so each contributes min(span_len, p' - p) tokens.
-
-    Scale posture: the window explode is one row per token (linear, no
-    distinct); the canonical choice is a groupBy(hash) AGGREGATE — a
-    corpus-frequent boilerplate span lands in one partial-agg'd group,
-    never a self-join fan-out (contrast the jaccard tiers, where pairing
-    is the point); the join back is linear. Canonical encoding
-    doc_id*1e9+pos is a single long both engines order identically.
-    Portable md5 window hashes, so DuckDB replays every step.
-    """
-    from pyspark.sql import Window
-
+    Returns ``(tdf, dups)`` where ``tdf`` is the token-array frame and
+    ``dups`` holds one (id, pos) row per NON-canonical occurrence of a
+    repeated span."""
     from parallel_map_reduce_spark.operators.dedup import tokens_df
 
     tdf = tokens_df(df, text_col, id_col)
@@ -357,6 +341,40 @@ def duplicated_span_stats(
         .filter(enc != F.col("cp"))
         .select(id_col, "pos")
     )
+    return tdf, dups
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication metrics per document (the ExactSubstr
+    diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): hash every overlapping `span_len`-token
+    window, call the corpus-first occurrence (min encoded (doc, pos))
+    canonical, and measure how much of each document is covered by
+    NON-canonical repeated spans — the fraction those pipelines cut or
+    use as a filter criterion.
+
+    Output: (doc_id, n_tokens, n_dup_windows, n_dup_tokens, dup_frac).
+    Covered-token counting merges overlapping spans exactly with one
+    lead() window: consecutive duplicated starts p, p' overlap iff
+    p' - p < span_len, so each contributes min(span_len, p' - p) tokens.
+
+    Scale posture: the window explode is one row per token (linear, no
+    distinct); the canonical choice is a groupBy(hash) AGGREGATE — a
+    corpus-frequent boilerplate span lands in one partial-agg'd group,
+    never a self-join fan-out (contrast the jaccard tiers, where pairing
+    is the point); the join back is linear. Canonical encoding
+    doc_id*1e9+pos is a single long both engines order identically.
+    Portable md5 window hashes, so DuckDB replays every step.
+    """
+    from pyspark.sql import Window
+
+    tdf, dups = _dup_span_occurrences(df, text_col, id_col, span_len)
+    n = F.size("tk")
     w = Window.partitionBy(id_col).orderBy("pos")
     covered = F.least(
         F.lit(span_len),
@@ -410,39 +428,9 @@ def substring_dedup_corpus(
     tokens × spans with spans tiny, and nothing beyond the span lists
     (not the corpus) moves through the extra join.
     """
-    from pyspark.sql import Window  # noqa: F401 (parallel with stats op)
-
-    from parallel_map_reduce_spark.operators.dedup import tokens_df
-
-    tdf = tokens_df(df, text_col, id_col)
-    n = F.size("tk")
-    idx = F.sequence(F.lit(1), n - (span_len - 1))
-    whs = F.transform(
-        idx,
-        lambda i: hash64(
-            F.concat_ws(
-                " ", *[F.element_at(F.col("tk"), i + j) for j in range(span_len)]
-            ),
-            0,
-        ),
-    )
-    wins = tdf.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(n >= span_len, whs).otherwise(F.array())
-        ).alias("pos0", "wh"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "wh")
-    enc = F.col(id_col) * F.lit(1_000_000_000) + F.col("pos")
-    canon = (
-        wins.groupBy("wh")
-        .agg(F.min(enc).alias("cp"), F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-    )
-    starts = (
-        wins.join(canon, "wh")
-        .filter(enc != F.col("cp"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    tdf, dups = _dup_span_occurrences(df, text_col, id_col, span_len)
+    starts = dups.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
     )
     with_spans = tdf.join(starts, id_col, "left").select(
         F.col(id_col),

@@ -81,6 +81,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.unlink(link)
             except FileNotFoundError:
                 pass
+    else:
+        # fail LOUD: without the link the file source lists an empty
+        # stage dir and every downstream query reads zero rows — an
+        # oracle red with nothing pointing at the cause
+        raise OSError(f"could not stage {src} as {link} after 3 attempts")
     return stream_events_dir(spark, stage, probe_path=src)
 
 

@@ -849,3 +849,51 @@ def test_nearest_centroid_assign_seeds_self(spark, embeddings):
         assert r["cluster"] == s["label"]
         assert r["sim"] == pytest.approx(1.0, abs=1e-6)
     assigned.unpersist()
+
+
+def test_blocked_gram_sparse_and_negative_ids(spark):
+    """Regression: (a) an id space that leaves a low block residue class
+    empty while a higher one is populated must not crash the kernel
+    (np.stack of an empty slice), and (b) negative ids must land in a
+    valid block (pmod) rather than silently matching no block-pair
+    group — both compared against brute force."""
+    import itertools
+
+    import math as _math
+
+    vecs = {
+        -9: [1.0, 0.0, 0.0, 0.0],
+        -1: [1.0, 0.001, 0.0, 0.0],
+        5: [0.0, 1.0, 0.0, 0.0],
+        13: [0.0, 1.0, 0.001, 0.0],
+        21: [0.0, 0.0, 1.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()],
+        schema="vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_all_pairs_blocked(
+            df, threshold=0.5
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    want = {}
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        # float32 storage: quantize inputs the way the parquet/arrow
+        # path does before the double-precision cosine
+        import struct
+
+        qa = [struct.unpack("f", struct.pack("f", x))[0] for x in vecs[i]]
+        qb = [struct.unpack("f", struct.pack("f", x))[0] for x in vecs[j]]
+        s = cos(qa, qb)
+        if s >= 0.5:
+            want[(i, j)] = s
+    assert got == want
