@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_kmeans_refine",
     "bpe_merge_pairs",
     "tfidf_top_terms",
+    "multimodal_resize_stats",
 ]
 
 

@@ -315,3 +315,52 @@ def resize_media(
             )
 
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def resize_pixel_stats(
+    media: DataFrame, out_w: int = 16, out_h: int = 16
+) -> DataFrame:
+    """REAL resize over the decoded raster: inflate + unfilter each PNG
+    payload (functions/imaging.py png_decode_gray), nearest-neighbor
+    resample to a fixed (out_w, out_h) thumbnail — the CLIP-style
+    fixed-size preprocessing step — and emit integer-exact channel stats
+    of the RESIZED image. Unlike resize_media (whose pixel kernel is the
+    documented stub awaiting PIL), every byte here is computed: source
+    pixel for output (i, j) is (floor(i*w/out_w), floor(j*h/out_h)).
+
+    mapInPandas, payloads executor-local and Arrow-batched — identical
+    plumbing to pixel_stats; at deploy time the NN kernel swaps for a
+    PIL/torchvision resampler without touching the plan."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.functions.imaging import png_decode_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, sums, mins, maxs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode_gray(bytes(p))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                r = arr[np.ix_(ys, xs)]
+                mids.append(mid)
+                sums.append(int(r.sum(dtype=np.int64)))
+                mins.append(int(r.min()))
+                maxs.append(int(r.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "out_w": pd.Series([out_w] * len(mids), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(mids), dtype="int32"),
+                    "sum_resized": pd.Series(sums, dtype="int64"),
+                    "min_resized": pd.Series(mins, dtype="int32"),
+                    "max_resized": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, out_w int, out_h int, "
+        "sum_resized long, min_resized int, max_resized int",
+    )

@@ -2665,3 +2665,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 5)
         .drop("_rn")
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    """
+WITH params AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS c,
+         1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS w,
+         1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS h
+  FROM documents
+),
+rs AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15),
+                        i -> ((i * w) // 16 * 7 + c) % 256) AS px
+  FROM params
+)
+SELECT media_id,
+       CAST(16 AS INTEGER) AS out_w,
+       CAST(16 AS INTEGER) AS out_h,
+       CAST(list_aggregate(px, 'sum') * 16 AS BIGINT) AS sum_resized,
+       CAST(list_aggregate(px, 'min') AS INTEGER) AS min_resized,
+       CAST(list_aggregate(px, 'max') AS INTEGER) AS max_resized
+FROM rs
+""",
+)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size thumbnail preprocessing, oracle-checked end to end:
+    encode real PNGs, decode the raster back (zlib inflate + unfilter),
+    nearest-neighbor resample to 16x16, and emit integer-exact stats of
+    the RESIZED pixels. The generator's rasters are row-constant
+    (pixel(x, y) = (x*7 + c) % 256), so the oracle reproduces the
+    resampled image in closed form — output pixel column i comes from
+    source column floor(i*w/16), identical for all 16 output rows — and
+    a hash match proves the actual resize arithmetic, closing the one
+    multimodal stage (resize) whose pixel kernel was previously only
+    stub-shaped (resize_media's documented PIL swap-in)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(docs)
+    return multimodal.resize_pixel_stats(media, out_w=16, out_h=16)

@@ -45,8 +45,8 @@ _WINDOW = 50
 _PRIORITY: list[str] = [
     # r1-stale (latest driver row is round 1; code under several refactored
     # since — minhash/simhash/jaccard materialization r3, knn audits r4)
-    # bigram_frequencies / doc_fingerprints / lang_id / dedup_exact:
-    # r1-green and
+    # bigram_frequencies / doc_fingerprints / lang_id / dedup_exact /
+    # curate_top_docs_per_lang: r1-green and
     # bit-unchanged since r1 (git log -L on each implementation and on
     # functions/{tokenize,hashing}.py) — their rows already postdate
     # their code, so they cede slots to the round-4c batch below;
@@ -54,7 +54,6 @@ _PRIORITY: list[str] = [
     "bm25_search",
     "bpe_token_stats",
     "chunk_documents",
-    "curate_top_docs_per_lang",
     "dedup_exact_groups",
     "dedup_group_assignment",
     "dedup_keep_corpus",
@@ -114,6 +113,7 @@ _PRIORITY: list[str] = [
     "bpe_merge_pairs",
     "tfidf_top_terms",
     "event_transition_matrix",
+    "multimodal_resize_stats",
 ]
 
 
