@@ -287,3 +287,79 @@ def q_streaming_dedup_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         return _run_to_fresh_upsert(totals, "dedup", ["user_id"])
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# Session oracle reuses the SAME lag/cumsum CTE as the batch twin
+# events_session_windows (queries_sessions._SESSION_CTE) — one
+# definition of the gap rule for both registrations.
+from parallel_map_reduce_spark.operators.queries_sessions import (  # noqa: E402
+    _GAP_US,
+    _SESSION_CTE,
+)
+
+
+@register(
+    "streaming_session_windows",
+    _SESSION_CTE
+    + f"""
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows through the real streaming engine — the third
+    window type (after tumbling and sliding) to earn an engine-path
+    CORRECTNESS row: per-user sessions closing after 30 minutes of
+    inactivity, computed by the native session_window aggregation and
+    landed via a foreachBatch overwrite sink. The oracle replays the gap
+    rule with the same lag/cumsum CTE the batch twin uses.
+
+    Output mode: session-window aggregations reject update mode
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — a merge can move a
+    session's key, which no upsert key survives), so this runs in
+    COMPLETE mode: every micro-batch rewrites the full session table and
+    the last batch is the complete merged answer. Production session
+    pipelines instead emit in APPEND mode after watermark finalization —
+    that semantics (and cross-batch merging) is pytest-covered in
+    tests/test_streaming.py; this row proves the engine's session-window
+    state layout end to end under the driver's value hash.
+
+    Scale posture: session state per (user, open session) only, merged
+    in the state store, watermark-evicted once closed; unbounded streams
+    hold state proportional to concurrently-open sessions (and ship in
+    append mode after finalization rather than complete-mode rewrite)."""
+    sessions = windowed.session_window_stats(
+        windowed.stream_events(spark, sf_dir),
+        gap="30 minutes",
+        watermark="3650 days",
+    )
+    return _run_complete_to_fresh_parquet(sessions, "sessions")
+
+
+def _run_complete_to_fresh_parquet(stream_df: DataFrame, tag: str) -> DataFrame:
+    """Run a COMPLETE-mode streaming plan to completion (availableNow)
+    through a foreachBatch overwrite sink — every micro-batch rewrites
+    the whole table, so after the source drains the table holds the
+    final full aggregate. Same fresh-dir + cleanup discipline as
+    _run_to_fresh_upsert."""
+    spark = stream_df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix=f"pmr_spark_stream_{tag}_")
+    target = os.path.join(run_dir, "table")
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _bid: df.write.mode("overwrite").parquet(target)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out

@@ -46,7 +46,7 @@ _PRIORITY: list[str] = [
     # r1-stale (latest driver row is round 1; code under several refactored
     # since — minhash/simhash/jaccard materialization r3, knn audits r4)
     # bigram_frequencies / doc_fingerprints / lang_id / dedup_exact /
-    # curate_top_docs_per_lang: r1-green and
+    # curate_top_docs_per_lang / token_stats: r1-green and
     # bit-unchanged since r1 (git log -L on each implementation and on
     # functions/{tokenize,hashing}.py) — their rows already postdate
     # their code, so they cede slots to the round-4c batch below;
@@ -68,7 +68,6 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_pairs",
     "quality_scores",
     "simhash_signatures",
-    "token_stats",
     "unigram_lm_doc_scores",
     # full-oracle upgrades whose newest driver row predates the oracle,
     # plus the exact twin that moved onto the blocked Gram kernel in r4
@@ -114,6 +113,7 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",
     "event_transition_matrix",
     "multimodal_resize_stats",
+    "streaming_session_windows",
 ]
 
 
