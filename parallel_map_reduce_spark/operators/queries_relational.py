@@ -1993,3 +1993,80 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_DQ_AUDIT_SQL = """
+SELECT
+ (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+ (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+   AS n_orphan_lineitems,
+ (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+   AS n_orphan_orders,
+ (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
+ (SELECT COUNT(*) FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+   AS n_dup_line_pk,
+ (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+   AS n_bad_discount,
+ (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE l.l_shipdate < o.o_orderdate) AS n_ship_before_order
+"""
+
+
+@register("data_quality_audit", _DQ_AUDIT_SQL)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit in one row: referential integrity
+    (orphan lineitems / orders via anti joins), null surrogate keys,
+    duplicate (orderkey, linenumber) primary keys, domain-range
+    violations (discount outside [0, 0.1]), and cross-table consistency
+    (lines shipped before their order date).  The synthetic generator
+    actually violates two of these (duplicate line PKs, ship-before-
+    order), so the audit is verified against real dirt, and the clean
+    checks prove the zero path.
+
+    Scale posture: every check is one scan + partial agg or one
+    key-join/anti-join — the checks share the lineitem scan where
+    Catalyst can and each emits ONE row, so the audit's output is
+    constant-size regardless of corpus; this is the shape dbt-style
+    test suites compile to."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    one = F.count(F.lit(1))
+    n_li = li.agg(one.alias("n_lineitem"))
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(od.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(one.alias("n_orphan_lineitems"))
+    )
+    orphan_od = (
+        od.select("o_custkey")
+        .join(cu.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(one.alias("n_orphan_orders"))
+    )
+    null_keys = li.filter(F.col("l_orderkey").isNull()).agg(
+        one.alias("n_null_keys")
+    )
+    dup_pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(one.alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(one.alias("n_dup_line_pk"))
+    )
+    bad_disc = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+    ).agg(one.alias("n_bad_discount"))
+    ship_before = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(od.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(one.alias("n_ship_before_order"))
+    )
+    out = n_li
+    for frag in (orphan_li, orphan_od, null_keys, dup_pk, bad_disc, ship_before):
+        out = out.crossJoin(F.broadcast(frag))
+    return out

@@ -46,7 +46,8 @@ _PRIORITY: list[str] = [
     # r1-stale (latest driver row is round 1; code under several refactored
     # since — minhash/simhash/jaccard materialization r3, knn audits r4)
     # bigram_frequencies / doc_fingerprints / lang_id / dedup_exact /
-    # curate_top_docs_per_lang / token_stats: r1-green and
+    # curate_top_docs_per_lang / token_stats / multimodal_metadata_by_kind:
+    # r1-green and
     # bit-unchanged since r1 (git log -L on each implementation and on
     # functions/{tokenize,hashing}.py) — their rows already postdate
     # their code, so they cede slots to the round-4c batch below;
@@ -64,7 +65,6 @@ _PRIORITY: list[str] = [
     "minhash_signatures",
     "multimodal_features",
     "multimodal_frame_samples",
-    "multimodal_metadata_by_kind",
     "ngram_jaccard_pairs",
     "quality_scores",
     "simhash_signatures",
@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "event_transition_matrix",
     "multimodal_resize_stats",
     "streaming_session_windows",
+    "data_quality_audit",
 ]
 
 
