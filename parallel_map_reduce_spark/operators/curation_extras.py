@@ -209,3 +209,173 @@ def stratified_exact_n(
         .filter(F.col("_rk") <= n_per)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup (new batch vs an already-deduped corpus)
+# ---------------------------------------------------------------------------
+#
+# The registered dedup tiers (dedup.py) dedup one corpus against itself.
+# At 100 TB the common shape is INGESTION: yesterday's corpus is already
+# deduped and its MinHash signatures are a stored table; today's crawl
+# batch must be deduped against it WITHOUT re-pairing kept×kept — the
+# incremental property that makes daily ingestion O(batch) instead of
+# O(corpus). Same design as the reference-cited Broder/Manku pipelines'
+# persistent signature store; only the band join's pair filter changes.
+
+
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, k0..k{r-1}) LSH band-bucket rows from a signature
+    frame. Mirrors the bucket construction inside
+    dedup.lsh_candidate_pairs (kept separate this round so the
+    registered LSH queries' code stays bit-identical under their driver
+    rows; fold together at the r5 registration)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [
+            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *members))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.*")
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    kept_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a new batch against an already-deduped kept corpus.
+
+    Returns one row per new document: (id, status, dup_of) where status
+    is ``kept`` (survives), ``cross_dup`` (verified jaccard ≥ threshold
+    with some kept doc; dup_of = the smallest such kept id), or
+    ``batch_dup`` (near-dup component within the surviving batch;
+    dup_of = the component's smallest new id, which is the survivor).
+    Documents too short to shingle always survive (no signature — same
+    convention as the batch tiers). Ids must be unique across both
+    frames.
+
+    Scale shape — the incremental property: kept-side band buckets join
+    only against NEW-side buckets (in production both signature frames
+    are loaded from the stored signature table, not recomputed;
+    recomputation here keeps the function self-contained), so no
+    kept×kept pair is ever generated and per-ingest work scales with
+    the batch, not the corpus. Verification joins shingle sets computed
+    ONLY for docs appearing in some candidate pair (semi-join first),
+    and the within-batch component formation runs on batch-sized edges
+    via pointer-jumped min-label propagation.
+    """
+    from parallel_map_reduce_spark.operators.dedup import (
+        connected_components,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sig_kept = minhash_signatures(
+        kept_docs, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    bk_new = _band_buckets(sig_new, id_col, num_hashes, bands)
+    bk_kept = _band_buckets(sig_kept, id_col, num_hashes, bands)
+    join_keys = ["band"] + [f"k{r}" for r in range(num_hashes // bands)]
+
+    # Cross candidates: new × kept only — never kept × kept.
+    cross_cand = (
+        bk_new.join(
+            bk_kept.withColumnRenamed(id_col, "_kid"), join_keys
+        )
+        .select(F.col(id_col).alias("id_n"), F.col("_kid").alias("id_k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Within-batch candidates: new × new, ordered.
+    intra_cand = (
+        bk_new.join(bk_new.withColumnRenamed(id_col, "_rid"), join_keys)
+        .filter(F.col(id_col) < F.col("_rid"))
+        .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # Shingle sets only for docs that appear in some candidate pair.
+    new_ids = (
+        cross_cand.select(F.col("id_n").alias(id_col))
+        .union(intra_cand.select(F.col("id_a").alias(id_col)))
+        .union(intra_cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_new = shingle_sets(
+        new_docs.join(new_ids, id_col, "left_semi"), text_col, id_col, shingle_n
+    ).localCheckpoint(eager=True)
+    sets_kept = shingle_sets(
+        kept_docs.join(
+            cross_cand.select(F.col("id_k").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        shingle_n,
+    )
+
+    def _verified(cands: DataFrame, a: str, b: str, sa: DataFrame, sb: DataFrame):
+        la = sa.select(F.col(id_col).alias(a), F.col("sh").alias("sh_a"))
+        lb = sb.select(F.col(id_col).alias(b), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(la, a)
+            .join(lb, b)
+            .filter((inter / union) >= threshold)
+            .select(a, b)
+        )
+
+    cross = _verified(cross_cand, "id_n", "id_k", sets_new, sets_kept)
+    cross_dup = cross.groupBy("id_n").agg(F.min("id_k").alias("dup_of"))
+
+    # Within-batch components over docs that survived the cross pass.
+    intra = _verified(intra_cand, "id_a", "id_b", sets_new, sets_new)
+    intra_live = intra.join(
+        cross_dup.select(F.col("id_n").alias("id_a")), "id_a", "left_anti"
+    ).join(cross_dup.select(F.col("id_n").alias("id_b")), "id_b", "left_anti")
+    comps = connected_components(intra_live, "id_a", "id_b")
+
+    base = new_docs.select(F.col(id_col))
+    return (
+        base.join(cross_dup.withColumnRenamed("id_n", id_col), id_col, "left")
+        .join(
+            comps.select(
+                F.col("u").cast("long").alias(id_col),
+                F.col("label").alias("_comp"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("cross_dup"))
+            .when(
+                F.col("_comp").isNotNull() & (F.col("_comp") != F.col(id_col)),
+                F.lit("batch_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(
+                F.col("dup_of"),
+                F.when(F.col("_comp") != F.col(id_col), F.col("_comp")),
+            ).alias("dup_of"),
+        )
+    )

@@ -151,3 +151,83 @@ def test_bloom_probe_side_never_sort_merge_joins(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def _py_shingles(text: str) -> set:
+    import re
+
+    toks = [t for t in re.split("[ \t\n\r\x0b\x0c]+", text) if t != ""]
+    return {
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    }
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_incremental_dedup_planted(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        incremental_lsh_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the old river bank"
+    c = "pack my box with five dozen liquor jugs before the night train leaves"
+    kept = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, a + " today"),  # near-copy of kept 1 -> cross_dup
+            (11, "sphinx of black quartz judge my vow in the quiet museum hall"),
+            (12, c),  # batch pair canonical
+            (13, c + " now"),  # near-copy of 12 -> batch_dup
+            (14, "hi"),  # too short to shingle -> kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_lsh_dedup(new, kept).collect()
+    }
+    assert got == {
+        10: ("cross_dup", 1),
+        11: ("kept", None),
+        12: ("kept", None),
+        13: ("batch_dup", 12),
+        14: ("kept", None),
+    }
+
+
+def test_incremental_dedup_real_corpus_invariants(spark, sf_dir):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        incremental_lsh_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = incremental_lsh_dedup(new, kept).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == new.count()
+    statuses = {r["status"] for r in out}
+    assert statuses <= {"kept", "cross_dup", "batch_dup"}
+    for r in out:
+        if r["status"] == "cross_dup":
+            # drop is sound: verified against a real kept doc
+            assert r["dup_of"] % 2 == 0
+            assert _py_jaccard(texts[r["doc_id"]], texts[r["dup_of"]]) >= 0.5
+        elif r["status"] == "batch_dup":
+            # canonical is an earlier new doc that itself survived
+            assert r["dup_of"] < r["doc_id"]
+            assert rows[r["dup_of"]]["status"] == "kept"
+        else:
+            assert r["dup_of"] is None
+    # determinism under different partitioning
+    again = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_lsh_dedup(new.repartition(7), kept.repartition(5)).collect()
+    }
+    assert again == {r["doc_id"]: (r["status"], r["dup_of"]) for r in out}
