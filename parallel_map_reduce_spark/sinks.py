@@ -100,3 +100,55 @@ def write_parquet_sorted(df: DataFrame, path: str, order_col: str, n_files: int)
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def publish_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    n_writers: int | None = None,
+) -> DataFrame:
+    """Publish a training dataset as row-capped parquet shards and
+    return its manifest: (shard, rows, bytes), one row per file.
+
+    Sharding uses the writer's ``maxRecordsPerFile`` cap — no pre-count
+    job, no global sort: each of the ``n_writers`` tasks (default: the
+    frame's current parallelism) rolls to a new file every
+    ``rows_per_shard`` rows, which is how a 100 TB publish keeps every
+    shard consumable by a single loader worker regardless of upstream
+    partition sizes.
+
+    The manifest is computed distributed — per-file row counts from
+    ``input_file_name()`` over a read-back scan (parquet footers only,
+    the count never deserializes row data), byte sizes from the
+    binaryFile listing (path/length metadata; content is never read) —
+    and also written to ``<path>/_manifest`` as a single JSON file
+    (underscore-prefixed, so data readers ignore it; one file because a
+    manifest is driver-scale by construction: one row per shard).
+    """
+    w = df.write.mode("overwrite").option("maxRecordsPerFile", rows_per_shard)
+    if n_writers is not None:
+        w = df.repartition(n_writers).write.mode("overwrite").option(
+            "maxRecordsPerFile", rows_per_shard
+        )
+    w.parquet(path)
+
+    # Join on the file basename: input_file_name() and the binaryFile
+    # listing render the same file under different URI forms
+    # (file:///x vs file:/x).
+    base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(base(F.input_file_name()).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    sizes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(base(F.col("path")).alias("shard"), F.col("length").alias("bytes"))
+    )
+    manifest = rows.join(sizes, "shard").orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
+    return manifest

@@ -393,3 +393,28 @@ def test_observation_metrics_without_extra_pass(spark):
     exact = load_table(spark, SF, "lineitem")
     assert obs.get["rows_seen"] == exact.count()
     assert abs(obs.get["qty_seen"] - exact.agg(F.sum("l_quantity")).collect()[0][0]) < 1e-6
+
+
+def test_publish_dataset_shards_and_manifest(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    out = str(tmp_path / "published")
+    manifest = sinks.publish_dataset(
+        spark, orders, out, rows_per_shard=300, n_writers=4
+    ).collect()
+    # every shard respects the cap; row accounting is exact
+    assert all(r["rows"] <= 300 for r in manifest)
+    assert sum(r["rows"] for r in manifest) == total
+    assert all(r["bytes"] > 0 for r in manifest)
+    assert len(manifest) >= total // 300
+    # the published data reads back whole
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert back.agg(F.sum("o_orderkey")).collect()[0][0] == orders.agg(
+        F.sum("o_orderkey")
+    ).collect()[0][0]
+    # the manifest file is itself readable and matches
+    mf = spark.read.json(out + "/_manifest")
+    assert {
+        (r["shard"], r["rows"], r["bytes"]) for r in mf.collect()
+    } == {(r["shard"], r["rows"], r["bytes"]) for r in manifest}
