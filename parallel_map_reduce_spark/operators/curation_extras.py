@@ -379,3 +379,73 @@ def incremental_lsh_dedup(
             ).alias("dup_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment detection
+# ---------------------------------------------------------------------------
+#
+# Symmetric Jaccard misses the quote/boilerplate case: a short document
+# reproduced verbatim inside a much longer one has containment
+# |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0 — below any
+# sane dedup threshold. Containment is the Broder (SEQUENCES'97)
+# "resemblance vs containment" distinction; detecting it is how a
+# pipeline drops syndicated articles quoted inside aggregator pages.
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed near-containment pairs: (contained_id, container_id,
+    containment) where containment = |sh(contained) ∩ sh(container)| /
+    |sh(contained)| ≥ threshold, contained_id ≠ container_id. A doc
+    pair can appear in both directions (mutual containment = high
+    Jaccard).
+
+    Scale shape: same inverted-index join as the exact Jaccard tier —
+    pairs sharing no shingle never materialize; sizes are counted over
+    the same index frame, materialized once. ``max_df`` caps hot-shingle
+    fan-out exactly like the DF-capped Jaccard tier (containment
+    measured in the capped universe); at 100 TB use it, or swap the
+    candidate stage for bottom-k containment sketches (Cohen's
+    summaries) — the verify stage is unchanged either way.
+    """
+    from parallel_map_reduce_spark.operators.dedup import (
+        df_capped_shingles,
+        explode_shingles,
+    )
+
+    sh = (
+        df_capped_shingles(docs, text_col, id_col, shingle_n, max_df)
+        if max_df is not None
+        else explode_shingles(docs, text_col, id_col, shingle_n)
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("contained_id"), F.col("n_sh").alias("n_a")
+    )
+    cont = F.col("n_common") / F.col("n_a")
+    # Filter the UNROUNDED ratio; round only the reported column (same
+    # boundary rule as the Jaccard tiers).
+    return (
+        common.join(F.broadcast(sa), "contained_id")
+        .filter(cont >= threshold)
+        .withColumn("containment", F.round(cont, 4))
+        .select("contained_id", "container_id", "containment")
+    )

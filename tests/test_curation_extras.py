@@ -231,3 +231,82 @@ def test_incremental_dedup_real_corpus_invariants(spark, sf_dir):
         for r in incremental_lsh_dedup(new.repartition(7), kept.repartition(5)).collect()
     }
     assert again == {r["doc_id"]: (r["status"], r["dup_of"]) for r in out}
+
+
+def test_incremental_dedup_empty_kept_equals_batch_tier(spark, sf_dir):
+    # With no kept corpus, incremental dedup must degenerate to exactly
+    # the batch LSH tier: same survivors, same canonical ids.
+    from parallel_map_reduce_spark.operators import dedup
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        incremental_lsh_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    empty = docs.filter(F.lit(False))
+    out = incremental_lsh_dedup(docs, empty).collect()
+    assert all(r["status"] != "cross_dup" for r in out)
+
+    edges = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    comp = {
+        r["u"]: r["label"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    want_losers = {u: lb for u, lb in comp.items() if u != lb}
+    got_losers = {
+        r["doc_id"]: r["dup_of"] for r in out if r["status"] == "batch_dup"
+    }
+    assert got_losers == want_losers
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        containment_pairs,
+    )
+    from parallel_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        short
+        + " while the reporters watched from the hill and wrote their long"
+        " detailed stories about the unusual scene unfolding below them"
+        " through the whole golden afternoon until the light finally faded"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    got = containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["contained_id"], r["container_id"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    # the symmetric tier cannot see it at the same strength
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_superset_of_symmetric_jaccard(spark, sf_dir):
+    # j = inter/union <= inter/|A| = containment, both directions — so
+    # every symmetric near-dup pair must appear in the containment
+    # output at the same threshold, in both orientations.
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        containment_pairs,
+    )
+    from parallel_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cont = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    for a, b in jac:
+        assert (a, b) in cont and (b, a) in cont
+    # python cross-check of the reported ratio on a few pairs
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = containment_pairs(docs, threshold=0.5).collect()
+    for r in rows[:20]:
+        sa = _py_shingles(texts[r["contained_id"]])
+        sb = _py_shingles(texts[r["container_id"]])
+        assert len(sa & sb) / len(sa) >= 0.5
+        assert abs(r["containment"] - round(len(sa & sb) / len(sa), 4)) < 1e-9
