@@ -449,3 +449,90 @@ def containment_pairs(
         .withColumn("containment", F.round(cont, 4))
         .select("contained_id", "container_id", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+#
+# chunk_documents (queries_llm) cuts at fixed token offsets: insert one
+# word at the front of a document and every chunk boundary shifts, so
+# chunk-level dedup sees an entirely new set of chunks. Content-defined
+# chunking (the LBFS/rsync family: boundaries where a sliding-window
+# hash hits a divisor pattern) keeps boundaries attached to CONTENT —
+# after a prefix edit, all chunks beyond the first unchanged boundary
+# hash identically, which is what makes chunk-level dedup catch
+# shifted/near-shifted duplicates that doc-level tiers score as
+# different documents.
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunks: (id, chunk_idx, n_tokens, chunk_hash,
+    chunk_text), cut after every token position whose trailing
+    ``window``-token hash ≡ 0 (mod ``divisor``) — expected chunk length
+    ``divisor`` tokens, geometric tail. Documents shorter than
+    ``window`` tokens form one chunk. Chunks concatenate back to the
+    tokenized document (property-tested), and boundaries are a pure
+    function of local content, so a prefix edit relocates only chunks
+    up to the first surviving boundary.
+
+    Scale shape: everything is per-row array arithmetic on the
+    materialized token array (one md5 per window position + integer
+    mod), zero shuffles, one generator — same plan class as
+    duplicated_span_stats, and the same two Catalyst traps avoided:
+    lambdas receive only materialized column references, and the
+    generator consumes the chunk-array EXPRESSION (never a projected
+    attribute, which re-derives the whole array per element).
+    """
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(docs, text_col, id_col)
+    n = F.size("tk")
+    # token positions j (1-based) where the window ending at j cuts
+    win_start = lambda j: j - (window - 1)  # noqa: E731
+    wh = lambda j: hash64(  # noqa: E731
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("tk"), win_start(j) + o)
+                for o in range(window)
+            ],
+        ),
+        0,
+    )
+    cuts_expr = F.filter(
+        F.sequence(F.lit(window), n), lambda j: wh(j) % divisor == 0
+    )
+    # ensure the document end is always a cut; drop a duplicate if the
+    # last window already cut there
+    cuts = F.array_distinct(
+        F.concat(
+            F.when(n >= window, cuts_expr).otherwise(F.array()), F.array(n)
+        )
+    )
+    prevs = F.concat(F.array(F.lit(0)), F.slice(cuts, 1, F.size(cuts) - 1))
+    chunks = F.zip_with(
+        prevs,
+        cuts,
+        lambda p, c: F.concat_ws(" ", F.slice(F.col("tk"), p + 1, c - p)),
+    )
+    return (
+        tdf.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+            hash64(F.col("chunk_text"), 0).alias("chunk_hash"),
+            "chunk_text",
+        )
+    )

@@ -310,3 +310,52 @@ def test_containment_superset_of_symmetric_jaccard(spark, sf_dir):
         sb = _py_shingles(texts[r["container_id"]])
         assert len(sa & sb) / len(sa) >= 0.5
         assert abs(r["containment"] - round(len(sa & sb) / len(sa), 4)) < 1e-9
+
+
+def test_cdc_chunks_reconstruct_and_deterministic(spark, sf_dir):
+    from parallel_map_reduce_spark.operators.curation_extras import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_chunks(docs, window=4, divisor=16).collect()
+    import re
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = [t for t in re.split("[ \t\n\r\x0b\x0c]+", texts[doc_id]) if t]
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(toks)
+        assert sum(r["n_tokens"] for r in rows) == len(toks)
+    # every tokenizable doc chunked
+    assert set(by_doc) == {
+        d for d, t in texts.items()
+        if [x for x in re.split("[ \t\n\r\x0b\x0c]+", t) if x]
+    }
+
+
+def test_cdc_chunks_shift_resistant_where_fixed_chunking_is_not(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import cdc_chunks
+
+    base = " ".join(f"tok{i % 97}x{i % 31}" for i in range(400))
+    shifted = "three new words " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs, window=4, divisor=16).collect()
+    h1 = [r["chunk_hash"] for r in rows if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in rows if r["doc_id"] == 2]
+    shared = len(set(h1) & set(h2))
+    # all but the first boundary's worth of chunks must survive the
+    # prefix insertion byte-identically
+    assert shared >= len(h1) - 2
+    # a fixed-size chunking of the same pair shares nothing: every
+    # boundary shifted by the 3-token insertion
+    import re
+
+    toks = [t for t in re.split(r"\s+", base) if t]
+    toks2 = [t for t in re.split(r"\s+", shifted) if t]
+    fixed1 = {" ".join(toks[i : i + 16]) for i in range(0, len(toks), 16)}
+    fixed2 = {" ".join(toks2[i : i + 16]) for i in range(0, len(toks2), 16)}
+    assert not (fixed1 & fixed2)
