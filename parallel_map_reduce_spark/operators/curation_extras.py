@@ -536,3 +536,240 @@ def cdc_chunks(
             "chunk_text",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Draft DuckDB oracles for the r5 registrations
+# ---------------------------------------------------------------------------
+#
+# Tested now (tests/test_curation_oracle_sql.py runs them through DuckDB
+# against the Spark output with the driver's normalize-and-compare
+# rules) so round-5 registration is a @register() call away. The CTE
+# fragments mirror queries_llm's oracle SQL exactly (same token split,
+# same shingle construction, same portable hashes).
+
+_SPLIT_SQL = r"[ \t\n\r\x0b\x0c]+"
+_TOKS_SQL = f"list_filter(regexp_split_to_array(text, '{_SPLIT_SQL}'), w -> w <> '')"
+_TOKS_CTE_SQL = f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents)"
+_SHINGLES_CTE_SQL = (
+    _TOKS_CTE_SQL
+    + """,
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(ws)-2, 0))) AS t(i)
+)"""
+)
+
+
+def sample_exact_n_oracle_sql(n: int, seed: int = 0) -> str:
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY {h}, doc_id
+LIMIT {n}
+"""
+
+
+def stratified_exact_n_oracle_sql(n_per: int, seed: int = 0) -> str:
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+  FROM documents
+) t WHERE rk <= {n_per}
+"""
+
+
+def containment_pairs_oracle_sql(threshold: float) -> str:
+    return (
+        _SHINGLES_CTE_SQL
+        + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id,
+       ROUND(n_common * 1.0 / n_sh, 4) AS containment
+FROM common JOIN sizes ON sizes.doc_id = common.contained_id
+WHERE n_common * 1.0 / n_sh >= {threshold}
+"""
+    )
+
+
+def bloom_decontaminate_oracle_sql(
+    eval_mod: int = 50, m_bits: int = 1 << 18, k: int = 3
+) -> str:
+    # Per-shingle Bloom membership == all k positions present in the
+    # eval-side position set, so the oracle needs no bitset arithmetic.
+    from parallel_map_reduce_spark.functions.hashing import (
+        hash64_sql,
+        universal_hash_sql,
+        universal_params,
+    )
+
+    pos = [
+        f"(({universal_hash_sql('h', a, b)}) % {m_bits})"
+        for a, b in universal_params(k)
+    ]
+    eval_union = "\n    UNION\n    ".join(
+        f"SELECT {p} AS p FROM hashed WHERE doc_id % {eval_mod} = 0" for p in pos
+    )
+    hit = " AND ".join(f"{p} IN (SELECT p FROM eval_pos)" for p in pos)
+    return (
+        _SHINGLES_CTE_SQL
+        + f""",
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+eval_pos AS (
+    {eval_union}
+)
+SELECT doc_id, COUNT(*) AS n_sh,
+       SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS n_bloom,
+       (SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) * 5 >= COUNT(*))
+         AS maybe_contaminated
+FROM hashed WHERE doc_id % {eval_mod} <> 0
+GROUP BY doc_id
+"""
+    )
+
+
+def cdc_chunks_oracle_sql(window: int = 8, divisor: int = 64) -> str:
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    win = " || ' ' || ".join(
+        f"ws[j-{window - 1 - o}]" for o in range(window)
+    )
+    wh = hash64_sql(f"({win})", 0)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, ws, len(ws) AS n,
+    CASE WHEN len(ws) >= {window} THEN
+      list_filter(generate_series({window}, len(ws)), j -> ({wh}) % {divisor} = 0)
+    ELSE [] END AS cuts0
+  FROM toks WHERE len(ws) > 0
+),
+cutsed AS (
+  SELECT doc_id, ws,
+         list_sort(list_distinct(list_append(cuts0, n))) AS cuts
+  FROM base
+),
+chunked AS (
+  SELECT doc_id,
+    list_transform(cuts, (c, i) -> struct_pack(
+      idx := i - 1,
+      txt := array_to_string(ws[CASE WHEN i = 1 THEN 1 ELSE cuts[i-1] + 1 END : c], ' ')
+    )) AS chunks
+  FROM cutsed
+)
+SELECT doc_id,
+       u.idx AS chunk_idx,
+       len(string_split(u.txt, ' ')) AS n_tokens,
+       {hash64_sql("u.txt", 0)} AS chunk_hash,
+       u.txt AS chunk_text
+FROM chunked, UNNEST(chunks) AS t(u)
+"""
+
+
+def incremental_lsh_dedup_oracle_sql(
+    new_pred: str = "doc_id % 2 = 1",
+    kept_pred: str = "doc_id % 2 = 0",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    # Replays the exact operator: banded cross candidates (new×kept
+    # only), verified by exact jaccard; banded intra candidates among
+    # cross-survivors; recursive-CTE components; min-kept / component-
+    # min canonicals.
+    from parallel_map_reduce_spark.functions.hashing import (
+        hash64_sql,
+        universal_hash_sql,
+        universal_params,
+    )
+
+    mins = ",\n       ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(num_hashes))
+    )
+    rpb = num_hashes // bands
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    head = _SHINGLES_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        head
+        + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+xcand AS (
+  SELECT a.doc_id AS id_n, b.doc_id AS id_k
+  FROM sigs a JOIN sigs b
+    ON (a.{new_pred}) AND (b.{kept_pred})
+   AND ({band_match})
+),
+xver AS (
+  SELECT p.id_n, p.id_k FROM (
+    SELECT x.id_n, x.id_k, COUNT(*) AS n_common
+    FROM xcand x
+    JOIN shingles sa ON sa.doc_id = x.id_n
+    JOIN shingles sb ON sb.doc_id = x.id_k AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_n = sa.doc_id
+  JOIN sizes sb ON p.id_k = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+),
+cross_dup AS (SELECT id_n, MIN(id_k) AS dup_of FROM xver GROUP BY id_n),
+icand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND (a.{new_pred}) AND (b.{new_pred})
+   AND ({band_match})
+),
+iver AS (
+  SELECT p.id_a, p.id_b FROM (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM icand c
+    JOIN shingles sa ON sa.doc_id = c.id_a
+    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    AND p.id_a NOT IN (SELECT id_n FROM cross_dup)
+    AND p.id_b NOT IN (SELECT id_n FROM cross_dup)
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM iver
+        UNION ALL SELECT id_b, id_a FROM iver),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CASE WHEN cd.dup_of IS NOT NULL THEN 'cross_dup'
+            WHEN comp.group_id IS NOT NULL AND comp.group_id <> d.doc_id
+              THEN 'batch_dup'
+            ELSE 'kept' END AS status,
+       COALESCE(cd.dup_of,
+                CASE WHEN comp.group_id <> d.doc_id THEN comp.group_id END)
+         AS dup_of
+FROM (SELECT doc_id FROM documents WHERE {new_pred}) d
+LEFT JOIN cross_dup cd ON cd.id_n = d.doc_id
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+"""
+    )

@@ -1,0 +1,90 @@
+"""Parity tests for the staged operators' draft DuckDB oracles
+(curation_extras.*_oracle_sql) — the same normalize-and-compare rules
+as tools/check_oracle.py, so the r5 registrations land pre-proven."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators import curation_extras as ce
+from parallel_map_reduce_spark.sources.tables import load_table
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else f"{v:.12g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def _assert_matches(sdf, con, sql):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _normalize(srows, scols) == _normalize(drows, dcols)
+
+
+def test_sample_exact_n_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.sample_exact_n(docs, 100).select("doc_id", "lang", "n_chars")
+    _assert_matches(sdf, duck, ce.sample_exact_n_oracle_sql(100))
+
+
+def test_stratified_exact_n_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.stratified_exact_n(docs, "lang", 20).select(
+        "doc_id", "lang", "n_chars"
+    )
+    _assert_matches(sdf, duck, ce.stratified_exact_n_oracle_sql(20))
+
+
+def test_containment_pairs_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.containment_pairs(docs, threshold=0.5)
+    _assert_matches(sdf, duck, ce.containment_pairs_oracle_sql(0.5))
+
+
+def test_bloom_decontaminate_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.bloom_decontaminate(docs, eval_mod=50)
+    _assert_matches(sdf, duck, ce.bloom_decontaminate_oracle_sql(50))
+
+
+def test_cdc_chunks_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.cdc_chunks(docs, window=4, divisor=16)
+    _assert_matches(sdf, duck, ce.cdc_chunks_oracle_sql(4, 16))
+
+
+def test_incremental_lsh_dedup_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.incremental_lsh_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    _assert_matches(sdf, duck, ce.incremental_lsh_dedup_oracle_sql())
