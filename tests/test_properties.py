@@ -368,3 +368,61 @@ def test_bpe_merge_pairs_matches_python_model(spark, texts):
         (r["pair"], r["pair_count"]) for r in q_bpe_merge_pairs(spark, tmp).collect()
     ]
     assert got == want
+
+
+WORDS = st.sampled_from([f"w{i}" for i in range(12)] + [":", "é字"])
+DOC_TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=30).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@PROP_SETTINGS
+@given(texts=DOC_TEXTS)
+def test_cdc_chunks_reconstruct_property(spark, texts):
+    # CDC chunking must losslessly partition the token stream of every
+    # document, for any text including whitespace-only and sub-window
+    # docs, at an aggressive divisor that cuts often.
+    from parallel_map_reduce_spark.operators.curation_extras import cdc_chunks
+
+    rows = cdc_chunks(_df(spark, texts), window=3, divisor=4).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, t in enumerate(texts):
+        toks = model_tokens(t)
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert got == []
+            continue
+        assert " ".join(r["chunk_text"] for r in got) == " ".join(toks)
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        assert all(r["n_tokens"] >= 1 for r in got)
+
+
+@PROP_SETTINGS
+@given(texts=DOC_TEXTS)
+def test_bloom_never_false_negative_property(spark, texts):
+    # For ANY corpus, per-document Bloom hit counts dominate the exact
+    # shared-shingle counts (membership can only over-report).
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bloom_decontaminate,
+    )
+    from parallel_map_reduce_spark.operators.textstats import (
+        decontaminate_against_eval,
+    )
+
+    df = _df(spark, texts)
+    exact = {
+        r["doc_id"]: r for r in decontaminate_against_eval(df, eval_mod=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(df, eval_mod=3, m_bits=512, k=2).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b["n_sh"] == e["n_sh"]
+        assert b["n_bloom"] >= e["n_shared"]
