@@ -224,27 +224,6 @@ def stratified_exact_n(
 # persistent signature store; only the band join's pair filter changes.
 
 
-def _band_buckets(
-    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """(id, band, k0..k{r-1}) LSH band-bucket rows from a signature
-    frame. Mirrors the bucket construction inside
-    dedup.lsh_candidate_pairs (kept separate this round so the
-    registered LSH queries' code stays bit-identical under their driver
-    rows; fold together at the r5 registration)."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        members = [
-            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(F.struct(F.lit(b).alias("band"), *members))
-    return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.*")
-
-
 def incremental_lsh_dedup(
     new_docs: DataFrame,
     kept_docs: DataFrame,
@@ -277,6 +256,7 @@ def incremental_lsh_dedup(
     via pointer-jumped min-label propagation.
     """
     from parallel_map_reduce_spark.operators.dedup import (
+        band_buckets,
         connected_components,
         minhash_signatures,
         shingle_sets,
@@ -288,8 +268,8 @@ def incremental_lsh_dedup(
     sig_kept = minhash_signatures(
         kept_docs, text_col, id_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
-    bk_new = _band_buckets(sig_new, id_col, num_hashes, bands)
-    bk_kept = _band_buckets(sig_kept, id_col, num_hashes, bands)
+    bk_new = band_buckets(sig_new, id_col, num_hashes, bands)
+    bk_kept = band_buckets(sig_kept, id_col, num_hashes, bands)
     join_keys = ["band"] + [f"k{r}" for r in range(num_hashes // bands)]
 
     # Cross candidates: new × kept only — never kept × kept.
@@ -413,7 +393,11 @@ def containment_pairs(
     fan-out exactly like the DF-capped Jaccard tier (containment
     measured in the capped universe); at 100 TB use it, or swap the
     candidate stage for bottom-k containment sketches (Cohen's
-    summaries) — the verify stage is unchanged either way.
+    summaries) — the verify stage is unchanged either way. The per-doc
+    sizes frame is corpus-cardinality, so it is deliberately NOT
+    broadcast-hinted: the sizes join keys on contained_id (the pair
+    frame's grouping key, already clustered), and AQE is free to pick a
+    broadcast only when the statistics actually fit.
     """
     from parallel_map_reduce_spark.operators.dedup import (
         df_capped_shingles,
@@ -444,7 +428,7 @@ def containment_pairs(
     # Filter the UNROUNDED ratio; round only the reported column (same
     # boundary rule as the Jaccard tiers).
     return (
-        common.join(F.broadcast(sa), "contained_id")
+        common.join(sa, "contained_id")
         .filter(cont >= threshold)
         .withColumn("containment", F.round(cont, 4))
         .select("contained_id", "container_id", "containment")
@@ -682,8 +666,8 @@ FROM chunked, UNNEST(chunks) AS t(u)
 
 
 def incremental_lsh_dedup_oracle_sql(
-    new_pred: str = "doc_id % 2 = 1",
-    kept_pred: str = "doc_id % 2 = 0",
+    new_pred: str = "{t}.doc_id % 2 = 1",
+    kept_pred: str = "{t}.doc_id % 2 = 0",
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
@@ -692,6 +676,12 @@ def incremental_lsh_dedup_oracle_sql(
     # only), verified by exact jaccard; banded intra candidates among
     # cross-survivors; recursive-CTE components; min-kept / component-
     # min canonicals.
+    #
+    # Predicate contract: ``new_pred``/``kept_pred`` are SQL boolean
+    # expressions with a ``{t}`` placeholder wherever they reference the
+    # document row's alias (e.g. ``"{t}.doc_id % 2 = 1"``) — the
+    # generator substitutes the correct alias at each splice site, so
+    # compound predicates and qualified columns stay valid SQL.
     from parallel_map_reduce_spark.functions.hashing import (
         hash64_sql,
         universal_hash_sql,
@@ -710,6 +700,9 @@ def incremental_lsh_dedup_oracle_sql(
         for b in range(bands)
     )
     head = _SHINGLES_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    new_a, new_b = new_pred.format(t="a"), new_pred.format(t="b")
+    kept_b = kept_pred.format(t="b")
+    new_d = new_pred.format(t="documents")
     return (
         head
         + f""",
@@ -719,7 +712,7 @@ sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 xcand AS (
   SELECT a.doc_id AS id_n, b.doc_id AS id_k
   FROM sigs a JOIN sigs b
-    ON (a.{new_pred}) AND (b.{kept_pred})
+    ON ({new_a}) AND ({kept_b})
    AND ({band_match})
 ),
 xver AS (
@@ -738,7 +731,7 @@ cross_dup AS (SELECT id_n, MIN(id_k) AS dup_of FROM xver GROUP BY id_n),
 icand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sigs a JOIN sigs b
-    ON a.doc_id < b.doc_id AND (a.{new_pred}) AND (b.{new_pred})
+    ON a.doc_id < b.doc_id AND ({new_a}) AND ({new_b})
    AND ({band_match})
 ),
 iver AS (
@@ -768,7 +761,7 @@ SELECT d.doc_id,
        COALESCE(cd.dup_of,
                 CASE WHEN comp.group_id <> d.doc_id THEN comp.group_id END)
          AS dup_of
-FROM (SELECT doc_id FROM documents WHERE {new_pred}) d
+FROM (SELECT doc_id FROM documents WHERE {new_d}) d
 LEFT JOIN cross_dup cd ON cd.id_n = d.doc_id
 LEFT JOIN comp ON comp.doc_id = d.doc_id
 """

@@ -154,6 +154,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, k0..k{r-1}) LSH band-bucket rows from a signature
+    frame — the shared bucketing step of every banded-LSH consumer
+    (self-dedup pairs below; new-vs-kept incremental dedup in
+    operators/curation_extras.py, whose band join must mix two
+    DIFFERENT signature frames and so needs the bucket construction as
+    a standalone stage).
+
+    The bucket key carries the RAW band member hashes, not a re-hash of
+    them: same shuffle width to within a few bytes, no possibility of a
+    hash collision admitting a spurious candidate, and — because every
+    value comes from the portable md5/universal family — the bucket set
+    is reproducible in ANSI SQL.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [
+            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *members))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.*")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -167,24 +196,13 @@ def lsh_candidate_pairs(
     docs are candidates if ANY band matches exactly. The join key is
     (band_index, raw member hashes) — bucket sizes stay tiny, so the
     self-join is linear-ish in practice; no all-pairs computation happens
-    anywhere. The key uses the RAW band values, not a re-hash of them:
-    same shuffle width to within a few bytes, no possibility of a hash
-    collision admitting a spurious candidate, and — because every value
-    comes from the portable md5/universal family — the whole candidate
-    set is reproducible in ANSI SQL, which is what lets the LSH tier
-    carry a full DuckDB value-hash oracle instead of a rows-only check.
+    anywhere. Raw-value band keys keep the whole candidate set
+    reproducible in ANSI SQL (see :func:`band_buckets`), which is what
+    lets the LSH tier carry a full DuckDB value-hash oracle instead of a
+    rows-only check.
     """
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        members = [
-            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(F.struct(F.lit(b).alias("band"), *members))
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.*")
+    buckets = band_buckets(signatures, id_col, num_hashes, bands)
     join_keys = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     left = buckets
     right = buckets.withColumnRenamed(id_col, "_rid")

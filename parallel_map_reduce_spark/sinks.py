@@ -127,12 +127,10 @@ def publish_dataset(
     (underscore-prefixed, so data readers ignore it; one file because a
     manifest is driver-scale by construction: one row per shard).
     """
-    w = df.write.mode("overwrite").option("maxRecordsPerFile", rows_per_shard)
-    if n_writers is not None:
-        w = df.repartition(n_writers).write.mode("overwrite").option(
-            "maxRecordsPerFile", rows_per_shard
-        )
-    w.parquet(path)
+    out = df.repartition(n_writers) if n_writers is not None else df
+    out.write.mode("overwrite").option("maxRecordsPerFile", rows_per_shard).parquet(
+        path
+    )
 
     # Join on the file basename: input_file_name() and the binaryFile
     # listing render the same file under different URI forms
@@ -149,6 +147,11 @@ def publish_dataset(
         .load(path)
         .select(base(F.col("path")).alias("shard"), F.col("length").alias("bytes"))
     )
-    manifest = rows.join(sizes, "shard").orderBy("shard")
+    # Materialize the manifest once (it is driver-scale: one row per
+    # shard) — without this every downstream action on the returned
+    # frame would re-list and re-scan the published directory.
+    manifest = (
+        rows.join(sizes, "shard").orderBy("shard").localCheckpoint(eager=True)
+    )
     manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
     return manifest
