@@ -91,6 +91,17 @@ HEADLINE = [
     "bpe_merge_pairs",
     "tfidf_top_terms",
     "multimodal_resize_stats",
+    # round-5 breadth: the registered curation extras + the two deepened
+    # pipelines (cluster-sharded SemDeDup, multi-round BPE trainer)
+    "bloom_decontaminate",
+    "sample_exact_n",
+    "stratified_exact_n",
+    "containment_pairs",
+    "cdc_chunks",
+    "incremental_lsh_dedup",
+    "publish_dataset_roundtrip",
+    "semantic_dedup_cluster_sharded",
+    "bpe_train_vocab",
 ]
 
 
@@ -169,6 +180,13 @@ def main() -> int:
         # best-of-2 under a load spike still reports a phantom regression.
         attempts = 3 if name.startswith("streaming_") else 2
         timings[name] = round(min(_timed(run_query) for _ in range(attempts)), 3)
+        # Progress line per query ('#'-prefixed so the final JSON stays
+        # the only JSON line): the driver records only a bounded stdout
+        # tail, and round 4's 57-row result JSON overflowed it
+        # ("parsed": null in BENCH_r04.json) — per-query lines first +
+        # a compact final dump keep the artifact reconstructable even
+        # if the tail cut ever lands mid-JSON again.
+        print(f"# {name}: {timings[name]}s", flush=True)
 
     # Ship-path rows for the ANN family. The REGISTERED queries above
     # (knn_lsh_ann, embedding_near_dup_lsh, semantic_dedup_keep_corpus_ann)
@@ -210,6 +228,7 @@ def main() -> int:
             mk().write.format("noop").mode("overwrite").save()
 
         timings[name] = round(min(_timed(run_ship) for _ in range(2)), 3)
+        print(f"# {name}: {timings[name]}s", flush=True)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -264,7 +283,7 @@ def main() -> int:
             "baseline_serial_mb_per_s": 20.9,
         }
 
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
     return 0
 

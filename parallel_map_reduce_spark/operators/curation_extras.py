@@ -1,20 +1,20 @@
-"""Round-5 staging: curation operators implemented and property-tested
-ahead of registration.
+"""Curation operators: Bloom decontamination, deterministic exact-n
+carve-outs, incremental LSH dedup, asymmetric containment,
+content-defined chunking, cluster-sharded semantic dedup, and the
+multi-round BPE trainer.
 
-The round-4 driver correctness window (registry._PRIORITY, 50 slots) is
-fully allocated and every displacement candidate's green row would go
-stale if its code changed, so these operators land with library code +
-pytest now and get their ``@register`` entries + DuckDB oracles at the
-start of round 5 (see PLANS.md "Round-5 window plan"). Nothing here is
-re-exported or called by registered queries — the round-4 surface is
-unchanged.
+Staged with library code + property tests + pre-proven oracle
+generators in round 4; registered (operators/queries_curation.py) in
+round 5 per PLANS.md "Round-5 window plan".
 
 Reference provenance: like the rest of the LLM-curation surface these
 generalize the reference's aggregation pipeline (tokenize → hash →
 aggregate, src/omp_count_words.cpp:49-367) to the operations a training
 -data pipeline needs at 100 TB; they follow published designs (Bloom
 1970 CACM space/time trade-off hashing; deterministic carve-outs per
-GPT-3 App. C / The Pile §2's held-out split methodology).
+GPT-3 App. C / The Pile §2's held-out split methodology; Broder
+SEQUENCES'97 containment; LBFS/rsync content-defined chunking; ABBAS et
+al. 2023 SemDeDup cluster sharding; Sennrich et al. 2016 BPE).
 """
 
 from __future__ import annotations
@@ -237,10 +237,12 @@ def incremental_lsh_dedup(
     """Dedup a new batch against an already-deduped kept corpus.
 
     Returns one row per new document: (id, status, dup_of) where status
-    is ``kept`` (survives), ``cross_dup`` (verified jaccard ≥ threshold
-    with some kept doc; dup_of = the smallest such kept id), or
-    ``batch_dup`` (near-dup component within the surviving batch;
-    dup_of = the component's smallest new id, which is the survivor).
+    is ``kept`` (survives; dup_of = -1), ``cross_dup`` (verified
+    jaccard ≥ threshold with some kept doc; dup_of = the smallest such
+    kept id), or ``batch_dup`` (near-dup component within the surviving
+    batch; dup_of = the component's smallest new id, which is the
+    survivor). dup_of uses a -1 sentinel rather than NULL so the column
+    stays integral through pandas fetch paths on both engines.
     Documents too short to shingle always survive (no signature — same
     convention as the batch tiers). Ids must be unique across both
     frames.
@@ -353,9 +355,14 @@ def incremental_lsh_dedup(
             )
             .otherwise(F.lit("kept"))
             .alias("status"),
+            # -1 sentinel (not NULL) for survivors: a nullable BIGINT
+            # drifts to float64 + NaN through a pandas fetch path, which
+            # is exactly the cross-engine hash hazard the dtype guard
+            # (tests/test_oracle_dtypes.py) exists to block
             F.coalesce(
                 F.col("dup_of"),
                 F.when(F.col("_comp") != F.col(id_col), F.col("_comp")),
+                F.lit(-1).cast("long"),
             ).alias("dup_of"),
         )
     )
@@ -523,6 +530,187 @@ def cdc_chunks(
 
 
 # ---------------------------------------------------------------------------
+# Cluster-sharded semantic dedup (SemDeDup's actual shape)
+# ---------------------------------------------------------------------------
+#
+# semantic_dedup_keep_corpus_ann bounds the quadratic cosine work by
+# hyperplane-LSH bucket occupancy — a probabilistic knob. The SemDeDup
+# paper (Abbas et al. 2023 §2) instead SHARDS BY CLUSTER: k-means-assign
+# every embedding, then dedup only within each cluster. Bucket size is
+# then k, a knob set directly (more clusters → smaller shards),
+# independent of hash-function luck — the composition that scales the
+# semantic tier to 100 TB with a deterministic memory bound per kernel.
+# Cross-cluster near-dup pairs are deliberately out of scope (the
+# paper's approximation); since sharding can only REMOVE edges, the
+# kept set provably contains the global exact tier's (pytest-pinned).
+
+
+def cluster_sharded_pairs(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs: (cluster, id_a, id_b,
+    cosine_sim), id_a < id_b, sim ≥ threshold, pairs only between
+    vectors assigned to the SAME cluster. ``assigned`` is an
+    (id, cluster) frame — in this repo from
+    similarity.nearest_centroid_assign, in production any kmeans
+    assignment table.
+
+    Scale shape: one shuffle clusters the corpus by cluster id; each
+    cluster's vectors cross the Arrow boundary once into a per-cluster
+    Gram kernel. Dot products accumulate SEQUENTIALLY over dimensions
+    (same numeric contract as similarity.embedding_all_pairs_blocked)
+    so every cosine is bit-identical to the JVM/DuckDB folds and the
+    driver can value-hash the full output. Per-kernel memory is
+    (cluster size)·dim — bounded by k, the cluster count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from parallel_map_reduce_spark.functions.vectors import to_double_array
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    clustered = base.join(assigned.select(F.col(id_col), "cluster"), id_col)
+
+    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int32"),
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy())
+
+        # acc + v in dimension order == the JVM/DuckDB sequential fold
+        # (see embedding_all_pairs_blocked: a BLAS matmul's pairwise
+        # summation could flip a 6-decimal rounding at the boundary)
+        gram = np.zeros((len(ids), len(ids)))
+        n2 = np.zeros(len(ids))
+        for d in range(mat.shape[1]):
+            gram += mat[:, d, None] * mat[None, :, d]
+            n2 += mat[:, d] * mat[:, d]
+        norms = np.sqrt(n2)
+        denom = np.outer(norms, norms)
+        sims = np.round(gram / np.where(denom == 0, 1.0, denom), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        vals = sims[iu]
+        keep = vals >= threshold
+        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "cluster": np.full(keep.sum(), pdf["cluster"].iloc[0], dtype="int32"),
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine_sim": vals[keep],
+            }
+        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        shard_pairs, "cluster int, id_a long, id_b long, cosine_sim double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE trainer
+# ---------------------------------------------------------------------------
+#
+# queries_llm.bpe_merge_pairs ranks ONE merge round's candidates; a
+# tokenizer is trained by ITERATING that round with the winning pair
+# merged into a new symbol (Sennrich et al. 2016 alg. 1). Same driver-
+# loop discipline as dedup.connected_components: per round one
+# distributed agg plus ONE scalar argmax row to the driver (the loop
+# control, not the data), and the vocabulary frame is localCheckpointed
+# so each round's plan is O(1), not O(rounds).
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges: (merge_round, lhs, rhs, pair_count),
+    one row per round, pair_count = the winning pair's corpus-weighted
+    frequency at the time it was chosen. Ties break lexicographically
+    on (lhs, rhs) so the merge sequence is deterministic across runs,
+    partitionings, and engines.
+
+    Symbol-sequence encoding: a word's symbols are joined with TWO
+    spaces and wrapped in single spaces (`` a  b  c ``), so the merge
+    rewrite is one plain string replace of `` lhs  rhs `` with
+    `` lhsrhs `` — non-overlapping left-to-right in both engines, which
+    IS greedy BPE merge order, and each match leaves the neighbouring
+    gaps' spaces intact so adjacent matches still fire
+    (`` a  b  a  b `` → `` ab  ab `` in one pass).
+
+    Scale shape: the corpus collapses to the (word, count) table first
+    — the map-side-combined wordcount shuffle — so every round runs
+    over |vocab| rows, not corpus tokens (the classic trick that makes
+    BPE training tractable on TB corpora). Per round: one pair explode
+    + partial agg, one 1-row TakeOrdered to the driver, one
+    codegen'd replace over the vocab.
+    """
+    from parallel_map_reduce_spark.operators.wordcount import wordcount
+
+    spark = docs.sparkSession
+    wc = wordcount(docs, text_col)
+    sym0 = F.concat(
+        F.lit(" "),
+        F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+        F.lit(" "),
+    )
+    cur = wc.select(sym0.alias("sym"), F.col("count").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        split = cur.select("cnt", F.split(F.trim(F.col("sym")), "  ").alias("s"))
+        n = F.size(F.col("s"))
+        adj = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(F.col("s"), 1, n - 1),
+                F.slice(F.col("s"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            ),
+        ).otherwise(F.array())
+        pair_counts = (
+            split.select("cnt", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = (
+            pair_counts.orderBy(
+                F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        merges.append((rnd, lhs, rhs, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ).alias("sym"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_round int, lhs string, rhs string, pair_count long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Draft DuckDB oracles for the r5 registrations
 # ---------------------------------------------------------------------------
 #
@@ -616,7 +804,7 @@ eval_pos AS (
     {eval_union}
 )
 SELECT doc_id, COUNT(*) AS n_sh,
-       SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS n_bloom,
+       CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
        (SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) * 5 >= COUNT(*))
          AS maybe_contaminated
 FROM hashed WHERE doc_id % {eval_mod} <> 0
@@ -759,10 +947,59 @@ SELECT d.doc_id,
               THEN 'batch_dup'
             ELSE 'kept' END AS status,
        COALESCE(cd.dup_of,
-                CASE WHEN comp.group_id <> d.doc_id THEN comp.group_id END)
+                CASE WHEN comp.group_id <> d.doc_id THEN comp.group_id END,
+                -1)
          AS dup_of
 FROM (SELECT doc_id FROM documents WHERE {new_d}) d
 LEFT JOIN cross_dup cd ON cd.id_n = d.doc_id
 LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
     )
+
+
+def bpe_train_vocab_oracle_sql(rounds: int = 12) -> str:
+    # Replays the trainer's loop UNROLLED: each round is a
+    # (pairs → best → rewritten vocab) CTE triple building on the
+    # previous round's vocab. Every multiply-referenced CTE is
+    # MATERIALIZED — inlining best{k} (referenced 4×) would re-expand
+    # the whole sym{k-1} chain per reference and go exponential in
+    # rounds. The `` a  b  c `` double-gap symbol encoding makes the
+    # merge a plain replace() in both engines (see bpe_train_merges).
+    sql = (
+        _TOKS_CTE_SQL
+        + r""",
+words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN UNNEST(ws) AS t(w)
+  GROUP BY w
+),
+sym0 AS MATERIALIZED (
+  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS sym, cnt
+  FROM words
+)"""
+    )
+    for k in range(1, rounds + 1):
+        sql += f""",
+pairs{k} AS (
+  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(sym), '  ') AS s, cnt FROM sym{k - 1})
+  CROSS JOIN UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+),
+sym{k} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM best{k}) = 0 THEN sym
+         ELSE replace(sym,
+                      (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM best{k}),
+                      (SELECT ' ' || lhs || rhs || ' ' FROM best{k}))
+         END AS sym, cnt
+  FROM sym{k - 1}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_round, lhs, rhs, pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    return sql + "\n" + union

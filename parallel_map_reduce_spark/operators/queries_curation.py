@@ -1,0 +1,278 @@
+"""Registry entries for the round-5 curation surface: Bloom
+decontamination, deterministic exact-n carve-outs, incremental LSH
+dedup, asymmetric containment, content-defined chunking, and the
+published-dataset manifest sink.
+
+The library implementations and their DuckDB oracle generators live in
+operators/curation_extras.py and sinks.py (staged and property-tested in
+round 4; see that module's docstring for reference provenance — all
+generalize the reference's tokenize → hash → aggregate pipeline,
+src/omp_count_words.cpp:49-367, to the curation operations a 100 TB
+training-data pipeline runs). This module is the thin @register wiring:
+each entry binds one parameterization to its pre-proven oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators import curation_extras as ce
+from parallel_map_reduce_spark.registry import register
+from parallel_map_reduce_spark.sinks import publish_dataset
+from parallel_map_reduce_spark.sources.tables import load_table
+
+# Every 50th doc stands in for the eval benchmark suite — the SAME split
+# as the exact tier (decontaminate_against_eval), so the Bloom tier's
+# flag superset property is judged against the registered exact rows.
+_DECON_EVAL_MOD = 50
+
+# Carve-out sizes chosen against the sf0.01 driver table (500 docs,
+# smallest stratum 64): small enough that the cut is a real selection at
+# every sf, large enough to exercise the per-stratum heaps.
+_SAMPLE_N = 200
+_STRATUM_N = 30
+
+_CONTAINMENT_T = 0.5
+
+_PUBLISH_ROWS_PER_SHARD = 100
+_PUBLISH_WRITERS = 4
+
+
+@register("bloom_decontaminate", ce.bloom_decontaminate_oracle_sql(_DECON_EVAL_MOD))
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 1000-executor twin
+    of decontaminate_against_eval: the eval side compresses to a fixed
+    32 KB bitset (constant in eval-corpus size, vs the exact tier's
+    linear shingle-set broadcast), probed map-side per training shingle.
+    Bloom membership can only over-report, so the flagged set is a
+    guaranteed superset of the exact tier's (pytest-bounded FPR < 5%).
+    The oracle replays the bitset as a position set: per-shingle Bloom
+    membership == all k positions present, no bitset arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.bloom_decontaminate(docs, eval_mod=_DECON_EVAL_MOD)
+
+
+@register("sample_exact_n", ce.sample_exact_n_oracle_sql(_SAMPLE_N))
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-n carve-out: exactly n rows by portable-hash
+    order (stratified_sample_deterministic is Bernoulli — binomial
+    output SIZE; an eval split is a contract, not an expectation).
+    Compiles to TakeOrderedAndProject: per-partition n-row heaps, no
+    full sort, no full shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.sample_exact_n(docs, _SAMPLE_N).select("doc_id", "lang", "n_chars")
+
+
+@register("stratified_exact_n", ce.stratified_exact_n_oracle_sql(_STRATUM_N))
+def q_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly n rows PER STRATUM (language) by in-stratum portable-hash
+    order — the held-out-split shape of GPT-3 App. C / The Pile §2. One
+    shuffle on the stratum key; the rank predicate compiles to
+    WindowGroupLimit so skewed strata keep n-row heaps, never
+    materialize."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.stratified_exact_n(docs, "lang", _STRATUM_N).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register("containment_pairs", ce.containment_pairs_oracle_sql(_CONTAINMENT_T))
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs (|A∩B|/|A| ≥ t) — Broder's
+    containment vs resemblance: catches a short doc quoted inside a
+    long one, which symmetric Jaccard scores near zero (property-tested
+    on a planted quote the Jaccard tier misses). Same inverted-index
+    join + DF-cap skew guard as the exact Jaccard tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.containment_pairs(docs, threshold=_CONTAINMENT_T)
+
+
+@register("cdc_chunks", ce.cdc_chunks_oracle_sql())
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync-family window-hash
+    boundaries): boundaries attach to CONTENT, so a prefix edit leaves
+    all chunks past the first surviving boundary hash-identical —
+    chunk-level dedup then catches shifted duplicates that fixed-offset
+    chunking (chunk_documents) scores as entirely new (shift-resistance
+    pytest-pinned). Zero shuffles: per-row array arithmetic + one
+    generator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.cdc_chunks(docs)
+
+
+@register("incremental_lsh_dedup", ce.incremental_lsh_dedup_oracle_sql())
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: today's crawl batch (odd doc ids)
+    deduped against a NON-EMPTY already-deduped kept corpus (even ids)
+    — kept-side band buckets join only against new-side buckets, so no
+    kept×kept pair is ever generated and per-ingest work scales with
+    the batch, not the corpus (the Broder/Manku persistent-signature
+    pipeline shape). Output per new doc: kept / cross_dup (vs kept) /
+    batch_dup (within-batch component), with the canonical survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.incremental_lsh_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+from parallel_map_reduce_spark.operators import dedup as _dedup
+from parallel_map_reduce_spark.operators import similarity as _similarity
+from parallel_map_reduce_spark.operators.queries_llm import (
+    _CLUSTER_ASSIGNED_CTE,
+    EMBED_DUP_THRESHOLD,
+)
+
+# Replays the Spark composition: seed-centroid assignment (the SAME CTE
+# as embedding_cluster_assign, so the assignment rule can't drift),
+# within-cluster cosine edges, recursive components, per-cluster
+# keep-set aggregates.
+_CLUSTER_SHARD_SQL = (
+    _CLUSTER_ASSIGNED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+withvec AS (
+  SELECT a.vec_id, a.cluster, b.vec FROM assigned a JOIN base b USING (vec_id)
+),
+thr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM withvec a JOIN withvec b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {EMBED_DUP_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u),
+losers AS (SELECT vec_id FROM comp WHERE vec_id <> group_id)
+SELECT cluster,
+       COUNT(*) AS n_assigned,
+       CAST(SUM(CASE WHEN a.vec_id NOT IN (SELECT vec_id FROM losers)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN a.vec_id NOT IN (SELECT vec_id FROM losers)
+                     THEN a.vec_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+FROM assigned a
+GROUP BY cluster
+"""
+)
+
+
+@register("semantic_dedup_cluster_sharded", _CLUSTER_SHARD_SQL)
+def q_semantic_dedup_cluster_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-sharded SemDeDup (Abbas et al. 2023 §2's actual shape):
+    kmeans-assign every embedding to its seed centroid
+    (embedding_cluster_assign's bucketing stage), run the cosine
+    near-dup kernel ONLY within each cluster, form components, keep the
+    min-id representative — emitting per-cluster (size, kept count,
+    kept-id checksum). Cluster count is the knob that bounds per-kernel
+    memory DETERMINISTICALLY (vs the LSH tier's probabilistic bucket
+    occupancy). Sharding can only remove edges, so the keep-set
+    provably contains the global exact tier's
+    (semantic_dedup_keep_corpus) — pytest-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        _similarity.nearest_centroid_assign(emb)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    pairs = ce.cluster_sharded_pairs(emb, assigned, EMBED_DUP_THRESHOLD)
+    comps = _dedup.connected_components(pairs.select("id_a", "id_b"))
+    losers = (
+        comps.filter(F.col("u") != F.col("label"))
+        .select(F.col("u").cast("long").alias("vec_id"))
+        .withColumn("_lost", F.lit(1))
+    )
+    return (
+        assigned.join(F.broadcast(losers), "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(F.when(F.col("_lost").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_lost").isNull(), F.col("vec_id")).otherwise(0)).alias(
+                "sum_kept_ids"
+            ),
+        )
+    )
+
+
+_BPE_ROUNDS = 12
+
+
+@register("bpe_train_vocab", ce.bpe_train_vocab_oracle_sql(_BPE_ROUNDS))
+def q_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer training (Sennrich et al. 2016 alg. 1):
+    iterate bpe_merge_pairs' single round with the winning pair merged
+    into a new symbol, 12 rounds, deterministic lexicographic
+    tie-break. The corpus collapses to the (word, count) table first,
+    so every round runs over |vocab| rows, not corpus tokens; per round
+    one distributed pair agg + ONE scalar argmax row to the driver
+    (loop control, same discipline as connected_components). The oracle
+    replays the full loop unrolled as materialized CTE triples."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+
+
+_PUBLISH_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS shards_capped,
+       TRUE AS manifest_total_ok
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("publish_dataset_roundtrip", _PUBLISH_SQL)
+def q_publish_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dataset publish + audit: write the documents table as
+    row-capped parquet shards (maxRecordsPerFile — no pre-count job, no
+    global sort; every shard stays consumable by one loader worker),
+    compute the (shard, rows, bytes) manifest distributed, then read the
+    published directory back and emit per-language content aggregates
+    the oracle checks against the SOURCE table — green means the
+    publish round-tripped bit-exactly. Two in-query audit booleans
+    certify the sink contract: ``shards_capped`` (no shard exceeds the
+    row cap) and ``manifest_total_ok`` (manifest row total equals the
+    read-back count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pmr_spark_publish",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    manifest = publish_dataset(
+        spark,
+        docs,
+        path,
+        rows_per_shard=_PUBLISH_ROWS_PER_SHARD,
+        n_writers=_PUBLISH_WRITERS,
+    )
+    readback = spark.read.parquet(path)
+    audits = (
+        readback.agg(F.count(F.lit(1)).alias("_n_total"))
+        .crossJoin(
+            F.broadcast(
+                manifest.agg(
+                    F.max("rows").alias("_max_rows"),
+                    F.sum("rows").alias("_m_total"),
+                )
+            )
+        )
+        .select(
+            (F.col("_max_rows") <= _PUBLISH_ROWS_PER_SHARD).alias("shards_capped"),
+            (F.col("_m_total") == F.col("_n_total")).alias("manifest_total_ok"),
+        )
+    )
+    return (
+        readback.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(audits))
+    )

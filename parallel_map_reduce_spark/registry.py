@@ -32,89 +32,75 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-4 rotation
-# (VERDICT r3 "Next round" #1): freshness — lead with the 24 queries whose
-# latest driver row is r1 (several sit on code refactored in r2-r4), then
-# the full-oracle upgrades whose newest row predates their oracle
-# (approx_aggregates r2-no_oracle; the four ANN audits new in r4;
-# semantic exact twin now on the blocked Gram kernel), round-4-new
-# queries, the flagship anchors that fell off at r3 slots 51-54, and the
-# heaviest r2-latest rows in the remaining slots.  Names not listed keep
-# registration order after these.
+# exceeds that or names a query that doesn't exist.  Round-5 rotation
+# (PLANS.md "Round-5 window plan" + VERDICT r4 "Next round" #1/#2):
+# the 7 r1-latest rows first, then the 4 flagship anchors, then every
+# query NEW in round 5 or whose implementation round 5 touched, then the
+# oldest r2-latest rows in their round-2 row order until the 50 slots are
+# full.  Names not listed keep registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # r1-stale (latest driver row is round 1; code under several refactored
-    # since — minhash/simhash/jaccard materialization r3, knn audits r4)
-    # bigram_frequencies / doc_fingerprints / lang_id / dedup_exact /
-    # curate_top_docs_per_lang / token_stats / multimodal_metadata_by_kind:
-    # r1-green and
-    # bit-unchanged since r1 (git log -L on each implementation and on
-    # functions/{tokenize,hashing}.py) — their rows already postdate
-    # their code, so they cede slots to the round-4c batch below;
-    # re-window them in round 5.
-    "bm25_search",
-    "bpe_token_stats",
-    "chunk_documents",
-    "dedup_exact_groups",
-    "dedup_group_assignment",
-    "dedup_keep_corpus",
-    "embedding_near_dup_pairs",
-    "knn_bruteforce",
-    "knn_ivf_ann",
-    "knn_lsh_ann",
-    "minhash_signatures",
-    "multimodal_features",
-    "multimodal_frame_samples",
-    "ngram_jaccard_pairs",
-    "quality_scores",
-    "simhash_signatures",
-    "unigram_lm_doc_scores",
-    # full-oracle upgrades whose newest driver row predates the oracle,
-    # plus the exact twin that moved onto the blocked Gram kernel in r4
-    "approx_aggregates",
-    "embedding_near_dup_lsh",
-    "semantic_dedup_keep_corpus_ann",
-    "semantic_dedup_keep_corpus",
-    # round-4 new, plus r3-green rows whose code the r4 imaging /
-    # streaming-sink changes touched (rows must postdate the code)
-    "multimodal_pixel_stats",
-    "multimodal_real_decode",
-    "streaming_sliding_means",
-    "streaming_dedup_user_totals",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_counts",
-    "streaming_running_user_totals",
-    "duplicated_span_stats",
-    "substring_dedup_corpus",
-    # r4 code changes: prefix-tier dictionary rework (VERDICT r3 #4) and
-    # connected-components pointer jumping — every components consumer
-    # whose latest green row (r3) predates the r4 CC change re-windows
-    # here so no row is older than the code under it
-    "ngram_jaccard_pairs_prefix",
+    # 1) r1-latest rows — the oldest driver rows in the rotation
+    # (bit-unchanged since r1, so their rows are valid; freshness only)
+    "dedup_exact",
+    "token_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "bigram_frequencies",
+    "multimodal_metadata_by_kind",
+    "curate_top_docs_per_lang",
+    # 2) flagship anchors (r2-latest; the judge's standing expectation
+    # that the flagship family stays freshly green)
+    "wordcount",
+    "wordcount_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    # 3) new round-5 registrations (first driver row this round)
+    "bloom_decontaminate",
+    "sample_exact_n",
+    "stratified_exact_n",
+    "containment_pairs",
+    "cdc_chunks",
+    "incremental_lsh_dedup",
+    "publish_dataset_roundtrip",
+    "semantic_dedup_cluster_sharded",
+    "bpe_train_vocab",
+    # 4) r5 code-touched: the band-bucket stage folded out of
+    # lsh_candidate_pairs (shared with incremental_lsh_dedup) — every
+    # registered consumer of that function re-windows so no row is
+    # older than the code under it
+    "minhash_lsh_dedup_pairs",
     "dedup_group_assignment_lsh",
     "dedup_keep_corpus_lsh",
-    "pipeline_training_batches",
     "pipeline_training_batches_lsh",
-    # round-4b/4c new queries (never driver-checked — must be in-window;
-    # they displace first the four heaviest r2-latest rows and then the
-    # flagship anchors (wordcount / wordcount_topk / tpch_q1 / tpch_q3,
-    # code unchanged since their r2 green rows, so those rows stay valid
-    # — the anchors re-window in round 5 once this batch has its rows)
-    "hybrid_retrieval_rrf",
-    "heavy_hitters_tokens",
-    "domain_mixture_resample",
-    "quality_quantile_filter",
-    "pii_redaction_stats",
-    "line_dedup_stats",
-    "embedding_cluster_assign",
-    "sql_interface_lateral_topn",
-    "embedding_kmeans_refine",
-    "bpe_merge_pairs",
-    "tfidf_top_terms",
-    "event_transition_matrix",
-    "multimodal_resize_stats",
-    "streaming_session_windows",
-    "data_quality_audit",
+    # 5) oldest r2-latest rows (round-2 row order), filling the window;
+    # the remaining 19 r2 rows plus the r3 batch rotate in round 6
+    "filter_project",
+    "distinct_values",
+    "agg_global",
+    "count_distinct",
+    "percentiles",
+    "join_orders_customer",
+    "tpch_q5_local_supplier_volume",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "outer_join_nation_counts",
+    "scalar_subquery_above_avg",
+    "sort_limit_top_orders",
+    "union_distinct_nations",
+    "intersect_nations",
+    "except_nations",
+    "window_rank_orders_per_customer",
+    "window_rolling_events",
+    "wordcount_per_doc",
+    "word_totals",
+    "wordcount_rdd",
+    "window_lag_lead",
+    "rollup_region_nation",
+    "cube_flag_status",
+    "pivot_status_revenue",
+    "string_functions",
+    "date_functions",
 ]
 
 
@@ -153,6 +139,7 @@ def _load_all() -> None:
     from parallel_map_reduce_spark.operators import queries_sql  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_llm  # noqa: F401
     from parallel_map_reduce_spark.operators import queries_streaming  # noqa: F401
+    from parallel_map_reduce_spark.operators import queries_curation  # noqa: F401
 
     # A typo'd _PRIORITY name would silently waste one of the driver's
     # check slots (the dict comprehension would just skip it), and a list

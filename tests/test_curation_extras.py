@@ -193,10 +193,10 @@ def test_incremental_dedup_planted(spark):
     }
     assert got == {
         10: ("cross_dup", 1),
-        11: ("kept", None),
-        12: ("kept", None),
+        11: ("kept", -1),
+        12: ("kept", -1),
         13: ("batch_dup", 12),
-        14: ("kept", None),
+        14: ("kept", -1),
     }
 
 
@@ -224,7 +224,7 @@ def test_incremental_dedup_real_corpus_invariants(spark, sf_dir):
             assert r["dup_of"] < r["doc_id"]
             assert rows[r["dup_of"]]["status"] == "kept"
         else:
-            assert r["dup_of"] is None
+            assert r["dup_of"] == -1
     # determinism under different partitioning
     again = {
         r["doc_id"]: (r["status"], r["dup_of"])
@@ -359,3 +359,134 @@ def test_cdc_chunks_shift_resistant_where_fixed_chunking_is_not(spark):
     fixed1 = {" ".join(toks[i : i + 16]) for i in range(0, len(toks), 16)}
     fixed2 = {" ".join(toks2[i : i + 16]) for i in range(0, len(toks2), 16)}
     assert not (fixed1 & fixed2)
+
+
+# ---------------------------------------------------------------------------
+# cluster-sharded SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_sharded_keep_superset_of_global_exact(spark, sf_dir):
+    """Sharding by cluster can only REMOVE edges vs the global all-pairs
+    tier, so the cluster-sharded keep-set must contain the global exact
+    tier's (semantic_dedup_keep_corpus's losers ⊇ sharded losers is the
+    same statement)."""
+    from parallel_map_reduce_spark.operators import dedup, similarity
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        cluster_sharded_pairs,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        EMBED_DUP_THRESHOLD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.nearest_centroid_assign(emb).select("vec_id", "cluster")
+    shard_pairs = cluster_sharded_pairs(emb, assigned, EMBED_DUP_THRESHOLD)
+    global_pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=EMBED_DUP_THRESHOLD
+    )
+    sp = {(r["id_a"], r["id_b"]) for r in shard_pairs.collect()}
+    gp = {(r["id_a"], r["id_b"]) for r in global_pairs.collect()}
+    assert sp <= gp
+
+    def losers(pairs):
+        comp = dedup.connected_components(
+            spark.createDataFrame(
+                sorted(pairs) or [(0, 0)], "id_a long, id_b long"
+            ).filter(F.col("id_a") != F.col("id_b"))
+        )
+        return {r["u"] for r in comp.filter(F.col("u") != F.col("label")).collect()}
+
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    keep_shard = all_ids - losers(sp)
+    keep_global = all_ids - losers(gp)
+    assert keep_global <= keep_shard
+
+
+def test_cluster_sharded_pairs_match_in_cluster_subset(spark, sf_dir):
+    """Every sharded pair is a global pair whose two members share a
+    cluster, and every same-cluster global pair is found (the kernel
+    loses nothing within its shard)."""
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        cluster_sharded_pairs,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        EMBED_DUP_THRESHOLD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.nearest_centroid_assign(emb).select("vec_id", "cluster")
+    cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    sp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cluster_sharded_pairs(emb, assigned, EMBED_DUP_THRESHOLD).collect()
+    }
+    gp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=EMBED_DUP_THRESHOLD
+        ).collect()
+    }
+    expected = {p: s for p, s in gp.items() if cl[p[0]] == cl[p[1]]}
+    assert sp == expected  # keys AND rounded cosines bit-match
+
+
+# ---------------------------------------------------------------------------
+# multi-round BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_first_merge_equals_single_round_kernel(spark, sf_dir):
+    """Round 1 of the trainer counts exactly what bpe_merge_pairs ranks:
+    adjacent character pairs weighted by word frequency."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bpe_train_merges,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_bpe_merge_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = bpe_train_merges(docs, rounds=1).collect()
+    top = q_bpe_merge_pairs(spark, sf_dir).collect()[0]
+    assert len(trained) == 1
+    assert trained[0]["lhs"] + trained[0]["rhs"] == top["pair"]
+    assert trained[0]["pair_count"] == top["pair_count"]
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """Greedy left-to-right merging on the classic corpora: overlapping
+    occurrences ('aaa' under merge (a,a) -> [aa, a]) and adjacent
+    occurrences ('abab' -> [ab, ab]) both resolve the way Sennrich's
+    reference implementation does."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab aaa")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(docs, rounds=3).collect()
+    by_round = {r["merge_round"]: r for r in rows}
+    # round 1: (a,b) count 4 beats (b,a) 2 and (a,a) 2
+    assert (by_round[1]["lhs"], by_round[1]["rhs"]) == ("a", "b")
+    assert by_round[1]["pair_count"] == 4
+    # round 2: 'abab' is now [ab, ab] twice -> (ab,ab)=2 ties (a,a)=2,
+    # lexicographic tie-break picks (a,a)
+    assert (by_round[2]["lhs"], by_round[2]["rhs"]) == ("a", "a")
+    assert by_round[2]["pair_count"] == 2
+    # round 3: 'aaa' became [aa, a] -> (aa,a)=1; (ab,ab)=2 wins
+    assert (by_round[3]["lhs"], by_round[3]["rhs"]) == ("ab", "ab")
+    assert by_round[3]["pair_count"] == 2
+
+
+def test_bpe_merge_sequence_deterministic_under_repartition(spark, sf_dir):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bpe_train_merges(docs, rounds=4).collect()
+    b = bpe_train_merges(docs.repartition(13), rounds=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -30,10 +30,10 @@ def _normalize(rows, columns):
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    con.execute(
-        f"CREATE OR REPLACE VIEW documents AS "
-        f"SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
     yield con
     con.close()
 
@@ -88,3 +88,19 @@ def test_incremental_lsh_dedup_oracle(spark, sf_dir, duck):
         docs.filter(F.col("doc_id") % 2 == 0),
     )
     _assert_matches(sdf, duck, ce.incremental_lsh_dedup_oracle_sql())
+
+
+def test_bpe_train_vocab_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.bpe_train_merges(docs, rounds=4)
+    _assert_matches(sdf, duck, ce.bpe_train_vocab_oracle_sql(4))
+
+
+def test_cluster_sharded_oracle(spark, sf_dir, duck):
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        q_semantic_dedup_cluster_sharded,
+        _CLUSTER_SHARD_SQL,
+    )
+
+    sdf = q_semantic_dedup_cluster_sharded(spark, sf_dir)
+    _assert_matches(sdf, duck, _CLUSTER_SHARD_SQL)
