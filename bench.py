@@ -99,6 +99,8 @@ HEADLINE = [
     "containment_pairs",
     "cdc_chunks",
     "incremental_lsh_dedup",
+    "incremental_lsh_dedup_stored",
+    "bigram_lm_doc_scores",
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
     "bpe_train_vocab",

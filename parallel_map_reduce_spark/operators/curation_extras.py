@@ -233,6 +233,7 @@ def incremental_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    kept_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a new batch against an already-deduped kept corpus.
 
@@ -248,14 +249,17 @@ def incremental_lsh_dedup(
     frames.
 
     Scale shape — the incremental property: kept-side band buckets join
-    only against NEW-side buckets (in production both signature frames
-    are loaded from the stored signature table, not recomputed;
-    recomputation here keeps the function self-contained), so no
-    kept×kept pair is ever generated and per-ingest work scales with
-    the batch, not the corpus. Verification joins shingle sets computed
-    ONLY for docs appearing in some candidate pair (semi-join first),
-    and the within-batch component formation runs on batch-sized edges
-    via pointer-jumped min-label propagation.
+    only against NEW-side buckets, so no kept×kept pair is ever
+    generated and per-ingest work scales with the batch, not the
+    corpus. Pass ``kept_signatures`` (the persisted signature table —
+    the Broder/Manku pipeline's durable artifact, written once when
+    each batch is admitted) and the kept corpus' TEXT is read only for
+    the verified-candidate semi-join — a point-lookup-sized subset —
+    never scanned; omitted, signatures are recomputed so the function
+    stays self-contained. Verification joins shingle sets computed ONLY
+    for docs appearing in some candidate pair (semi-join first), and
+    the within-batch component formation runs on batch-sized edges via
+    pointer-jumped min-label propagation.
     """
     from parallel_map_reduce_spark.operators.dedup import (
         band_buckets,
@@ -267,9 +271,13 @@ def incremental_lsh_dedup(
     sig_new = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
-    sig_kept = minhash_signatures(
-        kept_docs, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    sig_kept = (
+        kept_signatures
+        if kept_signatures is not None
+        else minhash_signatures(
+            kept_docs, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)
+    )
     bk_new = band_buckets(sig_new, id_col, num_hashes, bands)
     bk_kept = band_buckets(sig_kept, id_col, num_hashes, bands)
     join_keys = ["band"] + [f"k{r}" for r in range(num_hashes // bands)]
@@ -708,6 +716,105 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "merge_round int, lhs string, rhs string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language-model scoring
+# ---------------------------------------------------------------------------
+#
+# unigram_lm_doc_scores (queries_llm) is the KenLM-shaped quality signal
+# at order 1; real perplexity filters (CCNet, Gopher's quality stage)
+# use higher-order models. This is the order-2 step with Jelinek-Mercer
+# interpolation — λ·P_bigram + (1−λ)·P_unigram — which never assigns a
+# seen-token bigram zero probability, so every log is finite without
+# add-k fudging. All probabilities are ratios of exact integer counts,
+# so per-position log-probs are bit-identical across engines; only the
+# final mean is rounded (the same contract unigram_lm carries).
+
+
+def bigram_lm_doc_scores(
+    docs: DataFrame,
+    lam: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): corpus-trained interpolated bigram
+    LM, scoring each document by its mean position log-probability
+    ln(λ·c(prev,w)/c(prev,·) + (1−λ)·c(w)/N). Documents with fewer than
+    2 tokens have no bigram positions and are excluded (same convention
+    as unigram_lm's zero-token docs).
+
+    Scale shape: the model is two partial+final aggs (bigram counts,
+    unigram counts) + a 1-row broadcast total; scoring joins each
+    bigram position to the model on (prev, w) — Zipfian-skewed, the
+    shuffle the skew.py salting recipes target at 100 TB. The context
+    normalizer c(prev,·) reuses the bigram count frame (one extra agg
+    over |bigram vocab| rows, never corpus positions).
+    """
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(docs, text_col, id_col)
+    n = F.size("tk")
+    bg = (
+        tdf.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, n - 1),
+                    F.slice(F.col("tk"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.prev", "bg.w")
+    )
+    bgc = bg.groupBy("prev", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_pw")
+    )
+    ctx = bgc.groupBy("prev").agg(F.sum("c_pw").alias("c_prev"))
+    tok = tdf.select(F.col(id_col), F.explode("tk").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_w"))
+    total = uni.agg(F.sum("c_w").alias("n_total"))
+    p = F.lit(lam) * F.col("c_pw") / F.col("c_prev") + F.lit(1 - lam) * F.col(
+        "c_w"
+    ) / F.col("n_total")
+    return (
+        bg.join(bgc, ["prev", "w"])
+        .join(ctx, "prev")
+        .join(uni, "w")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_lm_doc_scores_oracle_sql(lam: float = 0.8) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+uni AS (SELECT w, count(*)::DOUBLE AS c_w FROM tok GROUP BY w),
+tot AS (SELECT sum(c_w) AS n_total FROM uni),
+bg AS (
+  SELECT doc_id, ws[i] AS prev, ws[i+1] AS w
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+bgc AS (SELECT prev, w, count(*)::DOUBLE AS c_pw FROM bg GROUP BY prev, w),
+ctx AS (SELECT prev, sum(c_pw) AS c_prev FROM bgc GROUP BY prev)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       ROUND(AVG(ln({lam} * c_pw / c_prev + {1 - lam} * c_w / n_total)), 4)
+         AS avg_logprob
+FROM bg b
+JOIN bgc USING (prev, w)
+JOIN ctx USING (prev)
+JOIN uni ON uni.w = b.w
+CROSS JOIN tot
+GROUP BY b.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,47 @@ def q_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ce.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
 
 
+@register("incremental_lsh_dedup_stored", ce.incremental_lsh_dedup_oracle_sql())
+def q_incremental_lsh_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-phase form of incremental ingestion dedup:
+    phase 1 (yesterday's admission job) persists the kept corpus'
+    MinHash signatures as a parquet signature store — the Broder/Manku
+    pipeline's durable artifact; phase 2 (today's ingest) loads those
+    12 longs/doc from the store and bands them against the new batch,
+    so the kept corpus' TEXT is read only for the verified-candidate
+    semi-join (a point-lookup-sized subset), never scanned. Output and
+    oracle are identical to ``incremental_lsh_dedup`` — what changes is
+    the I/O shape, which is the whole point at 100 TB: per-ingest cost
+    = O(batch) + O(store scan of fixed-width signatures)."""
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 2 == 0)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "pmr_spark_sigstore",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    minhash_signatures(kept).write.mode("overwrite").parquet(store)
+    return ce.incremental_lsh_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        kept,
+        kept_signatures=spark.read.parquet(store),
+    )
+
+
+@register("bigram_lm_doc_scores", ce.bigram_lm_doc_scores_oracle_sql())
+def q_bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained interpolated bigram LM scoring — the order-2 step
+    from unigram_lm_doc_scores toward the CCNet/KenLM perplexity
+    filter: per document, mean ln(λ·P(w|prev) + (1−λ)·P(w)),
+    Jelinek-Mercer λ=0.8, so every seen-token position has finite
+    probability without add-k fudging. Counts-ratio probabilities are
+    bit-identical across engines; only the mean is rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.bigram_lm_doc_scores(docs)
+
+
 _PUBLISH_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,

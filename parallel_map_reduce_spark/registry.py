@@ -62,6 +62,8 @@ _PRIORITY: list[str] = [
     "containment_pairs",
     "cdc_chunks",
     "incremental_lsh_dedup",
+    "incremental_lsh_dedup_stored",
+    "bigram_lm_doc_scores",
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
     "bpe_train_vocab",
@@ -74,7 +76,7 @@ _PRIORITY: list[str] = [
     "dedup_keep_corpus_lsh",
     "pipeline_training_batches_lsh",
     # 5) oldest r2-latest rows (round-2 row order), filling the window;
-    # the remaining 19 r2 rows plus the r3 batch rotate in round 6
+    # the remaining 21 r2 rows plus the r3 batch rotate in round 6
     "filter_project",
     "distinct_values",
     "agg_global",
@@ -99,8 +101,6 @@ _PRIORITY: list[str] = [
     "rollup_region_nation",
     "cube_flag_status",
     "pivot_status_revenue",
-    "string_functions",
-    "date_functions",
 ]
 
 

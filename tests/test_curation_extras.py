@@ -490,3 +490,73 @@ def test_bpe_merge_sequence_deterministic_under_repartition(spark, sf_dir):
     a = bpe_train_merges(docs, rounds=4).collect()
     b = bpe_train_merges(docs.repartition(13), rounds=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# stored-signature incremental dedup + bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_stored_signatures_equal_recompute(spark, sf_dir, tmp_path):
+    """Loading kept signatures from a parquet store must reproduce the
+    self-contained form exactly — the store is a cache, not a variant."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        incremental_lsh_dedup,
+    )
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = docs.filter(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "sigstore")
+    minhash_signatures(kept).write.mode("overwrite").parquet(store)
+    a = sorted(
+        map(tuple, incremental_lsh_dedup(new, kept).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            incremental_lsh_dedup(
+                new, kept, kept_signatures=spark.read.parquet(store)
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bigram_lm_shape_and_bounds(spark, sf_dir):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bigram_lm_doc_scores,
+    )
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["doc_id"]: r for r in bigram_lm_doc_scores(docs).collect()}
+    ntok = {
+        r["doc_id"]: len(r["tk"]) for r in tokens_df(docs).collect()
+    }
+    # one row per doc with >= 2 tokens; n_bigrams = n_tokens - 1;
+    # probabilities are in (0, 1] so the mean log-prob is <= 0
+    assert set(out) == {d for d, n in ntok.items() if n >= 2}
+    for d, r in out.items():
+        assert r["n_bigrams"] == ntok[d] - 1
+        assert r["avg_logprob"] <= 0.0
+
+
+def test_bigram_lm_repeated_text_scores_higher(spark):
+    """A document made of one repeated bigram must out-score a document
+    of unique bigrams under the corpus model — the direction the
+    perplexity filter relies on."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bigram_lm_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y " * 50),
+            (2, " ".join(f"w{i}" for i in range(100))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_lm_doc_scores(docs).collect()}
+    assert out[1] > out[2]

@@ -104,3 +104,10 @@ def test_cluster_sharded_oracle(spark, sf_dir, duck):
 
     sdf = q_semantic_dedup_cluster_sharded(spark, sf_dir)
     _assert_matches(sdf, duck, _CLUSTER_SHARD_SQL)
+
+
+def test_bigram_lm_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.bigram_lm_doc_scores(docs), duck, ce.bigram_lm_doc_scores_oracle_sql()
+    )
