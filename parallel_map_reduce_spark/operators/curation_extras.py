@@ -719,6 +719,258 @@ def bpe_train_merges(
 
 
 # ---------------------------------------------------------------------------
+# Approx-percentile quality band (the quantile filter's 100 TB swap-in)
+# ---------------------------------------------------------------------------
+#
+# quality_quantile_filter's docstring prescribes its scale path: swap
+# the exact per-language PERCENT_RANK (a per-lang window SORT) for
+# approx_percentile thresholds computed in one partial agg and
+# broadcast back — same band, no global sort. This operator IS that
+# swap, run as an audit: the approx band is computed the 100 TB way,
+# the exact band runs in the same query, and the driver value-hashes
+# the exact band's per-language aggregates plus booleans certifying the
+# approximation (same contract as the ANN audit queries).
+
+
+def quality_quantile_band_approx(
+    docs: DataFrame,
+    score_col_expr: Column,
+    lo: float = 0.25,
+    hi: float = 0.75,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    max_disagree_frac_x20: int = 1,
+) -> DataFrame:
+    """(lang, n_docs, n_exact_band, sum_exact_band_ids,
+    approx_band_ok): per language, the exact middle-quantile band's
+    deterministic aggregates, plus a boolean asserting the
+    approx-percentile band disagrees with the exact band on at most
+    1/20 of the language's documents (KLL-sketch accuracy=10000 —
+    measured disagreement is boundary-only, well under 1%).
+
+    Scale shape: the approx thresholds are ONE partial+final agg (a
+    mergeable quantile sketch per language, constant memory) broadcast
+    back as k rows — no per-language sort anywhere on the ship path;
+    the exact window runs here only because this is the audit twin.
+    """
+    s = docs.select(F.col(id_col), F.col("lang"), score_col_expr.alias("qs"))
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy(F.col("qs").asc(), F.col(id_col).asc())
+    )
+    flagged = s.withColumn(
+        "_exact", (pr >= lo) & (pr <= hi)
+    )
+    thr = s.groupBy("lang").agg(
+        F.percentile_approx("qs", [lo, hi], accuracy).alias("_t")
+    )
+    joined = flagged.join(F.broadcast(thr), "lang").withColumn(
+        "_approx",
+        (F.col("qs") >= F.element_at("_t", 1))
+        & (F.col("qs") <= F.element_at("_t", 2)),
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_exact").cast("long")).alias("n_exact_band"),
+        F.sum(F.when(F.col("_exact"), F.col(id_col)).otherwise(0)).alias(
+            "sum_exact_band_ids"
+        ),
+        (
+            F.sum((F.col("_exact") != F.col("_approx")).cast("long")) * 20
+            <= F.count(F.lit(1)) * max_disagree_frac_x20
+        ).alias("approx_band_ok"),
+    )
+
+
+def quality_quantile_band_approx_oracle_sql(
+    score_sql: str, lo: float = 0.25, hi: float = 0.75
+) -> str:
+    """Oracle: replay the EXACT band per language and expect the audit
+    boolean TRUE. ``score_sql`` must compute the same score column the
+    Spark side passes (rounded identically)."""
+    return f"""
+WITH s AS (SELECT doc_id, lang, {score_sql} AS qs FROM documents),
+r AS (
+  SELECT doc_id, lang, qs,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY qs, doc_id) AS pr
+  FROM s
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pr >= {lo} AND pr <= {hi} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_band,
+       CAST(SUM(CASE WHEN pr >= {lo} AND pr <= {hi} THEN doc_id ELSE 0 END)
+         AS BIGINT) AS sum_exact_band_ids,
+       TRUE AS approx_band_ok
+FROM r
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (STAGED for round-6 registration)
+# ---------------------------------------------------------------------------
+#
+# doc_repetition_stats (queries_llm) implements one of Gopher's
+# repetition signals (duplicated-bigram fraction). Rae et al. 2021
+# Table A1 specifies a FAMILY: for small n, the fraction of characters
+# inside the single most frequent n-gram; for larger n, the fraction of
+# characters inside ALL n-grams that occur more than once. Coverage here
+# is occurrences × n-gram char length over the normalized (space-joined
+# token) char length — the common reimplementation (Dolma, NeMo
+# Curator) of the paper's metric; overlaps are not merged, matching
+# those implementations.
+
+
+def gopher_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, top2_frac, top3_frac, dup5_frac, dup8_frac): Gopher-style
+    repetition signals — fraction of normalized characters covered by
+    the most frequent 2-/3-gram and by all duplicated 5-/8-grams.
+    Documents with zero tokens are excluded; a document too short to
+    form n-grams scores 0.0 for that n. Top-gram ties break on the
+    lexicographically smallest gram (ties can differ in char length, so
+    the tie-break is part of the metric's determinism contract).
+
+    Scale shape: per n, one (id, gram) partial+final count agg over
+    non-distinct n-gram rows and one per-doc agg — all corpus-linear;
+    the per-doc joins are on the id key the doc aggs already clustered.
+    All fractions are integer/integer divisions, bit-identical across
+    engines before the single ROUND.
+    """
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(docs, text_col, id_col)
+    base = tdf.filter(F.size("tk") > 0).select(
+        F.col(id_col),
+        F.col("tk"),
+        F.length(F.concat_ws(" ", F.col("tk"))).alias("_dc"),
+    )
+
+    def grams_df(n: int) -> DataFrame:
+        size = F.size("tk")
+        idx = F.sequence(F.lit(1), size - (n - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("tk"), i + j) for j in range(n)]
+            ),
+        )
+        arr = F.when(size >= n, grams).otherwise(F.array())
+        return base.select(
+            F.col(id_col), F.col("_dc"), F.explode(arr).alias("gram")
+        ).groupBy(id_col, "_dc", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        return (
+            grams_df(n)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(id_col),
+                (F.col("cnt") * F.length("gram") / F.col("_dc")).alias(out),
+            )
+        )
+
+    def dup_frac(n: int, out: str) -> DataFrame:
+        return (
+            grams_df(n)
+            .groupBy(id_col)
+            .agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("cnt") >= 2, F.col("cnt") * F.length("gram")
+                        ).otherwise(0)
+                    )
+                    / F.first("_dc")
+                ).alias(out)
+            )
+        )
+
+    out = base.select(F.col(id_col))
+    for frame in (
+        top_frac(2, "_t2"),
+        top_frac(3, "_t3"),
+        dup_frac(5, "_d5"),
+        dup_frac(8, "_d8"),
+    ):
+        out = out.join(frame, id_col, "left")
+    return out.select(
+        id_col,
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(0.0)), 6).alias(a)
+            for c, a in (
+                ("_t2", "top2_frac"),
+                ("_t3", "top3_frac"),
+                ("_d5", "dup5_frac"),
+                ("_d8", "dup8_frac"),
+            )
+        ],
+    )
+
+
+def gopher_repetition_stats_oracle_sql() -> str:
+    def grams_cte(n: int) -> str:
+        gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        return f"""
+g{n} AS (
+  SELECT doc_id, dc, {gram} AS gram, COUNT(*) AS cnt
+  FROM base CROSS JOIN UNNEST(generate_series(1, len(ws) - {n - 1})) AS t(i)
+  GROUP BY 1, 2, 3
+)"""
+
+    def top_cte(n: int) -> str:
+        return f"""
+t{n} AS (
+  SELECT doc_id, cnt * length(gram) * 1.0 / dc AS frac FROM (
+    SELECT doc_id, dc, gram, cnt, row_number() OVER (
+      PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g{n}
+  ) WHERE rn = 1
+)"""
+
+    def dup_cte(n: int) -> str:
+        return f"""
+d{n} AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) * 1.0
+           / ANY_VALUE(dc) AS frac
+  FROM g{n} GROUP BY doc_id
+)"""
+
+    return (
+        f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+base AS (
+  SELECT doc_id, ws, length(array_to_string(ws, ' ')) AS dc
+  FROM toks WHERE len(ws) > 0
+),"""
+        + ",".join(
+            [grams_cte(2), top_cte(2), grams_cte(3), top_cte(3)]
+            + [grams_cte(5), dup_cte(5), grams_cte(8), dup_cte(8)]
+        )
+        + """
+SELECT b.doc_id,
+       ROUND(COALESCE(t2.frac, 0.0), 6) AS top2_frac,
+       ROUND(COALESCE(t3.frac, 0.0), 6) AS top3_frac,
+       ROUND(COALESCE(d5.frac, 0.0), 6) AS dup5_frac,
+       ROUND(COALESCE(d8.frac, 0.0), 6) AS dup8_frac
+FROM base b
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+LEFT JOIN d8 USING (doc_id)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interpolated bigram language-model scoring
 # ---------------------------------------------------------------------------
 #
@@ -1064,14 +1316,16 @@ LEFT JOIN comp ON comp.doc_id = d.doc_id
     )
 
 
-def bpe_train_vocab_oracle_sql(rounds: int = 12) -> str:
+def _bpe_rounds_cte_sql(rounds: int) -> str:
     # Replays the trainer's loop UNROLLED: each round is a
     # (pairs → best → rewritten vocab) CTE triple building on the
-    # previous round's vocab. Every multiply-referenced CTE is
-    # MATERIALIZED — inlining best{k} (referenced 4×) would re-expand
-    # the whole sym{k-1} chain per reference and go exponential in
-    # rounds. The `` a  b  c `` double-gap symbol encoding makes the
-    # merge a plain replace() in both engines (see bpe_train_merges).
+    # previous round's vocab; sym{k} carries the original word so the
+    # encode-apply oracle can join documents back to their final
+    # symbolization. Every multiply-referenced CTE is MATERIALIZED —
+    # inlining best{k} (referenced 4×) would re-expand the whole
+    # sym{k-1} chain per reference and go exponential in rounds. The
+    # `` a  b  c `` double-gap symbol encoding makes the merge a plain
+    # replace() in both engines (see bpe_train_merges).
     sql = (
         _TOKS_CTE_SQL
         + r""",
@@ -1081,7 +1335,8 @@ words AS (
   GROUP BY w
 ),
 sym0 AS MATERIALIZED (
-  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS sym, cnt
+  SELECT word, ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS sym,
+         cnt
   FROM words
 )"""
     )
@@ -1098,15 +1353,110 @@ best{k} AS MATERIALIZED (
   ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 sym{k} AS MATERIALIZED (
-  SELECT CASE WHEN (SELECT COUNT(*) FROM best{k}) = 0 THEN sym
+  SELECT word,
+         CASE WHEN (SELECT COUNT(*) FROM best{k}) = 0 THEN sym
          ELSE replace(sym,
                       (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM best{k}),
                       (SELECT ' ' || lhs || rhs || ' ' FROM best{k}))
          END AS sym, cnt
   FROM sym{k - 1}
 )"""
+    return sql
+
+
+def bpe_train_vocab_oracle_sql(rounds: int = 12) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_round, lhs, rhs, pair_count FROM best{k}"
         for k in range(1, rounds + 1)
     )
-    return sql + "\n" + union
+    return _bpe_rounds_cte_sql(rounds) + "\n" + union
+
+
+# ---------------------------------------------------------------------------
+# BPE encode-apply (STAGED for round-6 registration)
+# ---------------------------------------------------------------------------
+#
+# The other half of tokenizer training: APPLY the learned merge table to
+# the corpus and measure what it bought — per-document symbol counts and
+# the fraction of symbols that are merged (multi-character) units, i.e.
+# the compression the vocabulary achieves. In production this is the
+# tokenize step of every training-data job; here it also closes the
+# train → apply loop so both halves are driver-verified against one
+# oracle replay.
+
+
+def bpe_encode_stats(
+    docs: DataFrame, rounds: int = 12, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_symbols, n_merged_symbols, merged_frac): encode
+    every document with the ``rounds``-merge BPE vocabulary trained on
+    the same corpus (bpe_train_merges), greedily applying merges in
+    training order — the standard BPE encode rule.
+
+    Scale shape: training runs once (O(rounds) passes over |vocab|);
+    encoding is a chained codegen'd replace over the DISTINCT word
+    table — never over corpus tokens — and documents join their tokens
+    to the encoded vocab on the word key (the same Zipfian-skew shuffle
+    as the LM scorers). The merge table itself is ``rounds`` scalar
+    rows, broadcast into the plan as literals.
+    """
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+    from parallel_map_reduce_spark.operators.wordcount import wordcount
+
+    merges = bpe_train_merges(docs, rounds, text_col).collect()
+    vocab = wordcount(docs, text_col).select("word")
+    sym = F.concat(
+        F.lit(" "),
+        F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+        F.lit(" "),
+    )
+    for r in merges:
+        sym = F.replace(
+            sym,
+            F.lit(f" {r['lhs']}  {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
+        )
+    syms = F.split(F.trim(sym), "  ")
+    enc = vocab.select(
+        F.col("word").alias("w"),
+        F.size(syms).alias("n_syms"),
+        F.size(F.filter(syms, lambda s: F.length(s) >= 2)).alias("n_merged"),
+    )
+    tok = tokens_df(docs, text_col, id_col).select(
+        F.col(id_col), F.explode("tk").alias("w")
+    )
+    return (
+        tok.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum("n_merged").alias("n_merged_symbols"),
+            F.round(F.sum("n_merged") / F.sum("n_syms"), 6).alias("merged_frac"),
+        )
+    )
+
+
+def bpe_encode_stats_oracle_sql(rounds: int = 12) -> str:
+    return (
+        _bpe_rounds_cte_sql(rounds)
+        + f""",
+enc AS (
+  SELECT word, string_split(trim(sym), '  ') AS syms FROM sym{rounds}
+),
+encstats AS (
+  SELECT word,
+         CAST(len(syms) AS BIGINT) AS n_syms,
+         CAST(len(list_filter(syms, s -> length(s) >= 2)) AS BIGINT) AS n_merged
+  FROM enc
+),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM toks)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       CAST(SUM(n_merged) AS BIGINT) AS n_merged_symbols,
+       ROUND(SUM(n_merged) * 1.0 / SUM(n_syms), 6) AS merged_frac
+FROM tok JOIN encstats ON encstats.word = tok.w
+GROUP BY doc_id
+"""
+    )

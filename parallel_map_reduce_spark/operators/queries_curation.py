@@ -257,6 +257,43 @@ def q_bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ce.bigram_lm_doc_scores(docs)
 
 
+from parallel_map_reduce_spark.operators import textstats as _textstats
+
+# The SAME composite quality score as quality_quantile_filter's oracle
+# (alpha ratio x inverse punct ratio x capped token count, ROUND 4) as a
+# self-contained expression over `text` — one definition here so the
+# approx audit can't drift from the exact tier's score.
+_SPLIT_SQL_QS = r"[ \t\n\r\x0b\x0c]+"
+_QS_SQL = (
+    "ROUND((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
+    " / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE)"
+    " * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE"
+    " / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE)"
+    f" * least(len(list_filter(regexp_split_to_array(text, '{_SPLIT_SQL_QS}'),"
+    " w -> w <> ''))::DOUBLE / 20.0, 1.0), 4)"
+)
+
+
+@register(
+    "quality_quantile_filter_approx",
+    ce.quality_quantile_band_approx_oracle_sql(_QS_SQL),
+)
+def q_quality_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile band filter's documented 100 TB swap-in, run as a
+    driver-visible audit: per-language p25/p75 thresholds from ONE
+    mergeable approx_percentile sketch agg (constant memory, broadcast
+    back as k rows — no per-language window sort on the ship path),
+    with the exact PERCENT_RANK band computed in the same query. The
+    oracle value-hashes the exact band's per-language aggregates and
+    expects ``approx_band_ok`` TRUE (approx vs exact disagreement ≤ 5%
+    of each language's docs; measured boundary-only, well under 1%) —
+    the same audit contract as the ANN queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.quality_quantile_band_approx(
+        docs, _textstats.quality_score_expr(F.col("text"))
+    )
+
+
 _PUBLISH_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "incremental_lsh_dedup",
     "incremental_lsh_dedup_stored",
     "bigram_lm_doc_scores",
+    "quality_quantile_filter_approx",
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
     "bpe_train_vocab",
@@ -100,7 +101,6 @@ _PRIORITY: list[str] = [
     "window_lag_lead",
     "rollup_region_nation",
     "cube_flag_status",
-    "pivot_status_revenue",
 ]
 
 

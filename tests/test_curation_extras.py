@@ -560,3 +560,76 @@ def test_bigram_lm_repeated_text_scores_higher(spark):
     )
     out = {r["doc_id"]: r["avg_logprob"] for r in bigram_lm_doc_scores(docs).collect()}
     assert out[1] > out[2]
+
+
+# ---------------------------------------------------------------------------
+# staged r6: Gopher repetition + BPE encode-apply
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_planted(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # top 2-gram 'a b' x3 covers 9/11 chars
+            (2, "u v w x y z"),          # no repetition at all
+            (3, "p q r s t p q r s t"),  # dup 5-gram 'p q r s t' x2 = 18/19
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_stats(docs).collect()}
+    assert out[1]["top2_frac"] == round(3 * 3 / 11, 6)
+    assert out[2]["dup5_frac"] == 0.0 and out[2]["dup8_frac"] == 0.0
+    # every 2-gram in doc 2 occurs once: top fraction is one occurrence
+    assert out[2]["top2_frac"] == round(3 / 11, 6)
+    assert out[3]["dup5_frac"] == round(2 * 9 / 19, 6)
+    # doc 3 has no duplicated 8-gram
+    assert out[3]["dup8_frac"] == 0.0
+
+
+def test_bpe_encode_compression_monotone(spark, sf_dir):
+    """More merge rounds can only shrink (or keep) a document's symbol
+    count, and zero rounds symbolize each word into its characters."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bpe_encode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = {r["doc_id"]: r for r in bpe_encode_stats(docs, rounds=0).collect()}
+    e4 = {r["doc_id"]: r for r in bpe_encode_stats(docs, rounds=4).collect()}
+    assert set(e0) == set(e4)
+    for d in e0:
+        assert e4[d]["n_symbols"] <= e0[d]["n_symbols"]
+        assert e0[d]["n_merged_symbols"] == 0
+        assert 0.0 <= e4[d]["merged_frac"] <= 1.0
+
+
+def test_quantile_band_approx_agrees_with_exact(spark, sf_dir):
+    """The approx-percentile band must reproduce the exact PERCENT_RANK
+    band up to boundary disagreement — and at sketch accuracy 10000 on
+    this corpus, exactly."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        quality_quantile_band_approx,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        q_quality_quantile_filter,
+    )
+    from parallel_map_reduce_spark.operators.textstats import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_quantile_band_approx(docs, quality_score_expr(F.col("text")))
+    rows = {r["lang"]: r for r in out.collect()}
+    exact = q_quality_quantile_filter(spark, sf_dir.replace("sf0.001", "sf0.001"))
+    # cross-check the audit aggregates against the registered exact tier
+    from collections import Counter, defaultdict
+
+    ex = defaultdict(list)
+    for r in exact.collect():
+        ex[r["lang"]].append(r["doc_id"])
+    for lang, r in rows.items():
+        assert r["approx_band_ok"] is True
+        assert r["n_exact_band"] == len(ex[lang])
+        assert r["sum_exact_band_ids"] == sum(ex[lang])

@@ -111,3 +111,19 @@ def test_bigram_lm_oracle(spark, sf_dir, duck):
     _assert_matches(
         ce.bigram_lm_doc_scores(docs), duck, ce.bigram_lm_doc_scores_oracle_sql()
     )
+
+
+def test_gopher_repetition_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.gopher_repetition_stats(docs),
+        duck,
+        ce.gopher_repetition_stats_oracle_sql(),
+    )
+
+
+def test_bpe_encode_stats_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.bpe_encode_stats(docs, rounds=4), duck, ce.bpe_encode_stats_oracle_sql(4)
+    )
