@@ -341,3 +341,102 @@ def test_tfidf_materializes_tf_once(spark):
         l for l in plan.splitlines() if "Scan" in l and "parquet" in l
     ]
     assert len(scan_lines) <= 1, scan_lines
+
+
+def test_sample_exact_n_is_take_ordered(spark):
+    """The exact-n carve-out must compile to TakeOrderedAndProject —
+    per-partition n-row heaps, never a full sort+limit."""
+    plan = plan_of(spark, "sample_exact_n", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_exact_n_uses_group_limit(spark):
+    """Per-stratum exact-n must carry the WindowGroupLimit optimization
+    so skewed strata keep n-row heaps instead of materializing."""
+    plan = plan_of(spark, "stratified_exact_n")
+    assert "WindowGroupLimit" in plan
+
+
+def test_bigram_lm_broadcasts_scalar_total(spark):
+    """The bigram LM's corpus-total join must be a broadcast of the
+    1-row aggregate; the model joins stay hash joins on the token keys,
+    never a nested-loop against the corpus."""
+    plan = plan_of(spark, "bigram_lm_doc_scores", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_sharded_single_shuffle_into_kernel(spark):
+    """Cluster-sharded SemDeDup's pair stage: exactly ONE exchange on
+    the cluster key feeds the per-cluster Arrow kernel
+    (FlatMapGroupsInPandas) — the corpus must not be re-shuffled or
+    re-scanned per block."""
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned = (
+        similarity.nearest_centroid_assign(emb)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    df = ce.cluster_sharded_pairs(emb, assigned, 0.4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan
+    kernel_shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning(cluster" in l
+    ]
+    assert len(kernel_shuffles) == 1, plan
+
+
+def test_quantile_band_approx_sketch_is_partial_final(spark):
+    """The approx threshold side must aggregate the percentile sketch
+    partial→final (ObjectHashAggregate pair) and broadcast the k
+    threshold rows back — the ship path has no per-language sort; the
+    one Sort+Window in the plan is the exact audit twin."""
+    plan = plan_of(spark, "quality_quantile_filter_approx", mode="simple")
+    assert "ObjectHashAggregate" in plan
+    assert "partial_percentile_approx" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one window (the exact audit), not one per branch
+    assert plan.count("Window") <= 2
+
+
+def test_incremental_stored_signature_store_is_authoritative(spark, tmp_path):
+    """With a signature store supplied, banding must use ONLY the store
+    (the localCheckpointed stages hide the scans from the final plan,
+    so this is pinned behaviorally): a kept doc whose signature is
+    MISSING from the store cannot produce a cross_dup — proof the
+    kept corpus is never re-signatured behind the store's back."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+
+    c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    kept = spark.createDataFrame(
+        [(2, c), (4, "totally different words with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(1, c + " tail")], "doc_id long, text string")
+    store = str(tmp_path / "sigstore")
+    # full store: the near-copy is caught as a cross-dup of kept doc 2
+    minhash_signatures(kept).write.mode("overwrite").parquet(store)
+    full = ce.incremental_lsh_dedup(
+        new, kept, kept_signatures=spark.read.parquet(store)
+    ).collect()
+    assert [(r["status"], r["dup_of"]) for r in full] == [("cross_dup", 2)]
+    # store missing doc 2's signature: no band can match, so the same
+    # near-copy must survive — any recompute from kept text would flip
+    # this back to cross_dup
+    minhash_signatures(kept.filter(F.col("doc_id") != 2)).write.mode(
+        "overwrite"
+    ).parquet(store)
+    holed = ce.incremental_lsh_dedup(
+        new, kept, kept_signatures=spark.read.parquet(store)
+    ).collect()
+    assert [(r["status"], r["dup_of"]) for r in holed] == [("kept", -1)]
