@@ -102,6 +102,7 @@ HEADLINE = [
     "incremental_lsh_dedup_stored",
     "bigram_lm_doc_scores",
     "quality_quantile_filter_approx",
+    "ccnet_perplexity_buckets",
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
     "bpe_train_vocab",

@@ -1070,6 +1070,69 @@ GROUP BY b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2020 §3.3) splits each language's corpus into
+# head/middle/tail thirds by LM perplexity and trains preferentially on
+# the head — the canonical composition of an LM quality signal with a
+# per-language quantile cut. Built here on the interpolated bigram LM
+# (higher mean log-prob == lower perplexity == head).
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    lam: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, lang, avg_logprob, bucket): per-language head/middle/tail
+    thirds by bigram-LM mean log-probability (NTILE(3) over the ROUNDED
+    score with doc-id tie-break, so bucket membership is deterministic
+    and boundary-exact in both engines). Documents with fewer than 2
+    tokens carry no LM score and are excluded, as in the scorer.
+
+    Scale shape: the LM scoring plan (see bigram_lm_doc_scores) plus
+    ONE window sort per language over (score, id) pairs — at 100 TB
+    swap the exact NTILE for approx_percentile tercile thresholds, the
+    same exact-vs-sketch split quality_quantile_filter_approx ships.
+    """
+    scores = bigram_lm_doc_scores(docs, lam, text_col, id_col)
+    langs = docs.select(F.col(id_col), F.col("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.join(langs, id_col)
+        .withColumn("_tile", F.ntile(3).over(w))
+        .select(
+            id_col,
+            "lang",
+            "avg_logprob",
+            F.when(F.col("_tile") == 1, F.lit("head"))
+            .when(F.col("_tile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def ccnet_perplexity_buckets_oracle_sql(lam: float = 0.8) -> str:
+    scorer = bigram_lm_doc_scores_oracle_sql(lam).strip()
+    return f"""
+WITH scores AS ({scorer})
+SELECT doc_id, lang, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT s.doc_id, d.lang, s.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS nt
+  FROM scores s JOIN documents d USING (doc_id)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Draft DuckDB oracles for the r5 registrations
 # ---------------------------------------------------------------------------
 #

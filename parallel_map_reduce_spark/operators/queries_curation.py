@@ -245,6 +245,18 @@ def q_incremental_lsh_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("ccnet_perplexity_buckets", ce.ccnet_perplexity_buckets_oracle_sql())
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3.3): each
+    language's corpus cut into perplexity terciles under the
+    corpus-trained bigram LM — the canonical LM-quality x per-language
+    quantile composition a multilingual pipeline runs before sampling.
+    Bucket membership is NTILE over the rounded score with id
+    tie-break: deterministic, boundary-exact, fully value-hashed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.ccnet_perplexity_buckets(docs)
+
+
 @register("bigram_lm_doc_scores", ce.bigram_lm_doc_scores_oracle_sql())
 def q_bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained interpolated bigram LM scoring — the order-2 step

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "incremental_lsh_dedup",
     "incremental_lsh_dedup_stored",
     "bigram_lm_doc_scores",
+    "ccnet_perplexity_buckets",
     "quality_quantile_filter_approx",
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
@@ -100,7 +101,6 @@ _PRIORITY: list[str] = [
     "wordcount_rdd",
     "window_lag_lead",
     "rollup_region_nation",
-    "cube_flag_status",
 ]
 
 

@@ -633,3 +633,27 @@ def test_quantile_band_approx_agrees_with_exact(spark, sf_dir):
         assert r["approx_band_ok"] is True
         assert r["n_exact_band"] == len(ex[lang])
         assert r["sum_exact_band_ids"] == sum(ex[lang])
+
+
+def test_ccnet_buckets_partition_each_language_in_thirds(spark, sf_dir):
+    from collections import Counter
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = ccnet_perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        c = Counter(r["bucket"] for r in rs)
+        # NTILE(3): sizes differ by at most one, remainder to the head
+        sizes = sorted(c.values())
+        assert c["head"] >= c["middle"] >= c["tail"]
+        assert sizes[-1] - sizes[0] <= 1
+        # every head score >= every tail score
+        assert min(r["avg_logprob"] for r in rs if r["bucket"] == "head") >= max(
+            r["avg_logprob"] for r in rs if r["bucket"] == "tail"
+        )
