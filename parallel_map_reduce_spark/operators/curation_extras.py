@@ -842,11 +842,20 @@ def gopher_repetition_stats(
     """
     from parallel_map_reduce_spark.operators.dedup import tokens_df
 
+    # base feeds FIVE plan branches (four gram sizes + the output
+    # spine); aliased reuse replans each from the scan, so materialize
+    # the tokenized frame once (the dedup.py stored-signatures
+    # discipline) — without this one execution re-scans and
+    # re-tokenizes the corpus 5x.
     tdf = tokens_df(docs, text_col, id_col)
-    base = tdf.filter(F.size("tk") > 0).select(
-        F.col(id_col),
-        F.col("tk"),
-        F.length(F.concat_ws(" ", F.col("tk"))).alias("_dc"),
+    base = (
+        tdf.filter(F.size("tk") > 0)
+        .select(
+            F.col(id_col),
+            F.col("tk"),
+            F.length(F.concat_ws(" ", F.col("tk"))).alias("_dc"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def grams_df(n: int) -> DataFrame:
@@ -1002,10 +1011,19 @@ def bigram_lm_doc_scores(
     shuffle the skew.py salting recipes target at 100 TB. The context
     normalizer c(prev,·) reuses the bigram count frame (one extra agg
     over |bigram vocab| rows, never corpus positions).
+
+    The token frame, the bigram-position frame, and the bigram-count
+    model are each consumed by 2+ plan branches (tdf → bg/tok; bg →
+    bgc/score join; bgc → ctx/score join) — aliased reuse Catalyst
+    replans from the scan, so without materialization one execution
+    re-scans and re-tokenizes the corpus ~5×. localCheckpoint(eager)
+    is the in-session form of the "model is a stored table" design
+    (same precedent as dedup.py's signature frames); a production run
+    persists the counts model once and scores many corpora against it.
     """
     from parallel_map_reduce_spark.operators.dedup import tokens_df
 
-    tdf = tokens_df(docs, text_col, id_col)
+    tdf = tokens_df(docs, text_col, id_col).localCheckpoint(eager=True)
     n = F.size("tk")
     bg = (
         tdf.filter(n >= 2)
@@ -1020,9 +1038,12 @@ def bigram_lm_doc_scores(
             ).alias("bg"),
         )
         .select(id_col, "bg.prev", "bg.w")
+        .localCheckpoint(eager=True)
     )
-    bgc = bg.groupBy("prev", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c_pw")
+    bgc = (
+        bg.groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_pw"))
+        .localCheckpoint(eager=True)
     )
     ctx = bgc.groupBy("prev").agg(F.sum("c_pw").alias("c_prev"))
     tok = tdf.select(F.col(id_col), F.explode("tk").alias("w"))
@@ -1291,7 +1312,11 @@ def incremental_lsh_dedup_oracle_sql(
     # expressions with a ``{t}`` placeholder wherever they reference the
     # document row's alias (e.g. ``"{t}.doc_id % 2 = 1"``) — the
     # generator substitutes the correct alias at each splice site, so
-    # compound predicates and qualified columns stay valid SQL.
+    # compound predicates and qualified columns stay valid SQL. The
+    # splice is a plain string replace (NOT str.format), so predicates
+    # containing other literal braces — regex quantifiers, struct
+    # literals — pass through untouched; a predicate with no ``{t}`` at
+    # all is rejected loudly rather than spliced into ambiguous SQL.
     from parallel_map_reduce_spark.functions.hashing import (
         hash64_sql,
         universal_hash_sql,
@@ -1310,9 +1335,18 @@ def incremental_lsh_dedup_oracle_sql(
         for b in range(bands)
     )
     head = _SHINGLES_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-    new_a, new_b = new_pred.format(t="a"), new_pred.format(t="b")
-    kept_b = kept_pred.format(t="b")
-    new_d = new_pred.format(t="documents")
+
+    def _splice(pred: str, alias: str) -> str:
+        if "{t}" not in pred:
+            raise ValueError(
+                f"predicate {pred!r} must reference the row alias via a "
+                "'{t}' placeholder (e.g. '{t}.doc_id % 2 = 1')"
+            )
+        return pred.replace("{t}", alias)
+
+    new_a, new_b = _splice(new_pred, "a"), _splice(new_pred, "b")
+    kept_b = _splice(kept_pred, "b")
+    new_d = _splice(new_pred, "documents")
     return (
         head
         + f""",

@@ -16,6 +16,20 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """A per-invocation scratch path for queries that materialize an
+    intermediate store (signature store, published shards). Unique per
+    call: the returned DataFrames read the store lazily, so a shared
+    fixed path would race overwrite-vs-read between concurrent runs
+    (pytest + bench on one host, or two sf dirs sharing a basename)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pmr_spark_{kind}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,11 +246,7 @@ def q_incremental_lsh_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.col("doc_id") % 2 == 0)
-    store = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_sigstore",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    store = _scratch_dir("sigstore", sf_dir)
     minhash_signatures(kept).write.mode("overwrite").parquet(store)
     return ce.incremental_lsh_dedup(
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -273,9 +283,15 @@ from parallel_map_reduce_spark.operators import textstats as _textstats
 
 # The SAME composite quality score as quality_quantile_filter's oracle
 # (alpha ratio x inverse punct ratio x capped token count, ROUND 4) as a
-# self-contained expression over `text` — one definition here so the
-# approx audit can't drift from the exact tier's score.
-_SPLIT_SQL_QS = r"[ \t\n\r\x0b\x0c]+"
+# self-contained expression over `text`. Drift guards: the tokenizer
+# regex is imported from functions/tokenize (the one definition both
+# engines splice), and two execution-parity tests pin the formula —
+# the oracle-parity test (this SQL vs quality_score_expr via Spark) and
+# test_quantile_band_approx_agrees_with_exact (this band vs the
+# registered exact tier's band).
+from parallel_map_reduce_spark.functions.tokenize import TOKEN_SPLIT_REGEX_SQL
+
+_SPLIT_SQL_QS = TOKEN_SPLIT_REGEX_SQL
 _QS_SQL = (
     "ROUND((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
     " / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE)"
@@ -330,11 +346,7 @@ def q_publish_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     row cap) and ``manifest_total_ok`` (manifest row total equals the
     read-back count)."""
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_publish",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    path = _scratch_dir("publish", sf_dir)
     manifest = publish_dataset(
         spark,
         docs,

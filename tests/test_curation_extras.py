@@ -622,7 +622,7 @@ def test_quantile_band_approx_agrees_with_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = quality_quantile_band_approx(docs, quality_score_expr(F.col("text")))
     rows = {r["lang"]: r for r in out.collect()}
-    exact = q_quality_quantile_filter(spark, sf_dir.replace("sf0.001", "sf0.001"))
+    exact = q_quality_quantile_filter(spark, sf_dir)
     # cross-check the audit aggregates against the registered exact tier
     from collections import Counter, defaultdict
 
