@@ -1557,3 +1557,444 @@ FROM tok JOIN encstats ON encstats.word = tok.w
 GROUP BY doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-signal bundle (STAGED for round-6 registration)
+# ---------------------------------------------------------------------------
+#
+# gopher_repetition_stats covers Gopher's repetition table (A1, lower
+# half); this is the upper half — the per-document quality heuristics
+# and their combined accept/reject verdict (Rae et al. 2021, appendix
+# A1.1). Everything is a counts-ratio over one projection, so the pass
+# boolean is computed on UNROUNDED values that are bit-identical across
+# engines (integer/integer division), and only the display ratios are
+# rounded. Generalizes the reference's tokenize → per-token predicate
+# shape (src/omp_count_words.cpp:49-118) to multi-signal document
+# filtering.
+
+# Gopher's "must contain >= 2 of" stopword list (A1.1) — a fixed
+# 8-word contract, distinct from the langid marker lexicons.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """(id, n_tokens, mean_word_len, hash_ratio, ellipsis_ratio,
+    frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+    n_stopword_hits, gopher_pass): Gopher A1.1 quality signals with the
+    paper's thresholds folded into one boolean verdict — token count in
+    [min_tokens, max_tokens], mean word length in [3, 10], '#' and
+    '...' symbol-to-word ratios <= 0.1, < 90% of lines bullet-led,
+    < 30% of lines ellipsis-terminated, >= 80% of words containing an
+    alphabetic character, and >= 2 distinct required stopwords present.
+    Zero-token documents are excluded (no denominator).
+
+    Scale shape: ONE projection over the scan — zero shuffles, zero
+    joins (the pii_redaction_stats plan); every signal is a
+    whole-stage-codegen'd expression or a 1-2-per-row HOF fold, within
+    the PLANS.md HOF budget.
+    """
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(text, r"[ \t\n\r\x0B\f]+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(text, "\n")
+    n_tok = F.size(toks)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    d = F.col("_nt").cast("double")
+    dl = F.col("_nl").cast("double")
+    mean_wl = F.col("_sl") / d
+    hash_r = F.col("_nh") / d
+    ell_r = F.col("_ne") / d
+    bullet_f = F.col("_nb") / dl
+    ell_f = F.col("_nel") / dl
+    alpha_f = F.col("_na") / d
+    return (
+        docs.select(
+            F.col(id_col),
+            n_tok.alias("_nt"),
+            n_lines.alias("_nl"),
+            sum_len.alias("_sl"),
+            n_hash.alias("_nh"),
+            n_ellipsis.alias("_ne"),
+            n_bullet_lines.alias("_nb"),
+            n_ellipsis_lines.alias("_nel"),
+            n_alpha_words.alias("_na"),
+            stop_hits.alias("_ns"),
+        )
+        .filter(F.col("_nt") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_nt").cast("long").alias("n_tokens"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(hash_r, 6).alias("hash_ratio"),
+            F.round(ell_r, 6).alias("ellipsis_ratio"),
+            F.round(bullet_f, 6).alias("frac_bullet_lines"),
+            F.round(ell_f, 6).alias("frac_ellipsis_lines"),
+            F.round(alpha_f, 6).alias("frac_alpha_words"),
+            F.col("_ns").cast("long").alias("n_stopword_hits"),
+            (
+                F.col("_nt").between(min_tokens, max_tokens)
+                & (mean_wl >= 3)
+                & (mean_wl <= 10)
+                & (hash_r <= 0.1)
+                & (ell_r <= 0.1)
+                & (bullet_f <= 0.9)
+                & (ell_f <= 0.3)
+                & (alpha_f >= 0.8)
+                & (F.col("_ns") >= 2)
+            ).alias("gopher_pass"),
+        )
+    )
+
+
+def gopher_quality_stats_oracle_sql(
+    min_tokens: int = 50, max_tokens: int = 100_000
+) -> str:
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(ws, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {_TOKS_SQL} AS ws,
+         string_split(text, chr(10)) AS lns,
+         length(text) - length(replace(text, '#', '')) AS nh,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS ne
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(ws) AS nt,
+         len(lns) AS nl,
+         list_sum(list_transform(ws, w -> length(w))) AS sl,
+         nh, ne,
+         len(list_filter(lns, l -> substr(ltrim(l), 1, 1) IN ('-', '*', chr(8226)))) AS nb,
+         len(list_filter(lns, l -> rtrim(l) LIKE '%...')) AS nel,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS na,
+         {stop_sum} AS ns
+  FROM base
+  WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       ROUND(sl * 1.0 / nt, 4) AS mean_word_len,
+       ROUND(nh * 1.0 / nt, 6) AS hash_ratio,
+       ROUND(ne / nt, 6) AS ellipsis_ratio,
+       ROUND(nb * 1.0 / nl, 6) AS frac_bullet_lines,
+       ROUND(nel * 1.0 / nl, 6) AS frac_ellipsis_lines,
+       ROUND(na * 1.0 / nt, 6) AS frac_alpha_words,
+       CAST(ns AS BIGINT) AS n_stopword_hits,
+       (nt BETWEEN {min_tokens} AND {max_tokens}
+        AND sl * 1.0 / nt >= 3 AND sl * 1.0 / nt <= 10
+        AND nh * 1.0 / nt <= 0.1 AND ne / nt <= 0.1
+        AND nb * 1.0 / nl <= 0.9 AND nel * 1.0 / nl <= 0.3
+        AND na * 1.0 / nt >= 0.8 AND ns >= 2) AS gopher_pass
+FROM sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed n-gram importance weights (STAGED for round-6 registration)
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw document by log(p_target(x) / p_raw(x)) under two
+# bag-of-hashed-n-gram unigram+bigram models — the target model fit on
+# an in-domain subset, the raw model on the full corpus — then resample
+# proportionally. The hashed feature space (B buckets) makes the model
+# a fixed-size count table regardless of vocabulary, which is what lets
+# the estimator run at web scale: both models are ONE aggregate over
+# the feature stream, and scoring is one join against a B-row table.
+#
+# The paper draws Gumbel noise for the resampling step; selection here
+# stays deterministic (weighted_systematic_sample below takes the
+# weights), so every stage is oracle-checkable.
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, log_weight): per-document DSIR log importance
+    weight Σ_f [ln p_target(h(f)) − ln p_raw(h(f))] over unigram and
+    bigram features hashed into ``buckets`` buckets, with add-1
+    smoothing on both models (p(b) = (c_b + 1) / (N + B)). Zero-token
+    documents carry no features and are excluded. ``target_pred`` is a
+    boolean Column over the document row selecting the in-domain
+    subset; the raw model is the full corpus, target ⊆ raw as in the
+    paper. Probabilities are ratios of exact integer counts, so
+    per-feature log terms are bit-identical across engines; only the
+    per-doc sum is rounded (the bigram_lm contract).
+
+    Scale shape: tokenize once (checkpointed — three consumers), ONE
+    (bucket, count, target-count) aggregate with map-side combine, a
+    1-row totals broadcast, and one feature→bucket-table join that
+    AQE broadcasts (the table is ≤ B rows). Nothing corpus-quadratic;
+    the count table is the stored artifact a production run fits once
+    and reuses per-shard, exactly the paper's estimator.
+    """
+    # The target flag rides the tokenized row (the doc row already
+    # carries everything the predicate needs), so the feature stream
+    # needs no join back to documents.
+    tdf = docs.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_t"),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\x0B\f]+"),
+            lambda w: w != F.lit(""),
+        ).alias("tk"),
+    )
+    n = F.size("tk")
+    uni = tdf.select(
+        F.col(id_col), F.col("_is_t"), F.explode("tk").alias("f")
+    )
+    bi = (
+        tdf.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.col("_is_t"),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, n - 1),
+                    F.slice(F.col("tk"), 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("f"),
+        )
+    )
+    feats = (
+        uni.unionByName(bi)
+        .select(
+            F.col(id_col),
+            F.col("_is_t"),
+            (hash64(F.col("f")) % F.lit(buckets)).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    btab = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum("_is_t").alias("c_t"),
+    )
+    totals = btab.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+    )
+    lr = F.log(
+        (F.col("c_t") + 1) / (F.col("n_t") + F.lit(buckets))
+    ) - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.lit(buckets)))
+    return (
+        feats.join(btab, "b")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum(lr), 4).alias("log_weight"),
+        )
+    )
+
+
+def dsir_importance_weights_oracle_sql(
+    target_pred: str = "lang = 'en'", buckets: int = 4096
+) -> str:
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws,
+         CASE WHEN {target_pred} THEN 1 ELSE 0 END AS is_t
+  FROM documents
+),
+uni AS (SELECT doc_id, is_t, unnest(ws) AS f FROM base),
+bi AS (
+  SELECT doc_id, is_t, ws[i] || ' ' || ws[i+1] AS f
+  FROM base CROSS JOIN UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+feats AS (
+  SELECT doc_id, is_t, {hash64_sql('f', 0)} % {buckets} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+btab AS (
+  SELECT b, COUNT(*) AS c_r, SUM(is_t) AS c_t FROM feats GROUP BY b
+),
+tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM btab)
+SELECT doc_id,
+       COUNT(*) AS n_feats,
+       ROUND(SUM(ln((c_t + 1) * 1.0 / (n_t + {buckets}))
+               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS log_weight
+FROM feats JOIN btab USING (b) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup weights + deterministic PPS sampling (STAGED for round 6)
+# ---------------------------------------------------------------------------
+#
+# The removal-free alternative to dropping duplicates: keep every
+# document but down-weight duplicated content so a training run sees
+# each distinct text with equal expected frequency (the soft-dedup /
+# duplicate-discounting scheme; cf. Lee et al. 2022's finding that
+# upweighted duplicates drive memorization). weight = 1/|dup group| is
+# the canonical discount. Composes with weighted_systematic_sample: the
+# weights become inclusion probabilities for a deterministic
+# probability-proportional-to-size draw (Madow's systematic selection,
+# 1949) — the selection step DSIR leaves to Gumbel noise, made
+# deterministic and therefore oracle-checkable.
+
+
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dup_count, weight): exact-duplicate group size by full-text
+    md5 and the 1/count soft-dedup discount. One md5-key aggregate +
+    one key join — the dedup_exact plan with the group size retained
+    instead of collapsed; content never crosses the wire (the md5 key
+    does)."""
+    from parallel_map_reduce_spark.functions.hashing import fingerprint_md5
+
+    keyed = docs.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_k")
+    )
+    counts = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("dup_count"))
+    return keyed.join(counts, "_k").select(
+        id_col,
+        "dup_count",
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("weight"),
+    )
+
+
+def soft_dedup_weights_oracle_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT md5(text) AS k, COUNT(*) AS dup_count FROM documents GROUP BY 1
+)
+SELECT doc_id, dup_count, ROUND(1.0 / dup_count, 6) AS weight
+FROM documents JOIN counts ON md5(text) = counts.k
+"""
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    order_seed: int = 0,
+    order_buckets: int = 64,
+) -> DataFrame:
+    """(id, weight, multiplicity): Madow's systematic
+    probability-proportional-to-size selection — exactly ``n`` draws
+    (Σ multiplicity = n), each row drawn with probability ∝ its
+    non-negative INTEGER ``weight_col``, deterministically. Rows are
+    laid on a line in a pseudorandom but fixed order (portable hash of
+    the id, seeded), cumulative weights C_i are taken over that order,
+    and row i is drawn once for every multiple of W/n inside
+    (C_i − w_i, C_i]:  m_i = ⌊C_i·n/W⌋ − ⌊(C_i−w_i)·n/W⌋. All
+    arithmetic is 64-bit integer (requires W·n < 2^63, asserted
+    nowhere cheaper than the caller), so the draw is bit-identical in
+    every engine — no float boundary can flip a selection. Rows with
+    m_i = 0 are omitted.
+
+    Scale shape: the global cumulative sum is NOT a single-partition
+    window — rows hash into ``order_buckets`` buckets, each bucket
+    cumsums locally (window partitioned by bucket), and bucket offsets
+    (a ≤``order_buckets``-row aggregate, broadcast) shift the locals to
+    global. Global order = (bucket, order key, id); any fixed total
+    order is valid for Madow selection. Two shuffles total, both
+    bucket-partitioned; the offset table is the only driver-sized
+    object."""
+    w = F.col(weight_col).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        (hash64(F.col(id_col).cast("string"), order_seed)).alias("_ok"),
+    ).withColumn("_b", F.col("_ok") % F.lit(order_buckets))
+    win = Window.partitionBy("_b").orderBy("_ok", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = keyed.withColumn("_lc", F.sum("_w").over(win))
+    btot = local.groupBy("_b").agg(F.max("_lc").alias("_bt"))
+    bwin = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = btot.select(
+        F.col("_b"), (F.sum("_bt").over(bwin) - F.col("_bt")).alias("_off")
+    )
+    total = btot.agg(F.sum("_bt").alias("_tot"))
+    cum = (
+        local.join(F.broadcast(offs), "_b")
+        .join(F.broadcast(total))
+        .withColumn("_c", F.col("_lc") + F.col("_off"))
+    )
+    m = F.expr(f"_c * {n} DIV _tot") - F.expr(f"(_c - _w) * {n} DIV _tot")
+    return (
+        cum.withColumn("multiplicity", m)
+        .filter(F.col("multiplicity") >= 1)
+        .select(
+            id_col,
+            F.col("_w").alias("weight"),
+            F.col("multiplicity").cast("long").alias("multiplicity"),
+        )
+    )
+
+
+def weighted_systematic_sample_oracle_sql(
+    weight_expr: str, n: int, order_seed: int = 0, order_buckets: int = 64
+) -> str:
+    """Oracle replay over ``documents``: the bucketed two-level cumsum
+    collapses to ONE window ordered by (bucket, order key, id) — the
+    same total order, bit-identical integer selection."""
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    ok = hash64_sql("CAST(doc_id AS VARCHAR)", order_seed)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST({weight_expr} AS BIGINT) AS w, {ok} AS ok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, w, ok,
+         SUM(w) OVER (ORDER BY ok % {order_buckets}, ok, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(w) OVER () AS tot
+  FROM keyed
+)
+SELECT doc_id,
+       w AS weight,
+       CAST((c * {n}) // tot - ((c - w) * {n}) // tot AS BIGINT) AS multiplicity
+FROM cum
+WHERE (c * {n}) // tot - ((c - w) * {n}) // tot >= 1
+"""

@@ -657,3 +657,209 @@ def test_ccnet_buckets_partition_each_language_in_thirds(spark, sf_dir):
         assert min(r["avg_logprob"] for r in rs if r["bucket"] == "head") >= max(
             r["avg_logprob"] for r in rs if r["bucket"] == "tail"
         )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality bundle (staged r6)
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        _DOCS_SCHEMA,
+    )
+
+
+def test_gopher_quality_signals_on_crafted_docs(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_quality_stats,
+    )
+
+    good = "the cat sat with a dog and " + " ".join(f"word{i}" for i in range(48))
+    bullets = "- one\n- two\n- three\n* four"
+    ellipsy = "so then...\nand more...\nthe end"
+    hashy = "# # # # word"
+    numeric = "111 222 333 444"
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality_stats(
+            _mkdocs(spark, [good, bullets, ellipsy, hashy, numeric, ""])
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}  # the empty doc is excluded
+    g = rows[0]
+    assert g["gopher_pass"] is True
+    assert g["n_tokens"] == 55 and g["n_stopword_hits"] >= 2
+    b = rows[1]
+    assert b["frac_bullet_lines"] == 1.0 and b["gopher_pass"] is False
+    e = rows[2]
+    assert abs(e["frac_ellipsis_lines"] - 2 / 3) < 1e-6
+    h = rows[3]
+    assert h["hash_ratio"] == 0.8 and h["gopher_pass"] is False
+    n = rows[4]
+    assert n["frac_alpha_words"] == 0.0 and n["gopher_pass"] is False
+
+
+def test_gopher_pass_recomputable_from_signals(spark, sf_dir):
+    """On the sf corpus every verdict must agree with the thresholds
+    re-applied to the emitted signal columns (no doc sits close enough
+    to a boundary for display rounding to flip the re-check)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in gopher_quality_stats(docs).collect():
+        want = (
+            50 <= r["n_tokens"] <= 100_000
+            and 3 <= r["mean_word_len"] <= 10
+            and r["hash_ratio"] <= 0.1
+            and r["ellipsis_ratio"] <= 0.1
+            and r["frac_bullet_lines"] <= 0.9
+            and r["frac_ellipsis_lines"] <= 0.3
+            and r["frac_alpha_words"] >= 0.8
+            and r["n_stopword_hits"] >= 2
+        )
+        assert r["gopher_pass"] is want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (staged r6)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_separate_target_from_offdomain(spark):
+    """Two disjoint sub-vocabularies; the target predicate selects the
+    'code' docs. A held-out code-vocab doc must outscore every
+    prose-vocab doc (its hashed n-grams are dense in the target model),
+    and n_feats must be 2n-1 per doc."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        dsir_importance_weights,
+    )
+
+    code = ["def foo bar return", "class foo def bar", "def bar return foo"]
+    prose = ["the cat sat down", "a dog ran far", "the dog sat up"]
+    held_code = "def foo return bar"
+    held_prose = "the cat ran far"
+    docs = spark.createDataFrame(
+        [(i, t, "code" if i < 3 else "prose", "s", len(t))
+         for i, t in enumerate(code + prose)]
+        + [(10, held_code, "held", "s", len(held_code)),
+           (11, held_prose, "held", "s", len(held_prose))],
+        _DOCS_SCHEMA,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, F.col("lang") == "code", buckets=512
+        ).collect()
+    }
+    for i, t in enumerate(code + prose):
+        assert out[i]["n_feats"] == 2 * len(t.split()) - 1
+    assert out[10]["log_weight"] > out[11]["log_weight"]
+    assert all(out[10]["log_weight"] > out[i]["log_weight"] for i in (3, 4, 5))
+
+
+def test_dsir_deterministic_under_repartition(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        tuple(r)
+        for r in dsir_importance_weights(docs, F.col("lang") == "en").collect()
+    }
+    b = {
+        tuple(r)
+        for r in dsir_importance_weights(
+            docs.repartition(13), F.col("lang") == "en"
+        ).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# soft-dedup weights + deterministic PPS sampling (staged r6)
+# ---------------------------------------------------------------------------
+
+
+def test_soft_dedup_weights_discount_exact_groups(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        soft_dedup_weights,
+    )
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"]
+    rows = {
+        r["doc_id"]: (r["dup_count"], r["weight"])
+        for r in soft_dedup_weights(_mkdocs(spark, texts)).collect()
+    }
+    assert rows[0] == (3, round(1 / 3, 6)) == rows[2] == rows[4]
+    assert rows[1] == (2, 0.5) == rows[5]
+    assert rows[3] == (1, 1.0)
+
+
+def test_weighted_sample_exactly_n_and_pps_properties(spark, sf_dir):
+    """Madow systematic selection: Σ multiplicity == n exactly; a row
+    with weight ≥ W/n is always drawn; zero-weight rows never are; the
+    draw is invariant under physical repartitioning."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 73
+    out = {
+        r["doc_id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(docs, "n_chars", n).collect()
+    }
+    assert sum(out.values()) == n
+    out2 = {
+        r["doc_id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(
+            docs.repartition(17), "n_chars", n
+        ).collect()
+    }
+    assert out == out2
+
+    # a dominating weight is drawn with multiplicity ≈ its share; zeros never
+    big = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") == 7, F.lit(1_000_000))
+        .when(F.col("doc_id") % 5 == 0, F.lit(0))
+        .otherwise(F.lit(10)),
+    )
+    n2 = 50
+    sel = {
+        r["doc_id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(big, "w", n2).collect()
+    }
+    assert sum(sel.values()) == n2
+    assert sel.get(7, 0) >= 40  # ~1M of ~1.004M total weight
+    assert all(d % 5 != 0 or d == 7 for d in sel)
+
+
+def test_weighted_sample_uniform_weights_evenly_spaced(spark):
+    """With equal weights, systematic PPS degenerates to every-k
+    selection along the shuffled order — 20 of 100 docs, no
+    multiplicity above 1, and consecutive picks exactly 5 apart in the
+    order induced by the hash key."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    docs = _mkdocs(spark, [f"doc number {i}" for i in range(100)]).withColumn(
+        "w", F.lit(1)
+    )
+    sel = weighted_systematic_sample(docs, "w", 20).collect()
+    assert len(sel) == 20
+    assert all(r["multiplicity"] == 1 for r in sel)

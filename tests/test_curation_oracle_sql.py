@@ -127,3 +127,31 @@ def test_bpe_encode_stats_oracle(spark, sf_dir, duck):
     _assert_matches(
         ce.bpe_encode_stats(docs, rounds=4), duck, ce.bpe_encode_stats_oracle_sql(4)
     )
+
+
+def test_gopher_quality_stats_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.gopher_quality_stats(docs), duck, ce.gopher_quality_stats_oracle_sql()
+    )
+
+
+def test_dsir_importance_weights_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.dsir_importance_weights(docs, F.col("lang") == "en")
+    _assert_matches(sdf, duck, ce.dsir_importance_weights_oracle_sql("lang = 'en'"))
+
+
+def test_soft_dedup_weights_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.soft_dedup_weights(docs), duck, ce.soft_dedup_weights_oracle_sql()
+    )
+
+
+def test_weighted_systematic_sample_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = ce.weighted_systematic_sample(docs, "n_chars", 37)
+    _assert_matches(
+        sdf, duck, ce.weighted_systematic_sample_oracle_sql("n_chars", 37)
+    )
