@@ -1804,9 +1804,15 @@ def dsir_importance_weights(
         )
         .localCheckpoint(eager=True)
     )
-    btab = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.sum("_is_t").alias("c_t"),
+    # btab feeds the totals agg AND the score join — materialize the
+    # (≤ buckets)-row model table or the feature agg replays per branch.
+    btab = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum("_is_t").alias("c_t"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = btab.agg(
         F.sum("c_r").alias("n_r"),
@@ -1945,8 +1951,17 @@ def weighted_systematic_sample(
     win = Window.partitionBy("_b").orderBy("_ok", id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = keyed.withColumn("_lc", F.sum("_w").over(win))
-    btot = local.groupBy("_b").agg(F.max("_lc").alias("_bt"))
+    # local feeds the bucket-totals agg AND the final selection; btot
+    # feeds offsets AND the grand total — materialize both or the scan
+    # and per-bucket window sort replay once per branch (3x total).
+    local = keyed.withColumn("_lc", F.sum("_w").over(win)).localCheckpoint(
+        eager=True
+    )
+    btot = (
+        local.groupBy("_b")
+        .agg(F.max("_lc").alias("_bt"))
+        .localCheckpoint(eager=True)
+    )
     bwin = Window.orderBy("_b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -440,3 +440,87 @@ def test_incremental_stored_signature_store_is_authoritative(spark, tmp_path):
         new, kept, kept_signatures=spark.read.parquet(store)
     ).collect()
     assert [(r["status"], r["dup_of"]) for r in holed] == [("kept", -1)]
+
+
+def test_gopher_quality_is_projection_only(spark):
+    """The Gopher A1.1 bundle is per-row counts-ratio arithmetic: the
+    plan must contain NO Exchange — all nine signals and the verdict
+    ride the scan, like the PII scrub."""
+    import io
+    from contextlib import redirect_stdout
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_quality_stats,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    df = gopher_quality_stats(load_table(spark, SF, "documents"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_dsir_model_table_broadcasts_to_feature_stream(spark):
+    """DSIR scoring joins the feature stream against the ≤buckets-row
+    model table — that join must be broadcast (never sort-merge: the
+    corpus-side feature stream must not shuffle on the bucket key), the
+    1-row totals ride a broadcast nested loop, and nothing may be a
+    cartesian product."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        dsir_importance_weights,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    df = dsir_importance_weights(
+        load_table(spark, SF, "documents"), F.col("lang") == "en"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_windows_are_bucket_partitioned(spark):
+    """Madow selection must never fall into the single-partition global
+    window trap: every window over the corpus is partitioned by the
+    order bucket, and the only unpartitioned window runs over the
+    ≤order_buckets-row bucket-totals frame. With local/btot
+    materialized, the plan holds exactly one corpus window (bucketed)
+    and the offsets come back as broadcasts."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    df = weighted_systematic_sample(
+        load_table(spark, SF, "documents"), "n_chars", 50
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow \[", l)]
+    # The corpus cumsum window is bucket-partitioned BY CONSTRUCTION
+    # (Window.partitionBy("_b"); repartition-invariance is pinned in
+    # test_curation_extras) and sits behind the local checkpoint, so
+    # the final plan's ONLY window is the offsets cumsum over the
+    # materialized ≤order_buckets-row bucket-totals frame — tiny, so
+    # its empty partition spec is safe.
+    assert len(wins) == 1, plan
+    assert re.search(r"Window \[sum\(_bt#\d+L\)", wins[0]), wins[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
