@@ -2013,3 +2013,70 @@ SELECT doc_id,
 FROM cum
 WHERE (c * {n}) // tot - ((c - w) * {n}) // tot >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (STAGED for round 6)
+# ---------------------------------------------------------------------------
+#
+# The audit step between two published dataset versions: which
+# documents were added, removed, changed, or carried unchanged. With
+# publish_dataset / incremental_lsh_dedup this closes the incremental
+# publishing loop — a nightly pipeline diffs today's snapshot against
+# yesterday's to bound the blast radius of an upstream change before
+# promoting it. Identity is the doc id; change detection is the
+# full-content md5 (the dedup_exact key), so text never crosses the
+# wire — the diff moves (id, 32-byte digest) pairs only.
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, status ∈ {added, removed, changed, unchanged}): full outer
+    join of the two snapshots' (id, content-md5) projections. At scale
+    both sides are id-keyed published tables — bucket both on the id at
+    write time (sinks.write_bucketed) and the join is co-located,
+    shuffle-free; either way nothing but ids and digests moves."""
+    from parallel_map_reduce_spark.functions.hashing import fingerprint_md5
+
+    o = old.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_hn")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def snapshot_diff_oracle_sql(
+    old_pred: str = "doc_id % 3 != 0",
+    new_pred: str = "doc_id % 5 != 0",
+    new_text: str = "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END",
+) -> str:
+    # Replays the registered parameterization: two snapshot views carved
+    # from the one documents table, the "new" side with a deterministic
+    # text edit on every 7th doc so all four statuses occur.
+    return f"""
+WITH old_snap AS (
+  SELECT doc_id, md5(text) AS ho FROM documents WHERE {old_pred}
+),
+new_snap AS (
+  SELECT doc_id, md5({new_text}) AS hn FROM documents WHERE {new_pred}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN ho = hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+"""

@@ -863,3 +863,58 @@ def test_weighted_sample_uniform_weights_evenly_spaced(spark):
     sel = weighted_systematic_sample(docs, "w", 20).collect()
     assert len(sel) == 20
     assert all(r["multiplicity"] == 1 for r in sel)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (staged r6)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        snapshot_diff,
+    )
+
+    old = _mkdocs(spark, ["alpha", "bravo", "charlie", "delta"])
+    new = spark.createDataFrame(
+        [
+            (1, "bravo", "en", "src0", 5),       # unchanged
+            (2, "charlie EDITED", "en", "src0", 15),  # changed
+            (3, "delta", "en", "src0", 5),       # unchanged
+            (9, "echo", "en", "src0", 4),        # added
+        ],
+        _DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        0: "removed",
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        9: "added",
+    }
+
+
+def test_snapshot_diff_moves_digests_not_text(spark, sf_dir):
+    """The diff plan must project ids + md5 digests below the join —
+    the text column may appear only inside the md5 projection, never as
+    a join-side attribute (nothing but 32-byte digests shuffles)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        snapshot_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = snapshot_diff(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    join_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l]
+    assert join_lines  # a join exists
+    assert "text" not in " ".join(join_lines)

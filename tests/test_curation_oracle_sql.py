@@ -155,3 +155,15 @@ def test_weighted_systematic_sample_oracle(spark, sf_dir, duck):
     _assert_matches(
         sdf, duck, ce.weighted_systematic_sample_oracle_sql("n_chars", 37)
     )
+
+
+def test_snapshot_diff_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    _assert_matches(ce.snapshot_diff(old, new), duck, ce.snapshot_diff_oracle_sql())

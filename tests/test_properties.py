@@ -426,3 +426,44 @@ def test_bloom_never_false_negative_property(spark, texts):
         b = bloom[doc_id]
         assert b["n_sh"] == e["n_sh"]
         assert b["n_bloom"] >= e["n_shared"]
+
+
+# ---------------------------------------------------------------------------
+# Madow systematic PPS sampling invariants (staged r6)
+# ---------------------------------------------------------------------------
+
+WEIGHTS = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=25,
+).filter(lambda ws: sum(ws) > 0)
+
+
+@given(weights=WEIGHTS, n=st.integers(min_value=1, max_value=40))
+@PROP_SETTINGS
+def test_weighted_sample_madow_invariants(spark, weights, n):
+    """For ANY non-negative integer weights and target n: the draw sums
+    to exactly n, every multiplicity is within the Madow bracket
+    {⌊w·n/W⌋, ⌈w·n/W⌉}, and zero-weight rows are never drawn."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=w) for i, w in enumerate(weights)],
+        schema="doc_id long, w long",
+    )
+    got = {
+        r["doc_id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(df, "w", n).collect()
+    }
+    W = sum(weights)
+    assert sum(got.values()) == n
+    for i, w in enumerate(weights):
+        m = got.get(i, 0)
+        assert m in (w * n // W, -((-w * n) // W)), (i, w, m, W, n)
+        if w == 0:
+            assert m == 0
