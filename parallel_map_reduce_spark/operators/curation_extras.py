@@ -2080,3 +2080,229 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental ingestion dedup (STAGED for round 6)
+# ---------------------------------------------------------------------------
+#
+# The streaming form of the incremental_lsh_dedup contract: a crawl
+# feed arrives as one file per micro-batch, each batch is deduped
+# against the kept store (base corpus + every earlier batch's
+# survivors), its statuses land in an append sink, and its survivors
+# join the store before the next batch runs — the foreachBatch
+# admission loop a production ingestion pipeline actually executes.
+# Order matters by design (a doc surviving batch 1 can be the dup_of
+# target of a batch-2 doc), so determinism comes from fixed batch
+# assignment (doc_id residues) and explicit file mtimes (the file
+# source processes oldest-first). The oracle replays the whole
+# admission chain unrolled, batch by batch.
+
+
+def streaming_incremental_dedup(
+    spark,
+    docs: DataFrame,
+    n_batches: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, batch_id, status, dup_of) for every doc of the
+    streamed (odd-id) feed: batch k = ids ≡ 2k−1 (mod 2·n_batches),
+    deduped through the REAL streaming engine (file source, one file
+    per micro-batch, availableNow) against base kept = even ids plus
+    all prior survivors. Statuses and dup_of follow
+    incremental_lsh_dedup exactly; batch_id is a pure function of the
+    id so both engines derive it identically.
+
+    Scale posture: per micro-batch work is the incremental contract —
+    O(batch) banding against the store's signatures, no kept×kept
+    pairs. The store is the TWO-PHASE signature-store form: admission
+    persists each batch's survivor signatures (12 longs/doc) beside the
+    text, and the next batch bands against stored signatures — the kept
+    corpus' text is touched only by the verified-candidate semi-join,
+    never re-signed and never scanned. State lives in the store tables,
+    not the engine (foreachBatch is stateless), so an unbounded feed
+    runs in constant engine memory."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+    from parallel_map_reduce_spark.streaming.windowed import stream_docs_dir
+
+    mod = 2 * n_batches
+    run_dir = tempfile.mkdtemp(prefix="pmr_spark_stream_incdedup_")
+    stage = os.path.join(run_dir, "feed")
+    store = os.path.join(run_dir, "kept_store")
+    sig_store = os.path.join(run_dir, "kept_sigs")
+    out = os.path.join(run_dir, "statuses")
+    os.makedirs(stage)
+
+    # Base kept corpus (even ids) seeds the text AND signature stores.
+    base = docs.filter(F.col(id_col) % 2 == 0)
+    base.write.parquet(store)
+    minhash_signatures(base, text_col, id_col).write.parquet(sig_store)
+
+    # One file per ingest batch, mtimes ascending so the file source
+    # (oldest-first) replays the admission order deterministically.
+    for k in range(1, n_batches + 1):
+        tmp_out = os.path.join(run_dir, f"b{k}")
+        docs.filter(F.col(id_col) % mod == 2 * k - 1).coalesce(1).write.parquet(
+            tmp_out
+        )
+        (part,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(stage, f"batch_{k}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (k, k))
+
+    def admit(batch_df: DataFrame, _bid: int) -> None:
+        kept = spark.read.parquet(store)
+        res = incremental_lsh_dedup(
+            batch_df,
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            kept_signatures=spark.read.parquet(sig_store),
+        ).withColumn(
+            "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+        )
+        res.select(id_col, "batch_id", "status", "dup_of").write.mode(
+            "append"
+        ).parquet(out)
+        surv = res.filter(F.col("status") == "kept").select(id_col)
+        survivors = batch_df.join(surv, id_col).localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(store)
+        minhash_signatures(survivors, text_col, id_col).write.mode(
+            "append"
+        ).parquet(sig_store)
+
+    q = (
+        stream_docs_dir(spark, stage, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result
+
+
+def incremental_lsh_dedup_chain_oracle_sql(
+    kept0_pred: str = "{t}.doc_id % 2 = 0",
+    n_batches: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """The admission chain unrolled: per batch k, the single-round
+    pipeline (banded cross candidates vs kept{k-1} → verified jaccard →
+    intra components among cross-survivors → statuses), then
+    kept{k} = kept{k-1} ∪ batch-k survivors feeds batch k+1. Batch k's
+    membership predicate is doc_id ≡ 2k−1 (mod 2·n_batches). Every
+    chained CTE is MATERIALIZED — kept{k}/status{k} are referenced by
+    two later CTEs each, and inlining would re-expand the whole prior
+    chain per reference (the bpe_rounds lesson)."""
+    from parallel_map_reduce_spark.functions.hashing import (
+        hash64_sql,
+        universal_hash_sql,
+        universal_params,
+    )
+
+    mod = 2 * n_batches
+    mins = ",\n       ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(num_hashes))
+    )
+    rpb = num_hashes // bands
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    if "{t}" not in kept0_pred:
+        raise ValueError("kept0_pred must carry a '{t}' placeholder")
+    sql = _SHINGLES_CTE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    sql += f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM shingles),
+sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+kept0 AS (SELECT doc_id FROM documents WHERE {kept0_pred.replace('{t}', 'documents')})"""
+    for k in range(1, n_batches + 1):
+        new = f"doc_id % {mod} = {2 * k - 1}"
+        sql += f""",
+xcand{k} AS (
+  SELECT a.doc_id AS id_n, b.doc_id AS id_k
+  FROM sigs a JOIN sigs b
+    ON a.{new} AND b.doc_id IN (SELECT doc_id FROM kept{k - 1})
+   AND ({band_match})
+),
+xver{k} AS (
+  SELECT p.id_n, p.id_k FROM (
+    SELECT x.id_n, x.id_k, COUNT(*) AS n_common
+    FROM xcand{k} x
+    JOIN shingles sa ON sa.doc_id = x.id_n
+    JOIN shingles sb ON sb.doc_id = x.id_k AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_n = sa.doc_id
+  JOIN sizes sb ON p.id_k = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+),
+cross_dup{k} AS MATERIALIZED (
+  SELECT id_n, MIN(id_k) AS dup_of FROM xver{k} GROUP BY id_n
+),
+icand{k} AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND a.{new} AND b.{new}
+   AND ({band_match})
+),
+iver{k} AS (
+  SELECT p.id_a, p.id_b FROM (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM icand{k} c
+    JOIN shingles sa ON sa.doc_id = c.id_a
+    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    AND p.id_a NOT IN (SELECT id_n FROM cross_dup{k})
+    AND p.id_b NOT IN (SELECT id_n FROM cross_dup{k})
+),
+sym{k} AS (SELECT id_a AS u, id_b AS v FROM iver{k}
+           UNION ALL SELECT id_b, id_a FROM iver{k}),
+reach{k} AS (SELECT u, v FROM sym{k}
+             UNION SELECT r.u, s.v FROM reach{k} r JOIN sym{k} s ON r.v = s.u),
+comp{k} AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+            FROM reach{k} GROUP BY u),
+status{k} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST({k} AS BIGINT) AS batch_id,
+         CASE WHEN cd.dup_of IS NOT NULL THEN 'cross_dup'
+              WHEN c.group_id IS NOT NULL AND c.group_id <> d.doc_id
+                THEN 'batch_dup'
+              ELSE 'kept' END AS status,
+         COALESCE(cd.dup_of,
+                  CASE WHEN c.group_id <> d.doc_id THEN c.group_id END,
+                  -1) AS dup_of
+  FROM (SELECT doc_id FROM documents WHERE {new}) d
+  LEFT JOIN cross_dup{k} cd ON cd.id_n = d.doc_id
+  LEFT JOIN comp{k} c ON c.doc_id = d.doc_id
+),
+kept{k} AS MATERIALIZED (
+  SELECT doc_id FROM kept{k - 1}
+  UNION ALL
+  SELECT doc_id FROM status{k} WHERE status = 'kept'
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, batch_id, status, dup_of FROM status{k}"
+        for k in range(1, n_batches + 1)
+    )
+    return sql + "\n" + union

@@ -441,3 +441,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_docs_dir(
+    spark: SparkSession,
+    stage_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files —
+    the ingestion feed of a crawling pipeline (each arriving file is one
+    crawl batch). Streams need an explicit schema; documents carries no
+    timestamp so no footer probe is needed (contrast stream_events_dir).
+    ``max_files_per_trigger=1`` makes each staged file its own
+    micro-batch — the knob the incremental-dedup registration uses to
+    model one ingest round per batch."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage_dir)

@@ -918,3 +918,68 @@ def test_snapshot_diff_moves_digests_not_text(spark, sf_dir):
     join_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l]
     assert join_lines  # a join exists
     assert "text" not in " ".join(join_lines)
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup (staged r6)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_incremental_matches_sequential_admission(spark, sf_dir):
+    """The streaming run must equal replaying the same admission loop
+    with direct batch calls: dedup batch k against base-kept ∪ earlier
+    survivors, append survivors, repeat — proving the foreachBatch
+    plumbing (file order, store append, status sink) carries the
+    incremental contract faithfully."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        incremental_lsh_dedup,
+        streaming_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["batch_id"], r["status"], r["dup_of"])
+        for r in streaming_incremental_dedup(spark, docs).collect()
+    }
+
+    kept = docs.filter(F.col("doc_id") % 2 == 0)
+    want = {}
+    for k in (1, 2, 3):
+        batch = docs.filter(F.col("doc_id") % 6 == 2 * k - 1)
+        res = incremental_lsh_dedup(batch, kept).collect()
+        for r in res:
+            want[r["doc_id"]] = (k, r["status"], r["dup_of"])
+        surv_ids = [r["doc_id"] for r in res if r["status"] == "kept"]
+        kept = kept.unionByName(
+            batch.filter(F.col("doc_id").isin(surv_ids))
+        ).localCheckpoint(eager=True)
+    assert got == want
+
+
+def test_streaming_incremental_dedups_against_earlier_batch_survivor(spark):
+    """Order dependence, pinned: a batch-2 doc duplicating a BATCH-1
+    survivor (absent from the base kept corpus) must come back
+    cross_dup with dup_of = that batch-1 doc — only possible if the
+    survivor store grew between micro-batches."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        streaming_incremental_dedup,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog near the old river bank"
+    long_b = "pack my box with five dozen liquor jugs before the night train leaves"
+    rows = [
+        (0, "completely unrelated base corpus text about spark engines", "en"),
+        (1, long_a, "en"),               # batch 1 (1 % 6 == 1) — survives
+        (9, long_a + " today", "en"),    # batch 2 (9 % 6 == 3) — dup of 1
+        (5, long_b, "en"),               # batch 3 (5 % 6 == 5) — survives
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows], _DOCS_SCHEMA
+    )
+    got = {
+        r["doc_id"]: (r["batch_id"], r["status"], r["dup_of"])
+        for r in streaming_incremental_dedup(spark, docs).collect()
+    }
+    assert got[1] == (1, "kept", -1)
+    assert got[9] == (2, "cross_dup", 1)
+    assert got[5] == (3, "kept", -1)

@@ -167,3 +167,12 @@ def test_snapshot_diff_oracle(spark, sf_dir, duck):
         ).otherwise(F.col("text")),
     )
     _assert_matches(ce.snapshot_diff(old, new), duck, ce.snapshot_diff_oracle_sql())
+
+
+def test_streaming_incremental_dedup_chain_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.streaming_incremental_dedup(spark, docs),
+        duck,
+        ce.incremental_lsh_dedup_chain_oracle_sql(),
+    )
