@@ -1600,10 +1600,10 @@ def gopher_quality_stats(
     whole-stage-codegen'd expression or a 1-2-per-row HOF fold, within
     the PLANS.md HOF budget.
     """
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
     text = F.col(text_col)
-    toks = F.filter(
-        F.split(text, r"[ \t\n\r\x0B\f]+"), lambda w: w != F.lit("")
-    )
+    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
     lines = F.split(text, "\n")
     n_tok = F.size(toks)
     n_lines = F.size(lines)
@@ -1766,17 +1766,20 @@ def dsir_importance_weights(
     the count table is the stored artifact a production run fits once
     and reuses per-shard, exactly the paper's estimator.
     """
+    from parallel_map_reduce_spark.functions.tokenize import tokens
+
     # The target flag rides the tokenized row (the doc row already
     # carries everything the predicate needs), so the feature stream
-    # needs no join back to documents.
+    # needs no join back to documents. Checkpointed: the uni and bi
+    # branches of the feature union would otherwise each re-scan and
+    # re-tokenize the corpus.
     tdf = docs.select(
         F.col(id_col),
         target_pred.cast("int").alias("_is_t"),
         F.filter(
-            F.split(F.col(text_col), r"[ \t\n\r\x0B\f]+"),
-            lambda w: w != F.lit(""),
+            tokens(F.col(text_col)), lambda w: w != F.lit("")
         ).alias("tk"),
-    )
+    ).localCheckpoint(eager=True)
     n = F.size("tk")
     uni = tdf.select(
         F.col(id_col), F.col("_is_t"), F.explode("tk").alias("f")
@@ -1875,11 +1878,12 @@ GROUP BY doc_id
 # each distinct text with equal expected frequency (the soft-dedup /
 # duplicate-discounting scheme; cf. Lee et al. 2022's finding that
 # upweighted duplicates drive memorization). weight = 1/|dup group| is
-# the canonical discount. Composes with weighted_systematic_sample: the
-# weights become inclusion probabilities for a deterministic
-# probability-proportional-to-size draw (Madow's systematic selection,
-# 1949) — the selection step DSIR leaves to Gumbel noise, made
-# deterministic and therefore oracle-checkable.
+# the canonical discount. Composes with weighted_systematic_sample
+# (which takes INTEGER weights — integerize the discount as
+# round(weight·10⁶) first): the weights become inclusion probabilities
+# for a deterministic probability-proportional-to-size draw (Madow's
+# systematic selection, 1949) — the selection step DSIR leaves to
+# Gumbel noise, made deterministic and therefore oracle-checkable.
 
 
 def soft_dedup_weights(
@@ -1934,6 +1938,15 @@ def weighted_systematic_sample(
     every engine — no float boundary can flip a selection. Rows with
     m_i = 0 are omitted.
 
+    The weight column MUST already be integral — enforced, not cast:
+    a silent cast would truncate fractional weights (soft-dedup's
+    1/dup_count discounts all truncate to 0; DSIR log-weights go
+    negative) and quietly destroy the PPS semantics. Integerize
+    fractional weights first, e.g.
+    ``F.round(F.col("weight") * 1_000_000).cast("long")`` for
+    soft-dedup discounts, or ``F.round(F.exp("log_weight") * 1e6)``
+    for DSIR importance ratios.
+
     Scale shape: the global cumulative sum is NOT a single-partition
     window — rows hash into ``order_buckets`` buckets, each bucket
     cumsums locally (window partitioned by bucket), and bucket offsets
@@ -1942,6 +1955,12 @@ def weighted_systematic_sample(
     order is valid for Madow selection. Two shuffles total, both
     bucket-partitioned; the offset table is the only driver-sized
     object."""
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integral, got {wtype!r} — "
+            "integerize fractional weights first (see docstring)"
+        )
     w = F.col(weight_col).cast("long")
     keyed = df.select(
         F.col(id_col),
@@ -2039,20 +2058,30 @@ def snapshot_diff(
     join of the two snapshots' (id, content-md5) projections. At scale
     both sides are id-keyed published tables — bucket both on the id at
     write time (sinks.write_bucketed) and the join is co-located,
-    shuffle-free; either way nothing but ids and digests moves."""
+    shuffle-free; either way nothing but ids and digests moves.
+
+    Presence is tracked by explicit marker columns, NOT digest
+    nullness — md5(NULL text) is NULL, so a hash-null proxy would
+    misreport a present-but-null-text row as absent. Digests compare
+    null-safely (two NULL texts are 'unchanged', NULL vs non-NULL is
+    'changed'), matching the oracle's IS NOT DISTINCT FROM."""
     from parallel_map_reduce_spark.functions.hashing import fingerprint_md5
 
     o = old.select(
-        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_ho")
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("_ho"),
+        F.lit(1).alias("_po"),
     )
     n = new.select(
-        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_hn")
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("_hn"),
+        F.lit(1).alias("_pn"),
     )
     return o.join(n, id_col, "full_outer").select(
         id_col,
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
-        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
@@ -2076,7 +2105,7 @@ new_snap AS (
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN ho = hn THEN 'unchanged'
+            WHEN ho IS NOT DISTINCT FROM hn THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
 """
@@ -2158,14 +2187,21 @@ def streaming_incremental_dedup(
 
     def admit(batch_df: DataFrame, _bid: int) -> None:
         kept = spark.read.parquet(store)
-        res = incremental_lsh_dedup(
-            batch_df,
-            kept,
-            text_col=text_col,
-            id_col=id_col,
-            kept_signatures=spark.read.parquet(sig_store),
-        ).withColumn(
-            "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+        # Materialized: the status write AND the survivor filter both
+        # consume res — without the checkpoint the verification joins
+        # and component formation replay once per consumer.
+        res = (
+            incremental_lsh_dedup(
+                batch_df,
+                kept,
+                text_col=text_col,
+                id_col=id_col,
+                kept_signatures=spark.read.parquet(sig_store),
+            )
+            .withColumn(
+                "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+            )
+            .localCheckpoint(eager=True)
         )
         res.select(id_col, "batch_id", "status", "dup_of").write.mode(
             "append"

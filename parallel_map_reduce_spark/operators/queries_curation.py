@@ -15,6 +15,7 @@ each entry binds one parameterization to its pre-proven oracle SQL.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -24,7 +25,10 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
     intermediate store (signature store, published shards). Unique per
     call: the returned DataFrames read the store lazily, so a shared
     fixed path would race overwrite-vs-read between concurrent runs
-    (pytest + bench on one host, or two sf dirs sharing a basename)."""
+    (pytest + bench on one host, or two sf dirs sharing a basename).
+    Callers localCheckpoint their result and rmtree the dir before
+    returning (the _run_to_fresh_upsert discipline), so unique paths
+    don't accumulate parquet litter across bench/driver sweeps."""
     return os.path.join(
         tempfile.gettempdir(),
         f"pmr_spark_{kind}",
@@ -248,11 +252,13 @@ def q_incremental_lsh_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFram
     kept = docs.filter(F.col("doc_id") % 2 == 0)
     store = _scratch_dir("sigstore", sf_dir)
     minhash_signatures(kept).write.mode("overwrite").parquet(store)
-    return ce.incremental_lsh_dedup(
+    res = ce.incremental_lsh_dedup(
         docs.filter(F.col("doc_id") % 2 == 1),
         kept,
         kept_signatures=spark.read.parquet(store),
-    )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return res
 
 
 @register("ccnet_perplexity_buckets", ce.ccnet_perplexity_buckets_oracle_sql())
@@ -370,11 +376,14 @@ def q_publish_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_m_total") == F.col("_n_total")).alias("manifest_total_ok"),
         )
     )
-    return (
+    res = (
         readback.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
         .crossJoin(F.broadcast(audits))
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(path, ignore_errors=True)
+    return res

@@ -851,8 +851,9 @@ def test_weighted_sample_exactly_n_and_pps_properties(spark, sf_dir):
 def test_weighted_sample_uniform_weights_evenly_spaced(spark):
     """With equal weights, systematic PPS degenerates to every-k
     selection along the shuffled order — 20 of 100 docs, no
-    multiplicity above 1, and consecutive picks exactly 5 apart in the
-    order induced by the hash key."""
+    multiplicity above 1, and the picks are EXACTLY every 5th row of
+    the hash-induced total order (checked against a pure-Python model
+    of the bucketed ordering)."""
     from parallel_map_reduce_spark.operators.curation_extras import (
         weighted_systematic_sample,
     )
@@ -863,6 +864,13 @@ def test_weighted_sample_uniform_weights_evenly_spaced(spark):
     sel = weighted_systematic_sample(docs, "w", 20).collect()
     assert len(sel) == 20
     assert all(r["multiplicity"] == 1 for r in sel)
+    # model: global order = (hash % 64, hash, id); c_i = position (1-
+    # indexed); m_i = 1 iff position divisible by 100/20 = 5
+    order = sorted(
+        range(100), key=lambda i: (_h64(str(i)) % 64, _h64(str(i)), i)
+    )
+    want = {order[pos] for pos in range(4, 100, 5)}
+    assert {r["doc_id"] for r in sel} == want
 
 
 # ---------------------------------------------------------------------------
@@ -983,3 +991,36 @@ def test_streaming_incremental_dedups_against_earlier_batch_survivor(spark):
     assert got[1] == (1, "kept", -1)
     assert got[9] == (2, "cross_dup", 1)
     assert got[5] == (3, "kept", -1)
+
+
+def test_snapshot_diff_null_text_rows(spark):
+    """Presence must come from the join side, not digest nullness: a
+    doc whose text is NULL in both snapshots is 'unchanged'; NULL→text
+    is 'changed'; and a NULL-text doc absent from 'new' is 'removed'
+    (never 'added')."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, None, "en", "s", 0), (2, "x", "en", "s", 1)],
+        _DOCS_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "now text", "en", "s", 8)],
+        _DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed"}
+
+
+def test_weighted_sample_rejects_fractional_weights(spark):
+    import pytest
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    docs = _mkdocs(spark, ["a", "b"]).withColumn("w", F.lit(0.5))
+    with pytest.raises(ValueError, match="must be integral"):
+        weighted_systematic_sample(docs, "w", 1)
