@@ -826,13 +826,18 @@ def gopher_repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, top2_frac, top3_frac, dup5_frac, dup8_frac): Gopher-style
-    repetition signals — fraction of normalized characters covered by
-    the most frequent 2-/3-gram and by all duplicated 5-/8-grams.
-    Documents with zero tokens are excluded; a document too short to
-    form n-grams scores 0.0 for that n. Top-gram ties break on the
-    lexicographically smallest gram (ties can differ in char length, so
-    the tie-break is part of the metric's determinism contract).
+    """(id, top2_frac, top3_frac, dup5_frac, dup8_frac, dup_line_frac,
+    dup_line_char_frac): Gopher-style repetition signals — fraction of
+    normalized characters covered by the most frequent 2-/3-gram and by
+    all duplicated 5-/8-grams, plus the WITHIN-document duplicate-line
+    rows of Table A1 (fraction of line occurrences belonging to a
+    repeated line, and the raw-character fraction those occurrences
+    cover — distinct from line_dedup_stats, which dedups lines across
+    the corpus). Documents with zero tokens are excluded; a document
+    too short to form n-grams scores 0.0 for that n. Top-gram ties
+    break on the lexicographically smallest gram (ties can differ in
+    char length, so the tie-break is part of the metric's determinism
+    contract).
 
     Scale shape: per n, one (id, gram) partial+final count agg over
     non-distinct n-gram rows and one per-doc agg — all corpus-linear;
@@ -840,19 +845,26 @@ def gopher_repetition_stats(
     All fractions are integer/integer divisions, bit-identical across
     engines before the single ROUND.
     """
-    from parallel_map_reduce_spark.operators.dedup import tokens_df
+    # base feeds SIX plan branches (four gram sizes + the line stats +
+    # the output spine); aliased reuse replans each from the scan, so
+    # materialize the tokenized frame once (the dedup.py
+    # stored-signatures discipline) — without this one execution
+    # re-scans and re-tokenizes the corpus per branch.
+    from parallel_map_reduce_spark.functions.tokenize import tokens
 
-    # base feeds FIVE plan branches (four gram sizes + the output
-    # spine); aliased reuse replans each from the scan, so materialize
-    # the tokenized frame once (the dedup.py stored-signatures
-    # discipline) — without this one execution re-scans and
-    # re-tokenizes the corpus 5x.
-    tdf = tokens_df(docs, text_col, id_col)
     base = (
-        tdf.filter(F.size("tk") > 0)
+        docs.select(
+            F.col(id_col),
+            F.filter(tokens(F.col(text_col)), lambda w: w != F.lit("")).alias(
+                "tk"
+            ),
+            F.split(F.col(text_col), "\n").alias("_ln"),
+        )
+        .filter(F.size("tk") > 0)
         .select(
             F.col(id_col),
             F.col("tk"),
+            F.col("_ln"),
             F.length(F.concat_ws(" ", F.col("tk"))).alias("_dc"),
         )
         .localCheckpoint(eager=True)
@@ -902,12 +914,38 @@ def gopher_repetition_stats(
             )
         )
 
+    # Within-doc duplicate-line rows: explode the materialized line
+    # array (safe — base is checkpointed, so InferFiltersFromGenerate
+    # has nothing to re-derive), count per (doc, line), fold to the two
+    # fractions. The char denominator counts every occurrence's raw
+    # length; tokenized docs always have ≥1 non-empty char but the
+    # zero-guard keeps the expression total.
+    lg = (
+        base.select(F.col(id_col), F.explode("_ln").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup_chars = F.sum(
+        F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)
+    )
+    all_chars = F.sum(F.col("cnt") * F.length("line"))
+    dl = lg.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+            / F.sum("cnt")
+        ).alias("_dlf"),
+        F.when(all_chars > 0, dup_chars / all_chars)
+        .otherwise(F.lit(0.0))
+        .alias("_dlcf"),
+    )
+
     out = base.select(F.col(id_col))
     for frame in (
         top_frac(2, "_t2"),
         top_frac(3, "_t3"),
         dup_frac(5, "_d5"),
         dup_frac(8, "_d8"),
+        dl,
     ):
         out = out.join(frame, id_col, "left")
     return out.select(
@@ -919,6 +957,8 @@ def gopher_repetition_stats(
                 ("_t3", "top3_frac"),
                 ("_d5", "dup5_frac"),
                 ("_d8", "dup8_frac"),
+                ("_dlf", "dup_line_frac"),
+                ("_dlcf", "dup_line_char_frac"),
             )
         ],
     )
@@ -955,26 +995,48 @@ d{n} AS (
 
     return (
         f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws,
+         string_split(text, chr(10)) AS lns
+  FROM documents
+),
 base AS (
-  SELECT doc_id, ws, length(array_to_string(ws, ' ')) AS dc
+  SELECT doc_id, ws, lns, length(array_to_string(ws, ' ')) AS dc
   FROM toks WHERE len(ws) > 0
 ),"""
         + ",".join(
             [grams_cte(2), top_cte(2), grams_cte(3), top_cte(3)]
             + [grams_cte(5), dup_cte(5), grams_cte(8), dup_cte(8)]
         )
-        + """
+        + """,
+lg AS (
+  SELECT doc_id, line, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(lns) AS line FROM base)
+  GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1.0 / SUM(cnt)
+           AS lfrac,
+         CASE WHEN SUM(cnt * length(line)) > 0
+              THEN SUM(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)
+                   * 1.0 / SUM(cnt * length(line))
+              ELSE 0.0 END AS cfrac
+  FROM lg GROUP BY doc_id
+)
 SELECT b.doc_id,
        ROUND(COALESCE(t2.frac, 0.0), 6) AS top2_frac,
        ROUND(COALESCE(t3.frac, 0.0), 6) AS top3_frac,
        ROUND(COALESCE(d5.frac, 0.0), 6) AS dup5_frac,
-       ROUND(COALESCE(d8.frac, 0.0), 6) AS dup8_frac
+       ROUND(COALESCE(d8.frac, 0.0), 6) AS dup8_frac,
+       ROUND(COALESCE(dl.lfrac, 0.0), 6) AS dup_line_frac,
+       ROUND(COALESCE(dl.cfrac, 0.0), 6) AS dup_line_char_frac
 FROM base b
 LEFT JOIN t2 USING (doc_id)
 LEFT JOIN t3 USING (doc_id)
 LEFT JOIN d5 USING (doc_id)
 LEFT JOIN d8 USING (doc_id)
+LEFT JOIN dl USING (doc_id)
 """
     )
 

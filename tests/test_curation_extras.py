@@ -577,6 +577,7 @@ def test_gopher_repetition_planted(spark):
             (1, "a b a b a b"),          # top 2-gram 'a b' x3 covers 9/11 chars
             (2, "u v w x y z"),          # no repetition at all
             (3, "p q r s t p q r s t"),  # dup 5-gram 'p q r s t' x2 = 18/19
+            (4, "same line\nsame line\nunique one\nsame line"),
         ],
         "doc_id long, text string",
     )
@@ -588,6 +589,13 @@ def test_gopher_repetition_planted(spark):
     assert out[3]["dup5_frac"] == round(2 * 9 / 19, 6)
     # doc 3 has no duplicated 8-gram
     assert out[3]["dup8_frac"] == 0.0
+    # within-doc duplicate lines: 3 of 4 line occurrences are the
+    # repeated 'same line' (9 chars), vs 'unique one' (10 chars)
+    assert out[4]["dup_line_frac"] == 0.75
+    assert out[4]["dup_line_char_frac"] == round(27 / 37, 6)
+    # single-line docs have no duplicated lines
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_line_char_frac"] == 0.0
 
 
 def test_bpe_encode_compression_monotone(spark, sf_dir):

@@ -467,3 +467,55 @@ def test_weighted_sample_madow_invariants(spark, weights, n):
         assert m in (w * n // W, -((-w * n) // W)), (i, w, m, W, n)
         if w == 0:
             assert m == 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality bundle: cross-engine fuzz (staged r6)
+# ---------------------------------------------------------------------------
+
+# Alphabet tuned to the bundle's string ops: every whitespace class the
+# tokenizer splits on, newline (line splitting), bullet leads, '#',
+# dots (ellipsis runs), multibyte '•'/CJK (substr/ltrim on non-ASCII),
+# and letters/digits for the alpha-word and stopword rules.
+GOPHER_ALPHABET = st.sampled_from(
+    list(" \t\n\r\x0b\x0c") + list("-*#.") + ["•", "the", "of", "a1", "字", "x"]
+)
+GOPHER_TEXTS = st.lists(
+    st.lists(GOPHER_ALPHABET, max_size=30).map("".join), min_size=1, max_size=5
+)
+
+
+@given(texts=GOPHER_TEXTS)
+@PROP_SETTINGS
+def test_gopher_quality_matches_duckdb_on_adversarial_text(spark, texts):
+    """Every signal and the verdict must agree bit-for-bit between the
+    Spark implementation and its DuckDB oracle on adversarial text —
+    whitespace runs, CRLF, bullet/ellipsis edges, multibyte chars. This
+    is the same cross-engine contract the driver enforces, fuzzed."""
+    import duckdb
+    import pandas as pd
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_quality_stats,
+        gopher_quality_stats_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:] for r in gopher_quality_stats(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {}
+    for r in con.execute(gopher_quality_stats_oracle_sql()).fetchall():
+        want[r[0]] = tuple(
+            bool(v) if isinstance(v, bool) else v for v in r[1:]
+        )
+    con.close()
+    assert got == want
