@@ -519,3 +519,39 @@ def test_gopher_quality_matches_duckdb_on_adversarial_text(spark, texts):
         )
     con.close()
     assert got == want
+
+
+@given(texts=GOPHER_TEXTS)
+@PROP_SETTINGS
+def test_gopher_repetition_matches_duckdb_on_adversarial_text(spark, texts):
+    """The repetition bundle (top/dup n-gram char coverage + within-doc
+    duplicate-line fractions) fuzzed against its DuckDB oracle — gram
+    construction, tie-breaks, and line splitting must agree bit-for-bit
+    on whitespace runs, empty lines, and multibyte text."""
+    import duckdb
+    import pandas as pd
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        gopher_repetition_stats,
+        gopher_repetition_stats_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in gopher_repetition_stats(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(gopher_repetition_stats_oracle_sql()).fetchall()
+    }
+    con.close()
+    assert got == want
