@@ -555,3 +555,55 @@ def test_gopher_repetition_matches_duckdb_on_adversarial_text(spark, texts):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer/encoder: cross-engine fuzz (staged r6 encode + registered train)
+# ---------------------------------------------------------------------------
+
+# Tiny alphabet + short words so pair frequencies collide constantly —
+# the fuzz hunts tie-break divergence between the Spark argmax
+# (count DESC, lhs ASC, rhs ASC) and the oracle's unrolled CTE chain.
+BPE_WORDS = st.lists(
+    st.text(st.sampled_from("ab"), min_size=1, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=BPE_WORDS)
+@PROP_SETTINGS
+def test_bpe_train_and_encode_match_duckdb_on_tiny_corpora(spark, words):
+    """3 merge rounds trained and applied on adversarial tiny corpora:
+    the merge table AND the per-doc encode stats must agree bit-for-bit
+    with the unrolled DuckDB replay — every tie in pair counts must
+    break identically in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        bpe_encode_stats,
+        bpe_encode_stats_oracle_sql,
+        bpe_train_merges,
+        bpe_train_vocab_oracle_sql,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got_m = [
+        tuple(r)
+        for r in bpe_train_merges(docs, rounds=3).collect()
+    ]
+    got_e = {
+        r["doc_id"]: tuple(r)[1:] for r in bpe_encode_stats(docs, rounds=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0], "text": [text]}))
+    want_m = [tuple(r) for r in con.execute(bpe_train_vocab_oracle_sql(3)).fetchall()]
+    want_e = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(bpe_encode_stats_oracle_sql(3)).fetchall()
+    }
+    con.close()
+    assert sorted(got_m) == sorted(want_m)
+    assert got_e == want_e
