@@ -607,3 +607,53 @@ def test_bpe_train_and_encode_match_duckdb_on_tiny_corpora(spark, words):
     con.close()
     assert sorted(got_m) == sorted(want_m)
     assert got_e == want_e
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking: cross-engine fuzz
+# ---------------------------------------------------------------------------
+
+CDC_TEXTS = st.lists(
+    st.lists(
+        st.text(st.sampled_from("abc"), min_size=1, max_size=3),
+        min_size=0,
+        max_size=40,
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(texts=CDC_TEXTS)
+@PROP_SETTINGS
+def test_cdc_chunks_match_duckdb_on_random_corpora(spark, texts):
+    """Chunk boundaries are window-hash arithmetic — md5, masks, and
+    modulo must agree bit-for-bit between engines on random corpora,
+    including documents shorter than the hash window (w=3, div=4 keeps
+    boundaries frequent so the fuzz exercises real cuts)."""
+    import duckdb
+    import pandas as pd
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        cdc_chunks,
+        cdc_chunks_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): tuple(r)[2:]
+        for r in cdc_chunks(docs, window=3, divisor=4).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(cdc_chunks_oracle_sql(3, 4)).fetchall()
+    }
+    con.close()
+    assert got == want
