@@ -2062,13 +2062,27 @@ def weighted_systematic_sample(
     offs = btot.select(
         F.col("_b"), (F.sum("_bt").over(bwin) - F.col("_bt")).alias("_off")
     )
-    total = btot.agg(F.sum("_bt").alias("_tot"))
-    cum = (
-        local.join(F.broadcast(offs), "_b")
-        .join(F.broadcast(total))
-        .withColumn("_c", F.col("_lc") + F.col("_off"))
+    # The grand total comes to the driver (one scalar off the 64-row
+    # materialized bucket-totals frame — loop-control class, same
+    # discipline as the BPE argmax) so the W·n < 2^63 precondition is
+    # ENFORCED, not assumed: past it, Spark's long multiply wraps
+    # silently while DuckDB's window SUM is HUGEINT and stays exact —
+    # a silent cross-engine divergence. W then enters the plan as a
+    # literal, which also drops the 1-row broadcast join.
+    (row,) = btot.agg(F.sum("_bt").alias("_tot")).collect()
+    total_w = row["_tot"] or 0
+    if total_w <= 0:
+        raise ValueError("total weight must be positive")
+    if total_w > (2**63 - 1) // n:
+        raise ValueError(
+            f"W*n = {total_w}*{n} overflows int64 — rescale the weights"
+        )
+    cum = local.join(F.broadcast(offs), "_b").withColumn(
+        "_c", F.col("_lc") + F.col("_off")
     )
-    m = F.expr(f"_c * {n} DIV _tot") - F.expr(f"(_c - _w) * {n} DIV _tot")
+    m = F.expr(f"_c * {n} DIV {total_w}") - F.expr(
+        f"(_c - _w) * {n} DIV {total_w}"
+    )
     return (
         cum.withColumn("multiplicity", m)
         .filter(F.col("multiplicity") >= 1)

@@ -1034,3 +1034,21 @@ def test_weighted_sample_rejects_fractional_weights(spark):
     docs = _mkdocs(spark, ["a", "b"]).withColumn("w", F.lit(0.5))
     with pytest.raises(ValueError, match="must be integral"):
         weighted_systematic_sample(docs, "w", 1)
+
+
+def test_weighted_sample_rejects_overflow_and_zero_total(spark):
+    import pytest
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    # weights small enough that the cumulative sum stays in int64
+    # (W = 2^61) but W·n would overflow — the guard's precise domain;
+    # cumsum overflow itself already fails loudly under ANSI mode
+    huge = _mkdocs(spark, ["a", "b"]).withColumn("w", F.lit(2**60))
+    with pytest.raises(ValueError, match="overflows int64"):
+        weighted_systematic_sample(huge, "w", 8)
+    zeros = _mkdocs(spark, ["a", "b"]).withColumn("w", F.lit(0))
+    with pytest.raises(ValueError, match="must be positive"):
+        weighted_systematic_sample(zeros, "w", 1)

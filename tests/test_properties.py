@@ -657,3 +657,53 @@ def test_cdc_chunks_match_duckdb_on_random_corpora(spark, texts):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+# Short words over a tiny alphabet → heavy shingle overlap across docs,
+# so the fuzz actually generates pairs at t=0.5 instead of empty sets.
+CONTAIN_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _model_shingles(text: str, n: int = 3) -> set:
+    toks = [t for t in MODEL_SPLIT.split(text) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(texts=CONTAIN_TEXTS)
+@PROP_SETTINGS
+def test_containment_pairs_match_python_model(spark, texts):
+    """Directed containment |A∩B|/|A| ≥ t over random overlapping
+    corpora must equal the brute-force Python model — pair set AND
+    rounded scores (the inverted-index join may skip pairs sharing no
+    shingle; the model proves none of those could have qualified)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    sh = {i: _model_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= 0.5:
+                want[(a, b)] = round(c, 4)  # the operator's ROUND precision
+    assert got == want
