@@ -573,7 +573,12 @@ def cluster_sharded_pairs(
     (same numeric contract as similarity.embedding_all_pairs_blocked)
     so every cosine is bit-identical to the JVM/DuckDB folds and the
     driver can value-hash the full output. Per-kernel memory is
-    (cluster size)·dim — bounded by k, the cluster count.
+    n² + n·dim float64s for a cluster of occupancy n (the n×n Gram
+    matrix plus the stacked vectors, and a sims copy of the Gram) —
+    QUADRATIC in cluster occupancy, so the cluster count k must be
+    sized so the maximum occupancy SQUARED fits executor memory; k
+    bounds occupancy only in expectation, skewed clusters are the
+    failure mode to monitor.
     """
     import numpy as np
     import pandas as pd
@@ -2053,7 +2058,7 @@ def weighted_systematic_sample(
     )
     btot = (
         local.groupBy("_b")
-        .agg(F.max("_lc").alias("_bt"))
+        .agg(F.max("_lc").alias("_bt"), F.min("_w").alias("_mw"))
         .localCheckpoint(eager=True)
     )
     bwin = Window.orderBy("_b").rowsBetween(
@@ -2069,8 +2074,18 @@ def weighted_systematic_sample(
     # silently while DuckDB's window SUM is HUGEINT and stays exact —
     # a silent cross-engine divergence. W then enters the plan as a
     # literal, which also drops the 1-row broadcast join.
-    (row,) = btot.agg(F.sum("_bt").alias("_tot")).collect()
+    (row,) = btot.agg(
+        F.sum("_bt").alias("_tot"), F.min("_mw").alias("_minw")
+    ).collect()
     total_w = row["_tot"] or 0
+    # Negative weights must be rejected, not just documented: integer
+    # division truncates toward zero in Spark (DIV) but floors in DuckDB
+    # (//), so a negative cumulative term silently diverges cross-engine
+    # and corrupts the Madow bracket arithmetic besides.
+    if row["_minw"] is not None and row["_minw"] < 0:
+        raise ValueError(
+            f"weights must be non-negative; min({weight_col}) = {row['_minw']}"
+        )
     if total_w <= 0:
         raise ValueError("total weight must be positive")
     if total_w > (2**63 - 1) // n:
@@ -2251,69 +2266,95 @@ def streaming_incremental_dedup(
 
     mod = 2 * n_batches
     run_dir = tempfile.mkdtemp(prefix="pmr_spark_stream_incdedup_")
-    stage = os.path.join(run_dir, "feed")
-    store = os.path.join(run_dir, "kept_store")
-    sig_store = os.path.join(run_dir, "kept_sigs")
-    out = os.path.join(run_dir, "statuses")
-    os.makedirs(stage)
+    try:
+        stage = os.path.join(run_dir, "feed")
+        store = os.path.join(run_dir, "kept_store")
+        sig_store = os.path.join(run_dir, "kept_sigs")
+        out = os.path.join(run_dir, "statuses")
+        os.makedirs(stage)
 
-    # Base kept corpus (even ids) seeds the text AND signature stores.
-    base = docs.filter(F.col(id_col) % 2 == 0)
-    base.write.parquet(store)
-    minhash_signatures(base, text_col, id_col).write.parquet(sig_store)
+        def _read_all(path: str, before_bid: int | None = None) -> DataFrame:
+            # Stores are laid out one subdirectory per writer (base +
+            # one per micro-batch) so replays overwrite in place; the
+            # recursive read unions whatever subset exists.  With
+            # ``before_bid`` set, only slices written by STRICTLY EARLIER
+            # micro-batches are read — a retried batch must not dedup
+            # against its own stale partial output (or a later batch's).
+            subs = sorted(os.listdir(path))
+            if before_bid is not None:
+                subs = [
+                    s
+                    for s in subs
+                    if s == "base"
+                    or (s.startswith("batch_") and int(s[6:]) < before_bid)
+                ]
+            return spark.read.parquet(*(os.path.join(path, s) for s in subs))
 
-    # One file per ingest batch, mtimes ascending so the file source
-    # (oldest-first) replays the admission order deterministically.
-    for k in range(1, n_batches + 1):
-        tmp_out = os.path.join(run_dir, f"b{k}")
-        docs.filter(F.col(id_col) % mod == 2 * k - 1).coalesce(1).write.parquet(
-            tmp_out
+        # Base kept corpus (even ids) seeds the text AND signature stores.
+        base = docs.filter(F.col(id_col) % 2 == 0)
+        base.write.parquet(os.path.join(store, "base"))
+        minhash_signatures(base, text_col, id_col).write.parquet(
+            os.path.join(sig_store, "base")
         )
-        (part,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
-        dst = os.path.join(stage, f"batch_{k}.parquet")
-        os.replace(part, dst)
-        os.utime(dst, (k, k))
 
-    def admit(batch_df: DataFrame, _bid: int) -> None:
-        kept = spark.read.parquet(store)
-        # Materialized: the status write AND the survivor filter both
-        # consume res — without the checkpoint the verification joins
-        # and component formation replay once per consumer.
-        res = (
-            incremental_lsh_dedup(
-                batch_df,
-                kept,
-                text_col=text_col,
-                id_col=id_col,
-                kept_signatures=spark.read.parquet(sig_store),
+        # One file per ingest batch, mtimes ascending so the file source
+        # (oldest-first) replays the admission order deterministically.
+        for k in range(1, n_batches + 1):
+            tmp_out = os.path.join(run_dir, f"b{k}")
+            docs.filter(
+                F.col(id_col) % mod == 2 * k - 1
+            ).coalesce(1).write.parquet(tmp_out)
+            (part,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+            dst = os.path.join(stage, f"batch_{k}.parquet")
+            os.replace(part, dst)
+            os.utime(dst, (k, k))
+
+        def admit(batch_df: DataFrame, bid: int) -> None:
+            # foreachBatch is at-least-once: every output is keyed by the
+            # engine's batch id and overwritten, so a micro-batch replay
+            # rewrites its own slice instead of appending duplicates into
+            # the admission chain.
+            kept = _read_all(store, before_bid=bid)
+            # Materialized: the status write AND the survivor filter both
+            # consume res — without the checkpoint the verification joins
+            # and component formation replay once per consumer.
+            res = (
+                incremental_lsh_dedup(
+                    batch_df,
+                    kept,
+                    text_col=text_col,
+                    id_col=id_col,
+                    kept_signatures=_read_all(sig_store, before_bid=bid),
+                )
+                .withColumn(
+                    "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+                )
+                .localCheckpoint(eager=True)
             )
-            .withColumn(
-                "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+            res.select(id_col, "batch_id", "status", "dup_of").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"batch_{bid}"))
+            surv = res.filter(F.col("status") == "kept").select(id_col)
+            survivors = batch_df.join(surv, id_col).localCheckpoint(eager=True)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(store, f"batch_{bid}")
             )
-            .localCheckpoint(eager=True)
+            minhash_signatures(survivors, text_col, id_col).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sig_store, f"batch_{bid}"))
+
+        q = (
+            stream_docs_dir(spark, stage, max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(admit)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
         )
-        res.select(id_col, "batch_id", "status", "dup_of").write.mode(
-            "append"
-        ).parquet(out)
-        surv = res.filter(F.col("status") == "kept").select(id_col)
-        survivors = batch_df.join(surv, id_col).localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(store)
-        minhash_signatures(survivors, text_col, id_col).write.mode(
-            "append"
-        ).parquet(sig_store)
-
-    q = (
-        stream_docs_dir(spark, stage, max_files_per_trigger=1)
-        .writeStream.outputMode("append")
-        .foreachBatch(admit)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.read.parquet(out).localCheckpoint(eager=True)
-    shutil.rmtree(run_dir, ignore_errors=True)
-    return result
+        q.awaitTermination()
+        return _read_all(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 def incremental_lsh_dedup_chain_oracle_sql(

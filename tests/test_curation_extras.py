@@ -1052,3 +1052,19 @@ def test_weighted_sample_rejects_overflow_and_zero_total(spark):
     zeros = _mkdocs(spark, ["a", "b"]).withColumn("w", F.lit(0))
     with pytest.raises(ValueError, match="must be positive"):
         weighted_systematic_sample(zeros, "w", 1)
+
+
+def test_weighted_sample_rejects_negative_weights(spark):
+    import pytest
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        weighted_systematic_sample,
+    )
+
+    # A negative weight would silently diverge cross-engine (Spark DIV
+    # truncates toward zero, DuckDB // floors) — rejected up front.
+    neg = _mkdocs(spark, ["a", "b", "c"]).withColumn(
+        "w", F.when(F.col("doc_id") == 1, F.lit(-3)).otherwise(F.lit(5))
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_systematic_sample(neg, "w", 2)
