@@ -106,6 +106,17 @@ HEADLINE = [
     "publish_dataset_roundtrip",
     "semantic_dedup_cluster_sharded",
     "bpe_train_vocab",
+    # round-7 breadth: the newly registered staged operators + the
+    # composed end-to-end curation funnel
+    "gopher_quality_stats",
+    "gopher_repetition_stats",
+    "dsir_importance_weights",
+    "soft_dedup_weights",
+    "weighted_systematic_sample",
+    "snapshot_diff",
+    "bpe_encode_stats",
+    "pipeline_curate_corpus",
+    "retract_and_readmit",
 ]
 
 
@@ -234,6 +245,33 @@ def main() -> int:
         timings[name] = round(min(_timed(run_ship) for _ in range(2)), 3)
         print(f"# {name}: {timings[name]}s", flush=True)
 
+    # Two-phase IVF ship row: the index is a PERSISTED nightly artifact,
+    # so the deployed per-query cost is phase 2 alone — build once
+    # outside the clock, time only the stored-index answer. Compare
+    # against knn_ivf_ann_ship (which retrains + reassigns every call)
+    # to read off what persisting the index buys.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    idx_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_ivf_")
+    try:
+        _sim.ivf_build_index(_emb(), idx_dir)
+
+        def run_ivf_stored():
+            _sim.ivf_query_stored(
+                spark, idx_dir, query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_ivf_ann_stored_ship"] = round(
+            min(_timed(run_ivf_stored) for _ in range(2)), 3
+        )
+        print(
+            f"# knn_ivf_ann_stored_ship: {timings['knn_ivf_ann_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_seconds",
@@ -287,7 +325,41 @@ def main() -> int:
             "baseline_serial_mb_per_s": 20.9,
         }
 
-    print(json.dumps(out, separators=(",", ":")))
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the JSON lines it finds there — the one-line full dump outgrew that
+    # tail in rounds 4-6 ("parsed": null), so no complete JSON line
+    # survived the cut. Emit three artifacts, most-parseable LAST:
+    #   1. BENCH_FULL.json at the repo root — the full-precision result;
+    #   2. a '#'-prefixed full-precision line (reconstructable when the
+    #      tail happens to cover it);
+    #   3. the final stdout line: the same contract with the per-query
+    #      map at 2 dp, truncated to the most expensive rows only if
+    #      needed to stay inside a 1800-char budget (leaving tail room),
+    #      with queries_omitted + queries_file recording the cut.
+    full_line = json.dumps(out, separators=(",", ":"))
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        f.write(full_line + "\n")
+    print("# full: " + full_line, flush=True)
+
+    budget = 1800
+    compact = dict(out)
+    q2 = {k: round(v, 2) for k, v in timings.items()}
+    compact["queries"] = q2
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        compact["queries_file"] = "BENCH_FULL.json"
+        compact["queries_omitted"] = 0
+        kept: dict[str, float] = {}
+        compact["queries"] = kept
+        for k, v in sorted(q2.items(), key=lambda kv: (-kv[1], kv[0])):
+            kept[k] = v
+            if len(json.dumps(compact, separators=(",", ":"))) > budget:
+                del kept[k]
+                break
+        compact["queries_omitted"] = len(q2) - len(kept)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

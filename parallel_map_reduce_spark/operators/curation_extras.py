@@ -569,20 +569,22 @@ def cluster_sharded_pairs(
 
     Scale shape: one shuffle clusters the corpus by cluster id; each
     cluster's vectors cross the Arrow boundary once into a per-cluster
-    Gram kernel. Dot products accumulate SEQUENTIALLY over dimensions
-    (same numeric contract as similarity.embedding_all_pairs_blocked)
-    so every cosine is bit-identical to the JVM/DuckDB folds and the
-    driver can value-hash the full output. Per-kernel memory is
-    n² + n·dim float64s for a cluster of occupancy n (the n×n Gram
-    matrix plus the stacked vectors, and a sims copy of the Gram) —
-    QUADRATIC in cluster occupancy, so the cluster count k must be
-    sized so the maximum occupancy SQUARED fits executor memory; k
-    bounds occupancy only in expectation, skewed clusters are the
-    failure mode to monitor.
+    Gram kernel — the SHARED sequential-fold kernel (functions/gram.py)
+    every embedding pair generator uses, so every cosine is
+    bit-identical to the JVM/DuckDB folds and the driver can
+    value-hash the full output. Per-kernel memory is n·dim float64s
+    for the stacked vectors plus O(block²) for the tiled pair
+    emission (gram.DEFAULT_BLOCK² tiles) — the r6 docstring's n²
+    Gram/denom/sims triple is gone, so a skewed cluster costs
+    quadratic TIME but bounded memory; cluster count k now only tunes
+    parallelism and wall-clock, not the OOM ceiling. The occupancy
+    bound is pytest-enforced on a deliberately skewed cluster
+    (tests/test_curation_extras.py).
     """
     import numpy as np
     import pandas as pd
 
+    from parallel_map_reduce_spark.functions.gram import cosine_pairs
     from parallel_map_reduce_spark.functions.vectors import to_double_array
 
     base = embeddings.select(
@@ -603,28 +605,13 @@ def cluster_sharded_pairs(
             return empty
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy())
-
-        # acc + v in dimension order == the JVM/DuckDB sequential fold
-        # (see embedding_all_pairs_blocked: a BLAS matmul's pairwise
-        # summation could flip a 6-decimal rounding at the boundary)
-        gram = np.zeros((len(ids), len(ids)))
-        n2 = np.zeros(len(ids))
-        for d in range(mat.shape[1]):
-            gram += mat[:, d, None] * mat[None, :, d]
-            n2 += mat[:, d] * mat[:, d]
-        norms = np.sqrt(n2)
-        denom = np.outer(norms, norms)
-        sims = np.round(gram / np.where(denom == 0, 1.0, denom), 6)
-        iu = np.triu_indices(len(ids), k=1)
-        vals = sims[iu]
-        keep = vals >= threshold
-        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        ia, ib, sims = cosine_pairs(ids, mat, threshold)
         return pd.DataFrame(
             {
-                "cluster": np.full(keep.sum(), pdf["cluster"].iloc[0], dtype="int32"),
+                "cluster": np.full(len(ia), pdf["cluster"].iloc[0], dtype="int32"),
                 "id_a": np.minimum(ia, ib),
                 "id_b": np.maximum(ia, ib),
-                "cosine_sim": vals[keep],
+                "cosine_sim": sims,
             }
         )
 
@@ -2232,6 +2219,25 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
 # admission chain unrolled, batch by batch.
 
 
+def _store_slices(subs: list[str], before_bid: int | None) -> list[str]:
+    """Replay-safety slice filter for the per-batch-keyed stores: given
+    a store directory listing (``base`` plus ``batch_<bid>`` slices),
+    return the slices a micro-batch with engine batch id ``before_bid``
+    may dedup against — ``base`` and STRICTLY earlier batches only. A
+    retried batch must not see its own stale partial output, nor a
+    later batch's (at-least-once foreachBatch can replay after
+    successors already ran). ``None`` means read everything (the final
+    result assembly). Module-level so the boundary arithmetic is
+    unit-testable without running the engine."""
+    if before_bid is None:
+        return subs
+    return [
+        s
+        for s in subs
+        if s == "base" or (s.startswith("batch_") and int(s[6:]) < before_bid)
+    ]
+
+
 def streaming_incremental_dedup(
     spark,
     docs: DataFrame,
@@ -2255,7 +2261,18 @@ def streaming_incremental_dedup(
     corpus' text is touched only by the verified-candidate semi-join,
     never re-signed and never scanned. State lives in the store tables,
     not the engine (foreachBatch is stateless), so an unbounded feed
-    runs in constant engine memory."""
+    runs in constant engine memory.
+
+    Store growth: the statuses/kept/signature stores gain one parquet
+    subdirectory per micro-batch and the read-back unions a listing of
+    them, so a long-lived deployment needs periodic compaction (fold
+    batch_* slices into base) to keep the listing and file count
+    bounded; the engine-memory contract is unaffected."""
+    if n_batches < 1:
+        # n_batches == 0 would write no feed files, never create the
+        # statuses dir, and surface as a FileNotFoundError from the
+        # final listing (and `% (2*n_batches)` degenerates besides).
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
     import glob as _glob
     import os
     import shutil
@@ -2280,14 +2297,7 @@ def streaming_incremental_dedup(
             # ``before_bid`` set, only slices written by STRICTLY EARLIER
             # micro-batches are read — a retried batch must not dedup
             # against its own stale partial output (or a later batch's).
-            subs = sorted(os.listdir(path))
-            if before_bid is not None:
-                subs = [
-                    s
-                    for s in subs
-                    if s == "base"
-                    or (s.startswith("batch_") and int(s[6:]) < before_bid)
-                ]
+            subs = _store_slices(sorted(os.listdir(path)), before_bid)
             return spark.read.parquet(*(os.path.join(path, s) for s in subs))
 
         # Base kept corpus (even ids) seeds the text AND signature stores.
@@ -2472,3 +2482,161 @@ kept{k} AS MATERIALIZED (
         for k in range(1, n_batches + 1)
     )
     return sql + "\n" + union
+
+
+# ---------------------------------------------------------------------------
+# Retraction + re-admission (round 7)
+# ---------------------------------------------------------------------------
+#
+# The takedown flow every production corpus eventually runs: a kept
+# document is retracted (legal/PII removal), its signature-store rows
+# are invalidated, and documents that were suppressed as its near-dups
+# get re-enqueued through the STANDARD admission path against the
+# post-retraction store — they may come back kept, or turn out to be
+# dups of some other (surviving) document. Composes snapshot_diff's
+# store-invalidaton idea with incremental_lsh_dedup's admission
+# contract; the oracle replays the admission chain with the second
+# admission's membership driven by the first's statuses.
+
+
+def retract_and_readmit(
+    docs: DataFrame,
+    retract_mod: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, phase, status, dup_of) across the three-step flow:
+
+    * phase ``admit``: the original ingest — batch (odd ids) admitted
+      against kept (even ids) via the two-phase signature store;
+    * phase ``retract``: kept ids ≡ 0 (mod ``retract_mod``) retracted —
+      their signature-store rows are dropped by an anti-join ON THE
+      STORE (the text corpus is never rewritten, the store row is the
+      admission artifact);
+    * phase ``readmit``: every admit-phase ``cross_dup`` whose
+      canonical (dup_of) was retracted re-runs standard admission
+      against the post-retraction kept state — surviving original
+      kept docs plus the batch's survivors, with the batch survivors'
+      signatures APPENDED to the store rather than recomputed.
+
+    Scale shape: the re-admission batch is only the affected docs
+    (O(#suppressed-by-retracted)), the store update is one anti-join +
+    one union on fixed-width signature rows, and no kept×kept pair is
+    ever generated — the incremental contract end to end. dup_of keeps
+    the -1 integral sentinel.
+    """
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+
+    kept = docs.filter(F.col(id_col) % 2 == 0)
+    batch = docs.filter(F.col(id_col) % 2 == 1)
+    sig_store = minhash_signatures(kept, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    res1 = incremental_lsh_dedup(
+        batch, kept, text_col, id_col, kept_signatures=sig_store
+    ).localCheckpoint(eager=True)
+
+    retracted = (
+        kept.filter(F.col(id_col) % retract_mod == 0)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    affected = (
+        res1.filter(F.col("status") == "cross_dup")
+        .join(
+            retracted.withColumnRenamed(id_col, "dup_of"),
+            "dup_of",
+        )
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Post-retraction kept state: original kept minus retracted, plus
+    # the batch's admitted survivors. The signature store is updated in
+    # place (anti-join invalidation + survivor append) — never rebuilt.
+    surv1 = res1.filter(F.col("status") == "kept").select(id_col)
+    kept2 = kept.join(F.broadcast(retracted), id_col, "left_anti").unionByName(
+        docs.join(surv1, id_col)
+    )
+    sig_store2 = (
+        sig_store.join(F.broadcast(retracted), id_col, "left_anti")
+        .unionByName(
+            minhash_signatures(docs.join(surv1, id_col), text_col, id_col)
+        )
+        .localCheckpoint(eager=True)
+    )
+    res2 = incremental_lsh_dedup(
+        docs.join(F.broadcast(affected), id_col),
+        kept2,
+        text_col,
+        id_col,
+        kept_signatures=sig_store2,
+    )
+
+    return (
+        res1.select(
+            F.col(id_col),
+            F.lit("admit").alias("phase"),
+            "status",
+            "dup_of",
+        )
+        .unionByName(
+            retracted.select(
+                F.col(id_col),
+                F.lit("retract").alias("phase"),
+                F.lit("retracted").alias("status"),
+                F.lit(-1).cast("long").alias("dup_of"),
+            )
+        )
+        .unionByName(
+            res2.select(
+                F.col(id_col),
+                F.lit("readmit").alias("phase"),
+                "status",
+                "dup_of",
+            )
+        )
+    )
+
+
+def retract_and_readmit_oracle_sql(retract_mod: int = 10) -> str:
+    """Replays the flow as three chained stages: the standard one-round
+    admission oracle (verbatim, nested), the retraction carve-out, and
+    a second nested admission whose new/kept membership predicates are
+    subqueries against the outer stage CTEs — CTE scope makes the
+    outer names visible inside the nested statement."""
+    admit = incremental_lsh_dedup_oracle_sql().strip()
+    readmit = incremental_lsh_dedup_oracle_sql(
+        new_pred="{t}.doc_id IN (SELECT doc_id FROM affected)",
+        kept_pred="{t}.doc_id IN (SELECT doc_id FROM kept2)",
+    ).strip()
+    return f"""
+WITH res1 AS MATERIALIZED (
+  {admit}
+),
+retracted AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % {retract_mod} = 0
+),
+affected AS MATERIALIZED (
+  SELECT r.doc_id FROM res1 r
+  JOIN retracted t ON r.dup_of = t.doc_id
+  WHERE r.status = 'cross_dup'
+),
+kept2 AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % {retract_mod} <> 0
+  UNION ALL
+  SELECT doc_id FROM res1 WHERE status = 'kept'
+),
+res2 AS MATERIALIZED (
+  {readmit}
+)
+SELECT doc_id, 'admit' AS phase, status, dup_of FROM res1
+UNION ALL
+SELECT doc_id, 'retract' AS phase, 'retracted' AS status,
+       CAST(-1 AS BIGINT) AS dup_of
+FROM retracted
+UNION ALL
+SELECT doc_id, 'readmit' AS phase, status, dup_of FROM res2
+"""

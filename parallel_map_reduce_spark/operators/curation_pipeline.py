@@ -1,0 +1,432 @@
+"""The end-to-end corpus-curation funnel a 100 TB training-data run
+actually executes, composed from the already-driver-verified stage
+operators: Gopher quality gate → Gopher repetition gate → CCNet
+perplexity band → MinHash-LSH near-dup dedup → benchmark
+decontamination → DSIR-weighted deterministic (Madow) sampling →
+context-window chunking + sharded sequence packing.
+
+Output is the funnel audit a pipeline owner reads after a run: one row
+per stage with (docs in, docs out, surviving-id checksum), so the
+driver value-hashes every stage's drop decision, not just the final
+corpus. Generalizes the reference's single-stage tokenize→count
+pipeline (src/omp_count_words.cpp:49-367) to the multi-stage corpus
+funnel of Rae et al. 2021 (Gopher, App. A), Wenzek et al. 2020 (CCNet)
+and Xie et al. 2023 (DSIR).
+
+Design rules (each documented on the stage):
+
+* Signal stages (quality, repetition, perplexity, DSIR) compute their
+  signals CORPUS-WIDE in one pass — the shape a production run uses,
+  because signals are per-document (or corpus-model-based) and
+  independent of which other docs earlier gates dropped. Gates then
+  apply sequentially, so funnel counts are order-meaningful.
+* Set-dependent stages (near-dup dedup, Madow sampling) run on their
+  actual input set — a survivor is min-id within its component AMONG
+  SURVIVORS, and the PPS cumsum runs over the sampled population.
+* Every gate compares the SAME rounded value in both engines (the
+  stage operators' parity-tested rounded outputs), so no float
+  boundary can flip a keep decision cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators import curation_extras as ce
+from parallel_map_reduce_spark.operators import dedup as _dedup
+from parallel_map_reduce_spark.operators import textstats as _textstats
+from pyspark.sql.window import Window
+
+# Funnel parameterization (documented knobs; every production funnel
+# tunes these to its corpus):
+#   quality gate — Gopher A1.1 with min_tokens lowered to 10 (the
+#     synthetic docs are 10-99 tokens) and the stopword floor at 1
+#     (the corpus' vocabulary carries one of the eight Gopher
+#     stopwords; >=2 is an English-web calibration, not a law);
+#   repetition gate — top2<=0.2, top3<=0.18, dup5<=0.1, dup8<=0.1,
+#     dup_line<=0.3 (Gopher Table A1 family);
+#   perplexity band — CCNet head+middle terciles per language;
+#   dedup — MinHash(12)/4-band LSH candidates verified at jaccard>=0.5;
+#   decontamination — every 50th doc is the eval suite, >=20% shingle
+#     overlap contaminates (the decontaminate_corpus contract);
+#   sampling — Madow exactly-n PPS with weight = DSIR shifted-log
+#     importance, integerized on the 4-dp-rounded score;
+#   packing — 32/16 token chunks into 1024-token batches on 32 shards.
+MIN_TOKENS = 10
+MAX_TOKENS = 100_000
+STOPWORD_MIN = 1
+REP_TOP2 = 0.2
+REP_TOP3 = 0.18
+REP_DUP5 = 0.1
+REP_DUP8 = 0.1
+REP_DUP_LINE = 0.3
+DECON_EVAL_MOD = 50
+SAMPLE_N = 64
+DSIR_SHIFT = 16.0  # avg_log_weight > -SHIFT asserted by the sampler (w>0)
+PACK_WINDOW = 32
+PACK_STRIDE = 16
+PACK_BUDGET = 1024
+PACK_SHARDS = 32
+
+
+def _stage_row(
+    stage: str, prev: DataFrame, keep: DataFrame, id_col: str
+) -> DataFrame:
+    """One funnel-audit row: (stage, n_in, n_out, id_checksum). All
+    three aggregates are scalar reductions over id-only frames."""
+    return (
+        prev.agg(F.count(F.lit(1)).alias("n_in"))
+        .crossJoin(
+            keep.agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.coalesce(F.sum(id_col), F.lit(0))
+                .cast("long")
+                .alias("id_checksum"),
+            )
+        )
+        .select(F.lit(stage).alias("stage"), "n_in", "n_out", "id_checksum")
+    )
+
+
+def pipeline_curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    sample_n: int = SAMPLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(stage, n_in, n_out, id_checksum) — one row per funnel stage
+    plus a final pack row (n_in = sampled docs, n_out = packed batch
+    count, id_checksum = total packed tokens).
+
+    Scale shape: each signal stage is the registered operator's plan
+    (single-pass projections / one model agg + broadcast join); keep
+    sets are id-only frames that broadcast into the next stage's join;
+    the only data-sized shuffles are the stage operators' own
+    (shingle banding among stage-3 survivors, the per-shard packing
+    window). Nothing here adds a shuffle the standalone operators
+    don't already pay.
+    """
+    docs = docs.localCheckpoint(eager=True)  # 7 stage consumers
+    all_ids = docs.select(id_col)
+
+    # Stage 1 — Gopher A1.1 quality gate, on the operator's rounded
+    # (parity-tested) outputs so both engines compare identical values.
+    gq = ce.gopher_quality_stats(docs, text_col, id_col)
+    k1 = (
+        gq.filter(
+            F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("hash_ratio") <= 0.1)
+            & (F.col("ellipsis_ratio") <= 0.1)
+            & (F.col("frac_bullet_lines") <= 0.9)
+            & (F.col("frac_ellipsis_lines") <= 0.3)
+            & (F.col("frac_alpha_words") >= 0.8)
+            & (F.col("n_stopword_hits") >= STOPWORD_MIN)
+        )
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 2 — Gopher repetition gate (corpus-wide signals, gate
+    # applied to stage-1 survivors).
+    rep = ce.gopher_repetition_stats(docs, text_col, id_col)
+    k2 = (
+        rep.join(k1, id_col)
+        .filter(
+            (F.col("top2_frac") <= REP_TOP2)
+            & (F.col("top3_frac") <= REP_TOP3)
+            & (F.col("dup5_frac") <= REP_DUP5)
+            & (F.col("dup8_frac") <= REP_DUP8)
+            & (F.col("dup_line_frac") <= REP_DUP_LINE)
+        )
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 3 — CCNet head+middle perplexity band (terciles are
+    # per-language over the WHOLE corpus — the CCNet shape: the LM and
+    # its bands are corpus artifacts, not survivor-set artifacts).
+    cb = ce.ccnet_perplexity_buckets(docs, text_col=text_col, id_col=id_col)
+    k3 = (
+        cb.filter(F.col("bucket") != "tail")
+        .join(k2, id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 4 — MinHash-LSH near-dup dedup AMONG stage-3 survivors
+    # (set-dependent: the canonical keeper is min-id per component of
+    # the surviving subgraph).
+    s3docs = docs.join(F.broadcast(k3), id_col)
+    edges = _dedup.minhash_lsh_dedup_pairs(
+        s3docs, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    losers = (
+        _dedup.connected_components(edges)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").cast("long").alias(id_col))
+    )
+    k4 = k3.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    # Stage 5 — benchmark decontamination: eval docs themselves
+    # (id % 50 == 0) leave the corpus, and any training doc with >=20%
+    # shingle overlap against the eval suite is dropped. The flag is
+    # per-doc vs a FIXED eval set, so it's input-set independent.
+    dec = _textstats.decontaminate_against_eval(
+        docs, eval_mod=DECON_EVAL_MOD, id_col=id_col
+    )
+    k5 = (
+        dec.filter(~F.col("contaminated"))
+        .join(k4, id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 6 — DSIR-weighted deterministic sampling: the corpus-wide
+    # importance model scores every survivor; the 4-dp-rounded
+    # avg_log_weight is shifted positive and integerized (exact in both
+    # engines: the product of a 4-dp-rounded double and 10^4 is within
+    # 1 ulp of an integer, never at a .5 boundary), then Madow's
+    # systematic PPS draws exactly sample_n with all-int64 brackets.
+    dsir = ce.dsir_importance_weights(docs, F.col("lang") == "en")
+    s5w = dsir.join(k5, id_col).select(
+        F.col(id_col),
+        F.round((F.col("avg_log_weight") + F.lit(DSIR_SHIFT)) * 10000, 0)
+        .cast("long")
+        .alias("dsir_w"),
+    )
+    k6 = (
+        ce.weighted_systematic_sample(s5w, "dsir_w", sample_n, id_col=id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 7 — context-window chunking + sharded sequence packing
+    # (the pipeline_training_batches tail): per-shard running token
+    # budget, batch id = shard * 1e6 + budget bucket.
+    chunks = _textstats.chunk_documents(
+        docs.join(F.broadcast(k6), id_col),
+        window=PACK_WINDOW,
+        stride=PACK_STRIDE,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(id_col, "chunk_start", "chunk_len")
+    shard = F.col(id_col) % PACK_SHARDS
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(id_col, "chunk_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = shard * 1_000_000 + F.floor(
+        (F.sum("chunk_len").over(w) - F.col("chunk_len")) / float(PACK_BUDGET)
+    )
+    packed = chunks.select(batch.alias("batch_id"), "chunk_len")
+    row7 = (
+        k6.agg(F.count(F.lit(1)).alias("n_in"))
+        .crossJoin(
+            packed.agg(
+                F.countDistinct("batch_id").alias("n_out"),
+                F.coalesce(F.sum("chunk_len"), F.lit(0))
+                .cast("long")
+                .alias("id_checksum"),
+            )
+        )
+        .select(F.lit("07_pack").alias("stage"), "n_in", "n_out", "id_checksum")
+    )
+
+    rows = [
+        _stage_row("01_gopher_quality", all_ids, k1, id_col),
+        _stage_row("02_gopher_repetition", k1, k2, id_col),
+        _stage_row("03_ccnet_perplexity", k2, k3, id_col),
+        _stage_row("04_lsh_neardup", k3, k4, id_col),
+        _stage_row("05_decontaminate", k4, k5, id_col),
+        _stage_row("06_dsir_madow_sample", k5, k6, id_col),
+        row7,
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
+    """DuckDB replay of the whole funnel. Signal stages reuse the
+    parity-tested stage oracles as scoped subqueries (their inner WITH
+    clauses shadow cleanly); the set-dependent stages (LSH components,
+    Madow cumsum) are replayed inline over the survivor sets, exactly
+    as in the incremental-dedup chain oracle."""
+    from parallel_map_reduce_spark.functions.hashing import (
+        hash64_sql,
+        universal_hash_sql,
+        universal_params,
+    )
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        _SHINGLES_CTE_SQL,
+        _TOKS_SQL,
+    )
+
+    num_hashes, bands = 12, 4
+    rpb = num_hashes // bands
+    mins = ",\n       ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(universal_params(num_hashes))
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    gq = ce.gopher_quality_stats_oracle_sql().strip()
+    rep = ce.gopher_repetition_stats_oracle_sql().strip()
+    cb = ce.ccnet_perplexity_buckets_oracle_sql().strip()
+    dsir = ce.dsir_importance_weights_oracle_sql("lang = 'en'").strip()
+    ok = hash64_sql("CAST(doc_id AS VARCHAR)", 0)
+    shingles_inner = _SHINGLES_CTE_SQL.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM k3)",
+        1,
+    )
+    return f"""
+WITH RECURSIVE
+k1 AS MATERIALIZED (
+  SELECT doc_id FROM ({gq})
+  WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+    AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+    AND frac_alpha_words >= 0.8 AND n_stopword_hits >= {STOPWORD_MIN}
+),
+k2 AS MATERIALIZED (
+  SELECT doc_id FROM ({rep})
+  WHERE doc_id IN (SELECT doc_id FROM k1)
+    AND top2_frac <= {REP_TOP2} AND top3_frac <= {REP_TOP3}
+    AND dup5_frac <= {REP_DUP5} AND dup8_frac <= {REP_DUP8}
+    AND dup_line_frac <= {REP_DUP_LINE}
+),
+k3 AS MATERIALIZED (
+  SELECT doc_id FROM ({cb})
+  WHERE doc_id IN (SELECT doc_id FROM k2) AND bucket <> 'tail'
+),
+sp AS MATERIALIZED (
+  SELECT doc_id, shingle FROM ({shingles_inner} SELECT doc_id, shingle FROM shingles)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sp GROUP BY doc_id),
+hashed AS (SELECT doc_id, {hash64_sql('shingle', 0)} AS h FROM sp),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_match})
+),
+thr AS (
+  SELECT p.id_a, p.id_b FROM (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sp sa ON sa.doc_id = c.id_a
+    JOIN sp sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM thr
+        UNION ALL SELECT id_b, id_a FROM thr),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u),
+k4 AS MATERIALIZED (
+  SELECT doc_id FROM k3
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+),
+dec AS (
+  SELECT doc_id, contaminated FROM (
+    {_SHINGLES_CTE_SQL},
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, shingle FROM shingles WHERE doc_id % {DECON_EVAL_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) * 5
+             >= COUNT(*) AS contaminated
+    FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+  )
+),
+k5 AS MATERIALIZED (
+  SELECT doc_id FROM dec
+  WHERE doc_id IN (SELECT doc_id FROM k4) AND NOT contaminated
+),
+dw AS (
+  SELECT doc_id,
+         CAST(ROUND((avg_log_weight + {DSIR_SHIFT}) * 10000) AS BIGINT) AS w
+  FROM ({dsir})
+  WHERE doc_id IN (SELECT doc_id FROM k5)
+),
+cum AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY ok % 64, ok, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(w) OVER () AS tot
+  FROM (SELECT doc_id, w, {ok} AS ok FROM dw)
+),
+k6 AS MATERIALIZED (
+  SELECT doc_id FROM cum
+  WHERE (c * {sample_n}) // tot - ((c - w) * {sample_n}) // tot >= 1
+),
+ptoks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM k6)
+),
+chunks AS (
+  SELECT doc_id, chunk_start,
+         least({PACK_WINDOW}, len(ws) - chunk_start + 1) AS chunk_len
+  FROM ptoks,
+  LATERAL (SELECT unnest(generate_series(1, greatest(len(ws), 1),
+                                         {PACK_STRIDE})) AS chunk_start) s
+),
+packed AS (
+  SELECT (doc_id % {PACK_SHARDS}) * 1000000
+         + CAST(floor((SUM(chunk_len) OVER w - chunk_len)
+                      / {PACK_BUDGET}.0) AS BIGINT) AS batch_id,
+         chunk_len
+  FROM chunks
+  WINDOW w AS (PARTITION BY doc_id % {PACK_SHARDS}
+               ORDER BY doc_id, chunk_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT '01_gopher_quality' AS stage,
+       (SELECT COUNT(*) FROM documents) AS n_in,
+       (SELECT COUNT(*) FROM k1) AS n_out,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k1) AS id_checksum
+UNION ALL
+SELECT '02_gopher_repetition', (SELECT COUNT(*) FROM k1),
+       (SELECT COUNT(*) FROM k2),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k2)
+UNION ALL
+SELECT '03_ccnet_perplexity', (SELECT COUNT(*) FROM k2),
+       (SELECT COUNT(*) FROM k3),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k3)
+UNION ALL
+SELECT '04_lsh_neardup', (SELECT COUNT(*) FROM k3),
+       (SELECT COUNT(*) FROM k4),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k4)
+UNION ALL
+SELECT '05_decontaminate', (SELECT COUNT(*) FROM k4),
+       (SELECT COUNT(*) FROM k5),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k5)
+UNION ALL
+SELECT '06_dsir_madow_sample', (SELECT COUNT(*) FROM k5),
+       (SELECT COUNT(*) FROM k6),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k6)
+UNION ALL
+SELECT '07_pack', (SELECT COUNT(*) FROM k6),
+       (SELECT COUNT(DISTINCT batch_id) FROM packed),
+       (SELECT CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) FROM packed)
+"""

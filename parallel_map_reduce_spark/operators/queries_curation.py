@@ -387,3 +387,203 @@ def q_publish_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations: the eight operators staged (implemented +
+# parity-tested) in round 5b — see curation_extras.py for the library
+# code and tests/test_curation_oracle_sql.py for the cross-engine
+# parity proofs these bindings rely on.
+# ---------------------------------------------------------------------------
+
+
+@register("gopher_repetition_stats", ce.gopher_repetition_stats_oracle_sql())
+def q_gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 repetition signals (lower half): per document,
+    the fraction of normalized characters covered by the most frequent
+    2-/3-gram and by all duplicated 5-/8-grams, plus the within-doc
+    duplicate-line occurrence and character fractions. Corpus-linear:
+    per n one (doc, gram) partial+final agg + one per-doc agg; no
+    cross-doc joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.gopher_repetition_stats(docs)
+
+
+@register("gopher_quality_stats", ce.gopher_quality_stats_oracle_sql())
+def q_gopher_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 quality bundle: nine per-document signals (token
+    count, mean word length, symbol ratios, bullet/ellipsis line
+    fractions, alpha-word fraction, stopword hits) folded into the
+    paper's accept/reject verdict — ONE zero-shuffle projection over
+    the scan (plan-asserted in test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.gopher_quality_stats(docs)
+
+
+_BPE_ENCODE_ROUNDS = 12
+
+
+@register("bpe_encode_stats", ce.bpe_encode_stats_oracle_sql(_BPE_ENCODE_ROUNDS))
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode-apply: encode every document with the 12-merge
+    vocabulary trained on the same corpus (closing the train → apply
+    loop with bpe_train_vocab) and emit per-doc symbol counts + merged
+    fraction. Encoding runs over the DISTINCT word table, never corpus
+    tokens; the merge table enters the plan as 12 literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.bpe_encode_stats(docs, rounds=_BPE_ENCODE_ROUNDS)
+
+
+@register(
+    "dsir_importance_weights",
+    ce.dsir_importance_weights_oracle_sql("lang = 'en'"),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) hashed-n-gram importance weights: target
+    model = English subset, raw model = full corpus, 4096 hash buckets.
+    Rank on avg_log_weight (per-feature mean) — the raw sum is
+    length-confounded by the smoothing offset (measured in
+    tools/bench_dsir_buckets.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.dsir_importance_weights(docs, F.col("lang") == "en")
+
+
+@register("soft_dedup_weights", ce.soft_dedup_weights_oracle_sql())
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-free dedup: keep every doc, weight = 1/|exact-dup group|
+    so each distinct text gets equal expected training frequency (Lee
+    et al. 2022 memorization motivation). The dedup_exact plan with
+    group size retained; only (id, md5) pairs shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.soft_dedup_weights(docs)
+
+
+_MADOW_N = 37
+
+
+@register(
+    "weighted_systematic_sample",
+    ce.weighted_systematic_sample_oracle_sql("n_chars", _MADOW_N),
+)
+def q_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Madow (1949) deterministic systematic PPS selection: exactly n
+    draws with probability ∝ n_chars, all-int64 bracket arithmetic so
+    no float boundary can flip a selection cross-engine. Bucketed
+    two-level cumsum — no single-partition global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.weighted_systematic_sample(docs, "n_chars", _MADOW_N)
+
+
+@register("snapshot_diff", ce.snapshot_diff_oracle_sql())
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot audit: added/removed/changed/unchanged between
+    two published versions (old = ids ≢0 mod 3; new = ids ≢0 mod 5 with
+    every 7th doc edited, so all four statuses occur). Only (id,
+    md5, presence-marker) projections join — text never shuffles;
+    null-safe digest compare (md5(NULL) is NULL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return ce.snapshot_diff(old, new)
+
+
+@register(
+    "streaming_incremental_dedup",
+    ce.incremental_lsh_dedup_chain_oracle_sql(),
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission loop through the REAL engine: 3 micro-batches
+    (file source, availableNow, one file per trigger), each deduped via
+    foreachBatch against base kept (even ids) + all earlier survivors'
+    STORED signatures — exactly-once via per-batch-keyed overwrite
+    slices + before_bid isolation. Oracle replays the chain unrolled
+    batch-by-batch as materialized CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.streaming_incremental_dedup(spark, docs)
+
+
+from parallel_map_reduce_spark.operators import curation_pipeline as cp
+
+
+@register("pipeline_curate_corpus", cp.pipeline_curate_corpus_oracle_sql())
+def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel a 100 TB run executes — Gopher
+    quality gate → Gopher repetition gate → CCNet perplexity band →
+    LSH near-dup dedup → benchmark decontamination → DSIR-weighted
+    Madow sampling → chunk + pack — audited as one row per stage
+    (n_in, n_out, surviving-id checksum), so the driver value-hashes
+    every drop decision in the composition, not just the final corpus.
+    See operators/curation_pipeline.py for stage semantics and the
+    corpus-wide-signal vs set-dependent-stage design rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.pipeline_curate_corpus(spark, docs)
+
+
+from parallel_map_reduce_spark.operators.queries_llm import (
+    _KNN_AUDIT_SELECT,
+    _KNN_EXACT_CTE,
+    KNN_K,
+    KNN_QUERY_IDS,
+)
+
+
+@register("knn_ivf_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE IVF ANN with a PERSISTED index — the production shape
+    of knn_ivf_ann: phase 1 (the nightly index job) trains the coarse
+    quantizer once and persists centroids + the cid-partitioned
+    inverted file (similarity.ivf_build_index); phase 2 answers top-k
+    from the store — no retrain, no full-corpus assignment pass, only
+    the probed cid=N partitions read (similarity.ivf_query_stored).
+    Same audit contract as knn_ivf_ann: the brute-force twin runs in
+    the same query, the oracle value-hashes its deterministic
+    aggregates, recall_ok certifies mean recall@k >= 0.5 in-query.
+    Output of the stored phase-2 operator is pytest-pinned identical
+    to the self-contained ivf_ann on the same index parameters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivf_index", sf_dir)
+    _similarity.ivf_build_index(emb, idx)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.ivf_query_stored(
+            spark, idx, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    hit = approx.distinct().withColumn("hit", F.lit(1))
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
+@register("retract_and_readmit", ce.retract_and_readmit_oracle_sql())
+def q_retract_and_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown flow: admit a batch through the signature store,
+    retract kept docs (ids ≡ 0 mod 10) by anti-joining their rows out
+    of the STORE (text never rewritten), then re-enqueue every doc
+    that had been suppressed as a retracted doc's near-dup through the
+    STANDARD admission path against the post-retraction state — it
+    comes back kept, or surfaces as a dup of a surviving doc. One row
+    per (doc, phase): admit / retract / readmit, value-hashed end to
+    end; the oracle replays the chain with the second admission's
+    membership driven by the first's statuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.retract_and_readmit(docs)

@@ -245,6 +245,12 @@ def embedding_near_dup_lsh(
     bucketed = _lsh_bucketed(base, id_col, num_planes, num_tables, dim)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the shared sequential-fold kernel (functions/gram.py) — fold
+        # the raw dot then divide, matching the JVM/DuckDB expression
+        # the exact twin computes, so shared pairs bit-match by
+        # construction (r7: replaced a normalize-first matmul hand-copy)
+        from parallel_map_reduce_spark.functions.gram import cosine_pairs
+
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"),
@@ -253,17 +259,11 @@ def embedding_near_dup_lsh(
             )
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy())  # n x dim
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        normed = mat / np.where(norms == 0, 1.0, norms)[:, None]
-        gram = normed @ normed.T
-        iu = np.triu_indices(len(ids), k=1)
-        sims = np.round(gram[iu], 6)
-        keep = sims >= threshold
-        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        ia, ib, sims = cosine_pairs(ids, mat, threshold)
         return pd.DataFrame(
             {"id_a": np.minimum(ia, ib),
              "id_b": np.maximum(ia, ib),
-             "cosine_sim": sims[keep]}
+             "cosine_sim": sims}
         )
 
     return (
@@ -290,13 +290,14 @@ def embedding_all_pairs_blocked(
     pair row JVM-side. Shuffle volume is N·B vectors; per-group memory
     is (2N/B)·dim — B is the knob that caps group size at scale.
 
-    Numeric contract: dot products and norms accumulate SEQUENTIALLY
-    over dimensions (an explicit per-dimension outer-product loop, not a
+    Numeric contract: pairs come from the SHARED sequential-fold Gram
+    kernel (functions/gram.py — dimension-order accumulation, never a
     BLAS matmul) so every pair's cosine is bit-identical to the
     sequential-fold JVM expression (functions/vectors.py) and DuckDB's
     list_* folds — the audit queries hash SUM(round(sim,6)*1e6) against
     a DuckDB oracle, where a pairwise-summation matmul could flip a
-    6-decimal rounding at the boundary.
+    6-decimal rounding at the boundary. The kernel's tiled pair
+    emission also caps per-group memory at O(block² + n·dim).
 
     This is the audit/verifier twin: use the LSH tier
     (embedding_near_dup_lsh) as the ship path; use THIS when the answer
@@ -317,6 +318,10 @@ def embedding_all_pairs_blocked(
     )
 
     def gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # shared sequential-fold kernel (functions/gram.py): tiled pair
+        # emission caps peak memory at block² + n·dim per group
+        from parallel_map_reduce_spark.functions.gram import cosine_pairs
+
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"),
              "id_b": pd.Series(dtype="int64"),
@@ -330,47 +335,21 @@ def embedding_all_pairs_blocked(
         if len(ids_l) == 0 or (bi == bj and len(ids_l) < 2):
             return empty
         mat_l = np.stack(left["vec"].to_numpy())
-
-        def seq_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-            # acc + v in dimension order == the JVM/DuckDB sequential
-            # fold; in-place += keeps the identical per-element addition
-            # order (g[i,j] = ((0 + x0) + x1) + ...) while avoiding a
-            # fresh m×n allocation per dimension
-            g = np.zeros((a.shape[0], b.shape[0]))
-            for d in range(a.shape[1]):
-                g += a[:, d, None] * b[None, :, d]
-            return g
-
-        def seq_norm(a: np.ndarray) -> np.ndarray:
-            n2 = np.zeros(a.shape[0])
-            for d in range(a.shape[1]):
-                n2 += a[:, d] * a[:, d]
-            return np.sqrt(n2)
-
         if bi == bj:
-            nl = seq_norm(mat_l)
-            denom = np.outer(nl, nl)
-            gram = seq_gram(mat_l, mat_l) / np.where(denom == 0, 1.0, denom)
-            iu = np.triu_indices(len(ids_l), k=1)
-            sims = np.round(gram[iu], 6)
-            ia, ib = ids_l[iu[0]], ids_l[iu[1]]
+            ia, ib, sims = cosine_pairs(ids_l, mat_l, threshold)
         else:
             right = pdf[pdf["blk"] == bj]
             ids_r = right[id_col].to_numpy()
             if len(ids_r) == 0:
                 return empty
             mat_r = np.stack(right["vec"].to_numpy())
-            denom = np.outer(seq_norm(mat_l), seq_norm(mat_r))
-            gram = seq_gram(mat_l, mat_r) / np.where(denom == 0, 1.0, denom)
-            sims = np.round(gram, 6).ravel()
-            ia = np.repeat(ids_l, len(ids_r))
-            ib = np.tile(ids_r, len(ids_l))
-        keep = sims >= threshold
-        ia, ib = ia[keep], ib[keep]
+            ia, ib, sims = cosine_pairs(
+                ids_l, mat_l, threshold, ids_r=ids_r, mat_r=mat_r
+            )
         return pd.DataFrame(
             {"id_a": np.minimum(ia, ib),
              "id_b": np.maximum(ia, ib),
-             "cosine_sim": sims[keep]}
+             "cosine_sim": sims}
         )
 
     return assigned.groupBy("bi", "bj").applyInPandas(
@@ -417,15 +396,31 @@ def ivf_ann(
     model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 
-    # Cell assignment and probe selection as ONE Arrow-batched distance
-    # matrix per batch (numpy), not num_centroids interpreted
-    # zip_with/aggregate columns per row — Catalyst's HOF interpreter
-    # doesn't codegen and measured ~3x slower on the same data. Ties:
-    # np.argmin / stable argsort both prefer the lower cid, matching the
-    # (dist, cid) struct ordering of the expression form.
-    from pyspark.sql.functions import pandas_udf
-
     cmat = np.array(centers)  # k x dim
+    nearest_cid, probe_cids = _ivf_udfs(cmat, nprobe)
+    assigned = base.withColumn("cid", nearest_cid(F.col("vec")))
+    probes = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode(probe_cids(F.col("vec"))).alias("cid"),
+        )
+    )
+    return _ivf_score_probes(assigned, probes, k, id_col)
+
+
+def _ivf_udfs(cmat: np.ndarray, nprobe: int):
+    """(nearest_cid, probe_cids) pandas UDFs over a fixed centroid
+    matrix — cell assignment and probe selection as ONE Arrow-batched
+    distance matrix per batch (numpy), not num_centroids interpreted
+    zip_with/aggregate columns per row: Catalyst's HOF interpreter
+    doesn't codegen and measured ~3x slower on the same data. Ties:
+    np.argmin / stable argsort both prefer the lower cid, matching the
+    (dist, cid) struct ordering of the expression form. Shared by the
+    self-contained ivf_ann and the two-phase stored-index pair so the
+    assignment rule cannot drift between them."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def nearest_cid(vecs: pd.Series) -> pd.Series:
@@ -440,20 +435,22 @@ def ivf_ann(
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
-    assigned = base.withColumn("cid", nearest_cid(F.col("vec")))
-    probes = (
-        assigned.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("vec").alias("qvec"),
-            F.explode(probe_cids(F.col("vec"))).alias("cid"),
-        )
-    )
+    return nearest_cid, probe_cids
+
+
+def _ivf_score_probes(
+    assigned: DataFrame, probes: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared back half of both IVF forms: equality-join the (tiny,
+    broadcast) exploded probe list against the cell-assigned corpus,
+    score with the JVM cosine fold, keep the per-query top-k."""
     sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -463,6 +460,89 @@ def ivf_ann(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Phase 1 of the two-phase IVF: train the coarse quantizer and
+    PERSIST the index — ``<path>/centroids`` holds the k (cid, center)
+    rows, ``<path>/invfile`` the corpus partitioned BY cid (Hive-style
+    ``cid=N`` directories): the on-disk layout FAISS calls the inverted
+    file. This is the nightly index job of a production ANN service;
+    query jobs (ivf_query_stored) read the store and never retrain.
+
+    Scale posture: the quantizer trains on the corpus (sample before
+    fit at 100 TB); assignment is one narrow projection; the
+    partitionBy(cid) write clusters each cell's vectors contiguously so
+    a probe of p cells reads exactly p partition directories —
+    partition PRUNING, not a filter scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cid int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
+    base.withColumn("cid", nearest_cid(F.col("vec"))).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{path}/invfile")
+
+
+def ivf_query_stored(
+    spark,
+    path: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Phase 2 of the two-phase IVF: answer top-k from the PERSISTED
+    index — centroids load as a k-row table (driver-side, a few KB),
+    probe selection runs the same Arrow-batched distance UDF as the
+    self-contained form, and the corpus side reads ONLY the probed
+    ``cid=N`` partitions of the inverted file (the cid equality join's
+    filter prunes at the parquet-partition level). Output is identical
+    to ivf_ann at the same parameters on the same index — what changes
+    is the I/O and compute shape: no KMeans retrain, no full-corpus
+    assignment pass, a p/k fraction of the corpus read per query
+    batch.
+
+    Query vectors are looked up from the inverted file by id here
+    (vec_id predicate pushdown); a production service with external
+    query vectors skips that scan entirely.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["center"] for r in crows])
+    _, probe_cids = _ivf_udfs(cmat, nprobe)
+    inv = spark.read.parquet(f"{path}/invfile")
+    probes = (
+        inv.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+        )
+        .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
+    )
+    return _ivf_score_probes(inv, probes, k, id_col)
 
 
 def nearest_centroid_assign(

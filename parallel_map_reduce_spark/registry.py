@@ -32,75 +32,75 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-5 rotation
-# (PLANS.md "Round-5 window plan" + VERDICT r4 "Next round" #1/#2):
-# the 7 r1-latest rows first, then the 4 flagship anchors, then every
-# query NEW in round 5 or whose implementation round 5 touched, then the
-# oldest r2-latest rows in their round-2 row order until the 50 slots are
-# full.  Names not listed keep registration order after these.
+# exceeds that or names a query that doesn't exist.  Round-7 rotation
+# (PLANS.md "Round-6 window plan", re-issued verbatim by VERDICT r6
+# "Next round" #1 because round 6 never applied it): the 8 round-5b
+# staged operators registered this round come first (every new query
+# must be in-window its first round), then queries NEW in round 7,
+# then the 23 r2-latest rows, then the oldest r3-latest rows filling
+# the window.  Names not listed keep registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) r1-latest rows — the oldest driver rows in the rotation
-    # (bit-unchanged since r1, so their rows are valid; freshness only)
-    "dedup_exact",
-    "token_stats",
-    "lang_id",
-    "doc_fingerprints",
-    "bigram_frequencies",
-    "multimodal_metadata_by_kind",
-    "curate_top_docs_per_lang",
-    # 2) flagship anchors (r2-latest; the judge's standing expectation
-    # that the flagship family stays freshly green)
-    "wordcount",
-    "wordcount_topk",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    # 3) new round-5 registrations (first driver row this round)
-    "bloom_decontaminate",
-    "sample_exact_n",
-    "stratified_exact_n",
-    "containment_pairs",
-    "cdc_chunks",
-    "incremental_lsh_dedup",
-    "incremental_lsh_dedup_stored",
-    "bigram_lm_doc_scores",
-    "ccnet_perplexity_buckets",
-    "quality_quantile_filter_approx",
-    "publish_dataset_roundtrip",
+    # 1) the 8 staged registrations — first driver row this round
+    "gopher_repetition_stats",
+    "bpe_encode_stats",
+    "gopher_quality_stats",
+    "dsir_importance_weights",
+    "soft_dedup_weights",
+    "weighted_systematic_sample",
+    "snapshot_diff",
+    "streaming_incremental_dedup",
+    # 1b) queries NEW in round 7 (first driver row this round)
+    "pipeline_curate_corpus",
+    "knn_ivf_ann_stored",
+    "retract_and_readmit",
+    # 1c) round-7 code-touched: every registered consumer of the shared
+    # sequential-fold Gram kernel (functions/gram.py replaced the three
+    # hand-copies in similarity.py / curation_extras.py) re-windows so
+    # no row is older than the code under it
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_keep_corpus",
+    "semantic_dedup_keep_corpus_ann",
     "semantic_dedup_cluster_sharded",
-    "bpe_train_vocab",
-    # 4) r5 code-touched: the band-bucket stage folded out of
-    # lsh_candidate_pairs (shared with incremental_lsh_dedup) — every
-    # registered consumer of that function re-windows so no row is
-    # older than the code under it
-    "minhash_lsh_dedup_pairs",
-    "dedup_group_assignment_lsh",
-    "dedup_keep_corpus_lsh",
-    "pipeline_training_batches_lsh",
-    # 5) oldest r2-latest rows (round-2 row order), filling the window;
-    # the remaining 21 r2 rows plus the r3 batch rotate in round 6
-    "filter_project",
-    "distinct_values",
-    "agg_global",
-    "count_distinct",
-    "percentiles",
-    "join_orders_customer",
-    "tpch_q5_local_supplier_volume",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "outer_join_nation_counts",
-    "scalar_subquery_above_avg",
-    "sort_limit_top_orders",
-    "union_distinct_nations",
-    "intersect_nations",
-    "except_nations",
-    "window_rank_orders_per_customer",
-    "window_rolling_events",
-    "wordcount_per_doc",
-    "word_totals",
-    "wordcount_rdd",
-    "window_lag_lead",
-    "rollup_region_nation",
+    "knn_ivf_ann",
+    # 2) the 23 r2-latest rows (round-2 row order)
+    "cube_flag_status",
+    "pivot_status_revenue",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "conditional_bucketing",
+    "events_by_type",
+    "events_json_props",
+    "events_tumbling_window",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "grouping_sets_revenue",
+    "salted_count_distinct_users",
+    "skew_salted_join_top_words",
+    "unpivot_lineitem_measures",
+    "tpch_q14_promo_revenue",
+    "tpch_q7_nation_volume",
+    "array_map_functions",
+    "tpch_q13_order_distribution",
+    "map_functions_events",
+    "array_agg_priorities",
+    "tpch_q15_top_supplier",
+    # 3) 19 oldest r3-latest rows (heaviest / refactor-adjacent first);
+    # tail items here are displaced one-for-one by group-4 entries as
+    # round 7 registers new queries or touches implementations
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q8_market_share",
+    "events_session_windows",
+    "events_sessionization",
+    "funnel_conversion",
+    "cohort_retention",
+    "simhash_near_pairs",
 ]
 
 

@@ -1068,3 +1068,108 @@ def test_weighted_sample_rejects_negative_weights(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         weighted_systematic_sample(neg, "w", 2)
+
+
+# ---------------------------------------------------------------------------
+# shared sequential-fold Gram kernel (functions/gram.py, r7 extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_gram_kernel_tiled_equals_untiled():
+    """Tiling changes memory, never values: every (ia, ib, sim) triple
+    from small-block runs must bit-match the single-tile run, in both
+    the triangular and cross forms, including ragged tail tiles and
+    zero-norm rows."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.functions.gram import cosine_pairs
+
+    rng = np.random.RandomState(7)
+    n, m, dim = 53, 31, 16
+    a = rng.randn(n, dim)
+    a[11] = 0.0  # zero-norm guard path
+    b = rng.randn(m, dim)
+    ids_a = np.arange(100, 100 + n)
+    ids_b = np.arange(500, 500 + m)
+
+    def as_set(res):
+        ia, ib, s = res
+        return set(zip(ia.tolist(), ib.tolist(), s.tolist()))
+
+    for blk in (1, 7, 50, 10_000):
+        assert as_set(cosine_pairs(ids_a, a, -1.0, block=blk)) == as_set(
+            cosine_pairs(ids_a, a, -1.0, block=10_000)
+        )
+        assert as_set(
+            cosine_pairs(ids_a, a, 0.1, ids_r=ids_b, mat_r=b, block=blk)
+        ) == as_set(cosine_pairs(ids_a, a, 0.1, ids_r=ids_b, mat_r=b, block=10_000))
+    # triangular form emits each unordered pair exactly once
+    ia, ib, _ = cosine_pairs(ids_a, a, -1.0)
+    assert len(ia) == n * (n - 1) // 2
+    assert (ia != ib).all()
+
+
+def test_cluster_sharded_skewed_cluster_bounded_memory(spark, sf_dir):
+    """The r6 OOM mode enforced away: ALL vectors forced into one
+    cluster (maximum skew) must still produce exactly the global exact
+    tier's pairs — and do so through the tiled kernel, whose peak pair
+    state is block², not occupancy². A small block exercises many
+    tiles on the same data to prove the tiling is value-neutral under
+    skew."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.functions.gram import cosine_pairs
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        cluster_sharded_pairs,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        EMBED_DUP_THRESHOLD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    skewed = emb.select("vec_id").withColumn("cluster", F.lit(0))
+    sp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cluster_sharded_pairs(emb, skewed, EMBED_DUP_THRESHOLD).collect()
+    }
+    gp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=EMBED_DUP_THRESHOLD
+        ).collect()
+    }
+    assert sp == gp  # one giant cluster == the global all-pairs answer
+    # same data through deliberately tiny tiles: values identical
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    ia, ib, sims = cosine_pairs(ids, mat, EMBED_DUP_THRESHOLD, block=17)
+    tiled = {
+        (int(min(x, y)), int(max(x, y))): float(s)
+        for x, y, s in zip(ia, ib, sims)
+    }
+    assert tiled == gp
+
+
+def test_ivf_stored_matches_self_contained(spark, sf_dir, tmp_path):
+    """Two-phase IVF answers from the persisted index must equal the
+    self-contained ivf_ann on the same parameters: same seed-fixed
+    quantizer training, same assignment/probe UDF math (shared
+    _ivf_udfs), centroids round-tripping parquet exactly."""
+    from parallel_map_reduce_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_build_index(emb, idx)
+    stored = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.ivf_query_stored(
+            spark, idx, query_ids=list(range(10)), k=5
+        ).collect()
+    }
+    direct = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.ivf_ann(emb, query_ids=list(range(10)), k=5).collect()
+    }
+    assert stored == direct

@@ -176,3 +176,96 @@ def test_streaming_incremental_dedup_chain_oracle(spark, sf_dir, duck):
         duck,
         ce.incremental_lsh_dedup_chain_oracle_sql(),
     )
+
+
+def test_pipeline_curate_corpus_oracle(spark, sf_dir, duck):
+    from parallel_map_reduce_spark.operators import curation_pipeline as cp
+
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        cp.pipeline_curate_corpus(spark, docs),
+        duck,
+        cp.pipeline_curate_corpus_oracle_sql(),
+    )
+
+
+def test_pipeline_curate_corpus_funnel_monotone(spark, sf_dir):
+    """Funnel sanity independent of the oracle: stages chain (stage
+    k+1's n_in == stage k's n_out), counts never grow, and the sample
+    stage emits exactly SAMPLE_N docs."""
+    from parallel_map_reduce_spark.operators import curation_pipeline as cp
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {
+        r["stage"]: r
+        for r in cp.pipeline_curate_corpus(spark, docs).collect()
+    }
+    order = [
+        "01_gopher_quality",
+        "02_gopher_repetition",
+        "03_ccnet_perplexity",
+        "04_lsh_neardup",
+        "05_decontaminate",
+        "06_dsir_madow_sample",
+        "07_pack",
+    ]
+    assert set(rows) == set(order)
+    for prev, nxt in zip(order, order[1:]):
+        assert rows[nxt]["n_in"] == rows[prev]["n_out"]
+    for s in order[:-1]:  # pack emits batches, not docs
+        assert rows[s]["n_out"] <= rows[s]["n_in"]
+    assert rows["06_dsir_madow_sample"]["n_out"] == cp.SAMPLE_N
+
+
+def test_store_slices_replay_isolation():
+    """The at-least-once replay filter (VERDICT r6 hardening): a
+    retried batch must see base + strictly earlier slices only — not
+    its own stale slice, not a later batch's."""
+    listing = ["base", "batch_1", "batch_2", "batch_3", "batch_10"]
+    # replay of batch 2 after batches 3 and 10 already ran
+    assert ce._store_slices(listing, 2) == ["base", "batch_1"]
+    # numeric (not lexicographic) bound: batch_10 excluded for bid=10
+    assert ce._store_slices(listing, 10) == [
+        "base",
+        "batch_1",
+        "batch_2",
+        "batch_3",
+    ]
+    # first batch ever: only the base corpus
+    assert ce._store_slices(listing, 1) == ["base"]
+    # final assembly reads everything
+    assert ce._store_slices(listing, None) == listing
+
+
+def test_streaming_incremental_dedup_rejects_zero_batches(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="n_batches"):
+        ce.streaming_incremental_dedup(spark, docs, n_batches=0)
+
+
+def test_retract_and_readmit_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_matches(
+        ce.retract_and_readmit(docs), duck, ce.retract_and_readmit_oracle_sql()
+    )
+
+
+def test_retract_and_readmit_semantics(spark, sf_dir):
+    """Flow invariants independent of the oracle: every readmit row was
+    an admit-phase cross_dup pointing at a retracted doc; no readmit
+    row names a retracted doc as its new canonical; retract rows are
+    exactly the kept ids ≡ 0 (mod 10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = ce.retract_and_readmit(docs).collect()
+    admit = {r["doc_id"]: r for r in rows if r["phase"] == "admit"}
+    retracted = {r["doc_id"] for r in rows if r["phase"] == "retract"}
+    readmit = {r["doc_id"]: r for r in rows if r["phase"] == "readmit"}
+    kept_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0).select("doc_id").collect()
+    }
+    assert retracted == {i for i in kept_ids if i % 10 == 0}
+    for i, r in readmit.items():
+        assert admit[i]["status"] == "cross_dup"
+        assert admit[i]["dup_of"] in retracted
+        assert r["dup_of"] not in retracted  # -1 or a surviving doc
