@@ -1888,14 +1888,18 @@ def dsir_importance_weights(
     lr = F.log(
         (F.col("c_t") + 1) / (F.col("n_t") + F.lit(buckets))
     ) - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.lit(buckets)))
+    # `+ 0.0` canonicalizes IEEE negative zero: a doc whose log terms
+    # cancel can round to -0.0 in one engine and +0.0 in the other
+    # (float == treats them equal; the driver's string hash does not —
+    # bit at sf0.1 in round 7).
     return (
         feats.join(btab, "b")
         .join(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum(lr), 4).alias("log_weight"),
-            F.round(F.avg(lr), 4).alias("avg_log_weight"),
+            (F.round(F.sum(lr), 4) + F.lit(0.0)).alias("log_weight"),
+            (F.round(F.avg(lr), 4) + F.lit(0.0)).alias("avg_log_weight"),
         )
     )
 
@@ -1928,9 +1932,9 @@ tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM btab)
 SELECT doc_id,
        COUNT(*) AS n_feats,
        ROUND(SUM(ln((c_t + 1) * 1.0 / (n_t + {buckets}))
-               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS log_weight,
+               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) + 0.0 AS log_weight,
        ROUND(AVG(ln((c_t + 1) * 1.0 / (n_t + {buckets}))
-               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) AS avg_log_weight
+               - ln((c_r + 1) * 1.0 / (n_r + {buckets}))), 4) + 0.0 AS avg_log_weight
 FROM feats JOIN btab USING (b) CROSS JOIN tot
 GROUP BY doc_id
 """
