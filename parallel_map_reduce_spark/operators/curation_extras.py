@@ -2232,7 +2232,10 @@ def _store_slices(subs: list[str], before_bid: int | None) -> list[str]:
     later batch's (at-least-once foreachBatch can replay after
     successors already ran). ``None`` means read everything (the final
     result assembly). Module-level so the boundary arithmetic is
-    unit-testable without running the engine."""
+    unit-testable without running the engine. Names starting with '_'
+    (a crashed compaction's ``_compact`` staging dir) are never read
+    as slices."""
+    subs = [s for s in subs if not s.startswith("_")]
     if before_bid is None:
         return subs
     return [
@@ -2644,3 +2647,41 @@ FROM retracted
 UNION ALL
 SELECT doc_id, 'readmit' AS phase, status, dup_of FROM res2
 """
+
+
+def compact_store_slices(spark, path: str) -> int:
+    """Fold a per-batch-keyed store (``base`` + ``batch_<bid>`` parquet
+    slices — the layout streaming_incremental_dedup's admission loop
+    writes) back into a single ``base`` slice, returning the number of
+    slices folded. Run between streaming jobs (never concurrently with
+    one): the admission loop's listing and file count grow linearly
+    with ingest count, and this is the periodic compaction the
+    docstring there promises. Row content is preserved exactly — the
+    fold is a union + rewrite, no dedup logic; replay safety belongs
+    to the admission loop, compaction only runs on quiesced stores.
+
+    Write-then-swap: the union lands in a sibling ``_compact`` dir
+    first, the old slices are removed, and the new data is renamed to
+    ``base`` last — a crash mid-compaction leaves either the old
+    slices or a complete ``_compact`` to recover from, never a store
+    that mixes both generations under the reader's listing (the
+    reader unions every subdirectory except names starting with '_',
+    which Spark's parquet reader already skips for its own metadata).
+    """
+    import os
+    import shutil
+
+    subs = sorted(
+        s for s in os.listdir(path) if not s.startswith("_")
+    )
+    if len(subs) <= 1:
+        return 0
+    tmp = os.path.join(path, "_compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(
+        *(os.path.join(path, s) for s in subs)
+    ).write.mode("overwrite").parquet(tmp)
+    for s in subs:
+        shutil.rmtree(os.path.join(path, s))
+    os.replace(tmp, os.path.join(path, "base"))
+    return len(subs)

@@ -591,3 +591,36 @@ def nearest_centroid_assign(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def ivf_append_to_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance for the two-phase IVF: assign a
+    NEW batch of vectors to the EXISTING stored centroids and append
+    them to the inverted file — the nightly delta job between full
+    rebuilds. The quantizer is deliberately not retrained (FAISS's
+    add-after-train contract): cell boundaries stay fixed so earlier
+    vectors never need reassignment, at the cost of drift if the new
+    data's distribution shifts — rebuild cadence is the production
+    knob for that.
+
+    Scale shape: one centroid read (k rows), one narrow
+    assignment projection over the batch, one partitionBy(cid) append
+    — no existing index partition is read or rewritten.
+    """
+    spark = embeddings.sparkSession
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    base.withColumn("cid", nearest_cid(F.col("vec"))).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(f"{path}/invfile")

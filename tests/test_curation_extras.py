@@ -1173,3 +1173,69 @@ def test_ivf_stored_matches_self_contained(spark, sf_dir, tmp_path):
         for r in similarity.ivf_ann(emb, query_ids=list(range(10)), k=5).collect()
     }
     assert stored == direct
+
+
+def test_compact_store_slices_roundtrip(spark, sf_dir, tmp_path):
+    """Compaction folds base + batch_* slices into one base slice with
+    row content preserved exactly; a leftover _compact staging dir is
+    never read as a slice; an already-compact store is a no-op."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    store = str(tmp_path / "store")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(f"{store}/base")
+    docs.filter(F.col("doc_id") % 3 == 1).write.parquet(f"{store}/batch_1")
+    docs.filter(F.col("doc_id") % 3 == 2).write.parquet(f"{store}/batch_2")
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{store}/base", f"{store}/batch_1", f"{store}/batch_2").collect()
+    )
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    assert ce.compact_store_slices(spark, store) == 3
+    import os
+
+    assert sorted(os.listdir(store)) == ["base"]
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{store}/base").collect())
+    assert after == before
+    assert ce.compact_store_slices(spark, store) == 0  # idempotent
+    # a crashed compaction's staging dir is invisible to the slice filter
+    assert ce._store_slices(["_compact", "base", "batch_1"], None) == [
+        "base",
+        "batch_1",
+    ]
+
+
+def test_ivf_append_assigns_to_stored_centroids(spark, sf_dir, tmp_path):
+    """Incremental index append: new vectors land in the cell the
+    STORED centroids dictate (no retrain), the inverted file then
+    holds every vector exactly once, and an appended exact duplicate
+    of a query vector is found as its top stored-index neighbor."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_build_index(old, idx)
+    similarity.ivf_append_to_index(new, idx)
+    inv = spark.read.parquet(f"{idx}/invfile")
+    assert inv.count() == emb.count()
+    assert inv.select("vec_id").distinct().count() == emb.count()
+    # appended rows sit in the cell the stored centroids dictate
+    crows = sorted(
+        spark.read.parquet(f"{idx}/centroids").collect(), key=lambda r: r["cid"]
+    )
+    cmat = np.array([r["center"] for r in crows])
+    for r in inv.filter(F.col("vec_id") % 2 == 1).limit(20).collect():
+        v = np.asarray(r["vec"], dtype="float64")
+        assert r["cid"] == int(((v - cmat) ** 2).sum(axis=1).argmin())
+    # a planted duplicate of query 0's vector, appended, is its top hit
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dup = spark.createDataFrame(
+        [(999_999, list(q0))], "vec_id long, embedding array<float>"
+    )
+    similarity.ivf_append_to_index(dup, idx)
+    top = similarity.ivf_query_stored(spark, idx, query_ids=[0], k=1).collect()
+    assert top and top[0]["neighbor_id"] == 999_999

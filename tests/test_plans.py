@@ -524,3 +524,39 @@ def test_weighted_sample_windows_are_bucket_partitioned(spark):
     assert re.search(r"Window \[sum\(_bt#\d+L\)", wins[0]), wins[0]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_stored_query_prunes_partitions(spark, tmp_path):
+    """Two-phase IVF phase 2 must read only probed cells: the inverted-
+    file scan carries a dynamic-partition-pruning filter on cid (the
+    broadcast probe join's keys prune at the parquet-partition level),
+    the probe join broadcasts, and the query-vector lookup pushes its
+    id IN-list into the scan. Any of these degrading means phase 2
+    silently re-reads the whole index at scale."""
+    import io
+    from contextlib import redirect_stdout
+
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_build_index(emb, idx)
+    df = similarity.ivf_query_stored(spark, idx, query_ids=list(range(10)), k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(cid" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "In(vec_id, [0,1,2,3,4,5,6,7,8,9])" in plan
+
+
+def test_curate_funnel_stage_shapes(spark):
+    """The funnel composes stage operators without adding shuffles:
+    keep-set joins on broadcast id frames, no SortMergeJoin anywhere
+    in the composition, and the packing stage is the only
+    per-shard window."""
+    plan = plan_of(spark, "pipeline_curate_corpus")
+    assert "SortMergeJoin" not in plan
