@@ -2685,3 +2685,102 @@ def compact_store_slices(spark, path: str) -> int:
         shutil.rmtree(os.path.join(path, s))
     os.replace(tmp, os.path.join(path, "base"))
     return len(subs)
+
+
+def incremental_lsh_dedup_compacted(
+    spark,
+    docs: DataFrame,
+    n_batches: int = 3,
+    compact_after: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The K-batch admission chain (same contract, batch membership and
+    statuses as ``streaming_incremental_dedup``) run as a plain ingest
+    loop, with ``compact_store_slices`` folding all three stores
+    (kept text, kept signatures, statuses) after batch
+    ``compact_after`` — the between-jobs maintenance window the
+    compaction docstring promises. Output is (doc_id, batch_id,
+    status, dup_of) for every streamed doc, and must bit-match the
+    uncompacted chain: compaction is a union + rewrite, so admission
+    decisions made AFTER it see exactly the rows they would have seen
+    reading the per-batch slices.
+
+    Scale posture: identical to the streaming form — per-batch work is
+    O(batch) banding against stored fixed-width signatures — plus the
+    compaction pass itself, one sequential read+write of each store
+    (no shuffle: no keying, no dedup, a concatenating rewrite). What
+    compaction buys at 100 TB is the listing: an N-ingest store holds
+    N+1 slices whose enumeration and per-slice parquet footers grow
+    linearly, and folding them restores O(1) open cost for every later
+    ingest without touching admission semantics.
+    """
+    if not (1 <= compact_after <= n_batches):
+        raise ValueError(
+            f"compact_after must be in [1, {n_batches}], got {compact_after}"
+        )
+    import os
+    import shutil
+    import tempfile
+
+    from parallel_map_reduce_spark.operators.dedup import minhash_signatures
+
+    mod = 2 * n_batches
+    run_dir = tempfile.mkdtemp(prefix="pmr_spark_compact_incdedup_")
+    try:
+        store = os.path.join(run_dir, "kept_store")
+        sig_store = os.path.join(run_dir, "kept_sigs")
+        out = os.path.join(run_dir, "statuses")
+
+        def _read_all(path: str) -> DataFrame:
+            subs = _store_slices(sorted(os.listdir(path)), None)
+            return spark.read.parquet(*(os.path.join(path, s) for s in subs))
+
+        base = docs.filter(F.col(id_col) % 2 == 0)
+        base.write.parquet(os.path.join(store, "base"))
+        minhash_signatures(base, text_col, id_col).write.parquet(
+            os.path.join(sig_store, "base")
+        )
+
+        for k in range(1, n_batches + 1):
+            batch_df = docs.filter(F.col(id_col) % mod == 2 * k - 1)
+            res = (
+                incremental_lsh_dedup(
+                    batch_df,
+                    _read_all(store),
+                    text_col=text_col,
+                    id_col=id_col,
+                    kept_signatures=_read_all(sig_store),
+                )
+                .withColumn(
+                    "batch_id", ((F.col(id_col) % mod + 1) / 2).cast("long")
+                )
+                .localCheckpoint(eager=True)
+            )
+            res.select(id_col, "batch_id", "status", "dup_of").write.parquet(
+                os.path.join(out, f"batch_{k}")
+            )
+            survivors = batch_df.join(
+                res.filter(F.col("status") == "kept").select(id_col), id_col
+            ).localCheckpoint(eager=True)
+            survivors.write.parquet(os.path.join(store, f"batch_{k}"))
+            minhash_signatures(survivors, text_col, id_col).write.parquet(
+                os.path.join(sig_store, f"batch_{k}")
+            )
+            if k == compact_after:
+                # Quiesced between ingests — the compaction window. The
+                # folded-slice counts assert the pass really ran over
+                # multi-slice stores (k batch slices + base each).
+                for p in (store, sig_store, out):
+                    folded = compact_store_slices(spark, p)
+                    # store/sig_store: base + k batch slices; statuses:
+                    # k batch slices (single-slice stores no-op to 0).
+                    expected = k + 1 if p != out else k
+                    if expected >= 2 and folded != expected:
+                        raise RuntimeError(
+                            f"compaction folded {folded} slices at {p}, "
+                            f"expected {expected}"
+                        )
+        return _read_all(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -587,3 +587,67 @@ def q_retract_and_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership driven by the first's statuses."""
     docs = load_table(spark, sf_dir, "documents")
     return ce.retract_and_readmit(docs)
+
+
+@register(
+    "incremental_lsh_dedup_compacted",
+    ce.incremental_lsh_dedup_chain_oracle_sql(),
+)
+def q_incremental_lsh_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-batch admission chain with STORE COMPACTION exercised
+    mid-run: after batch 2 of 3, compact_store_slices folds the kept
+    text, kept signature, and status stores' per-batch slices into one
+    base slice (the between-jobs maintenance a long-lived deployment
+    runs to keep listings and parquet-footer counts O(1)); batch 3
+    then admits against the compacted store. The oracle is the SAME
+    unrolled chain as streaming_incremental_dedup — the driver row
+    certifies compaction preserves admission semantics exactly, not
+    just row counts. In-query asserts verify the compaction really
+    folded the expected multi-slice stores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.incremental_lsh_dedup_compacted(spark, docs)
+
+
+@register("knn_ivf_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase IVF with INCREMENTAL INDEX MAINTENANCE — the nightly
+    delta job between full rebuilds: phase 1 trains the coarse
+    quantizer on the even-id HALF of the corpus and persists the index
+    (similarity.ivf_build_index); the odd-id half then arrives as a
+    later batch and is appended by assignment against the STORED
+    centroids, no retrain, no existing partition rewritten
+    (similarity.ivf_append_to_index — FAISS's add-after-train
+    contract); phase 2 answers top-k from the grown store. Same audit
+    contract as knn_ivf_ann_stored: the brute-force twin over the FULL
+    corpus runs in the same query, the oracle value-hashes its
+    deterministic aggregates, and recall_ok certifies the
+    half-trained quantizer still clears mean recall@k >= 0.5 — the
+    drift-vs-rebuild tradeoff made driver-visible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivf_index_app", sf_dir)
+    _similarity.ivf_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    _similarity.ivf_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.ivf_query_stored(
+            spark, idx, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    hit = approx.distinct().withColumn("hit", F.lit(1))
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )

@@ -54,6 +54,8 @@ _PRIORITY: list[str] = [
     "pipeline_curate_corpus",
     "knn_ivf_ann_stored",
     "retract_and_readmit",
+    "incremental_lsh_dedup_compacted",
+    "knn_ivf_ann_appended",
     # 1c) round-7 code-touched: every registered consumer of the shared
     # sequential-fold Gram kernel (functions/gram.py replaced the three
     # hand-copies in similarity.py / curation_extras.py) re-windows so
@@ -99,8 +101,9 @@ _PRIORITY: list[str] = [
     "events_session_windows",
     "events_sessionization",
     "funnel_conversion",
-    "cohort_retention",
-    "simhash_near_pairs",
+    # cohort_retention / simhash_near_pairs displaced one-for-one by the
+    # two group-1b queries registered late in round 7; they roll to the
+    # round-8 window with the rest of the r3/r4 backlog.
 ]
 
 

@@ -1239,3 +1239,35 @@ def test_ivf_append_assigns_to_stored_centroids(spark, sf_dir, tmp_path):
     similarity.ivf_append_to_index(dup, idx)
     top = similarity.ivf_query_stored(spark, idx, query_ids=[0], k=1).collect()
     assert top and top[0]["neighbor_id"] == 999_999
+
+
+def test_compacted_chain_matches_streaming_chain(spark, sf_dir):
+    """Mid-run store compaction must be invisible to admission
+    semantics: the 3-batch chain with all three stores folded after
+    batch 2 bit-matches the streaming engine's uncompacted chain
+    (same statuses, same dup_of canonicals, same batch ids)."""
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    docs = load_table(spark, sf_dir, "documents")
+    compacted = sorted(
+        tuple(r)
+        for r in ce.incremental_lsh_dedup_compacted(spark, docs).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in ce.streaming_incremental_dedup(spark, docs).collect()
+    )
+    assert compacted == streamed
+
+
+def test_compacted_chain_rejects_bad_compact_after(spark, sf_dir):
+    import pytest
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    docs = load_table(spark, sf_dir, "documents")
+    for bad in (0, 4, -1):
+        with pytest.raises(ValueError):
+            ce.incremental_lsh_dedup_compacted(
+                spark, docs, n_batches=3, compact_after=bad
+            )
