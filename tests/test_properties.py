@@ -707,3 +707,63 @@ def test_containment_pairs_match_python_model(spark, texts):
             if c >= 0.5:
                 want[(a, b)] = round(c, 4)  # the operator's ROUND precision
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Retraction + re-admission: cross-engine fuzz (registered round 7)
+# ---------------------------------------------------------------------------
+
+# Tiny word pool + short docs so exact/near duplicates collide
+# constantly across the even (kept) / odd (batch) split, and ids 0, 10,
+# 20 give the retraction carve-out real canonicals to invalidate. Empty
+# and sub-shingle docs exercise the always-survives path through ALL
+# THREE phases.
+RETRACT_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+    ).map(" ".join),
+    min_size=4,
+    max_size=24,
+)
+
+
+@given(texts=RETRACT_TEXTS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_retract_and_readmit_matches_duckdb(spark, texts):
+    """The three-phase takedown flow (admit / retract / readmit) must
+    agree row-for-row with its DuckDB oracle on adversarial dup
+    structure: statuses, dup_of canonicals, and WHICH suppressed docs
+    re-enter after their canonical is retracted. The fuzz hunts
+    membership-predicate drift between the Spark store operations
+    (anti-join invalidation, appended signatures) and the oracle's
+    nested-CTE replay."""
+    import duckdb
+    import pandas as pd
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        retract_and_readmit,
+        retract_and_readmit_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["phase"]): (r["status"], r["dup_of"])
+        for r in retract_and_readmit(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(retract_and_readmit_oracle_sql()).fetchall()
+    }
+    con.close()
+    assert got == want
