@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_signatures",
     "knn_bruteforce",
     "knn_lsh_ann",
+    "knn_pq_ann",
     "token_stats",
     "quality_scores",
     "pipeline_clean_corpus",
@@ -235,6 +236,9 @@ def main() -> int:
         ),
         "semantic_dedup_keep_corpus_ann_ship": lambda: _semantic_dedup_keep(
             spark, sf_dir, edge_builder="ann"
+        ),
+        "knn_pq_ann_ship": lambda: _sim.pq_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
     }
     for name, mk in ship.items():

