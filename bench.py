@@ -43,6 +43,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh_ann",
     "knn_pq_ann",
+    "knn_ivfpq_ann",
     "token_stats",
     "quality_scores",
     "pipeline_clean_corpus",
@@ -238,6 +239,9 @@ def main() -> int:
             spark, sf_dir, edge_builder="ann"
         ),
         "knn_pq_ann_ship": lambda: _sim.pq_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
+        "knn_ivfpq_ann_ship": lambda: _sim.ivfpq_ann(
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
     }

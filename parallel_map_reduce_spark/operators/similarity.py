@@ -736,12 +736,50 @@ def pq_ann(
     """
     if query_ids is None:
         query_ids = list(range(10))
-    from pyspark.sql.functions import pandas_udf
-
     cb = pq_train_codebooks(
         embeddings, m=m, codes=codes, shared=shared_codebook, vec_col=vec_col
     )
-    sub_dim = cb.shape[2]
+    encode, adc_partials = _pq_udfs(cb)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    enc = base.select(
+        id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
+    )
+    exploded = enc.select(
+        id_col, "norm", F.posexplode("code").alias("sub", "code")
+    )
+    adc = _pq_adc_table(base, query_ids, adc_partials, id_col)
+    scored = (
+        exploded.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum("part") / (F.first("norm") * F.first("qnorm")), 6
+            ).alias("approx_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def _pq_udfs(cb: np.ndarray):
+    """(encode, adc_partials) pandas UDFs over a fixed (m, codes,
+    sub_dim) codebook array — nearest-code assignment and the
+    per-(subspace, code) partial-dot table as Arrow-batched numpy,
+    shared by pq_ann and ivfpq_ann so the code/partial rule cannot
+    drift between the flat and cell-pruned forms."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, codes, sub_dim = cb.shape
 
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
@@ -768,36 +806,136 @@ def pq_ann(
             rows.append(parts)
         return pd.Series(rows)
 
+    return encode, adc_partials
+
+
+def _vec_norm():
+    """JVM-side L2 norm fold over the ``vec`` column."""
+    return F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _pq_adc_table(
+    base: DataFrame, query_ids: list[int], adc_partials, id_col: str
+) -> DataFrame:
+    """The (query_id, qnorm, sub, code, part) ADC table — |Q|·m·codes
+    rows, KB-sized, always broadcast into the scoring join."""
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _vec_norm().alias("qnorm"),
+        adc_partials(F.col("vec")).alias("parts"),
+    )
+    return q.select(
+        "query_id", "qnorm", F.posexplode("parts").alias("sub", "arr")
+    ).select(
+        "query_id", "qnorm", "sub", F.posexplode("arr").alias("code", "part")
+    )
+
+
+def _exact_refine_topk(
+    base: DataFrame,
+    shortlist: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """FAISS-refine: fetch true vectors for the shortlist only (both
+    join sides broadcast — |Q| and |Q|·k·rerank_factor rows), re-score
+    with the JVM cosine fold, rank on the exact similarity."""
+    qvecs = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    refined = (
+        base.join(
+            F.broadcast(shortlist),
+            base[id_col] == shortlist["neighbor_id"],
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivfpq_ann(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 32,
+    rerank_factor: int = 20,
+    shared_codebook: bool = True,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV) — the composition FAISS ships as
+    its canonical billion-scale index and the 100 TB ANN architecture:
+    IVF prunes WHICH cells are scored (nprobe of num_centroids), PQ
+    shrinks WHAT is stored and scored inside them (m sub-codes + true
+    norm per vector), and the exact-refine step re-ranks the ADC
+    shortlist on true vectors. Per query the scored set is
+    ~nprobe/num_centroids of the corpus at m·log2(codes) bits per
+    vector — the two pruning axes multiply.
+
+    Plan shape: cell assignment and PQ encode cross Python once each
+    (Arrow-batched); the probe list and the ADC table both broadcast;
+    scoring joins the cell-pruned code stream on (query_id, sub, code)
+    and map-side combines to one row per (query, vector); only the
+    |Q|·k·rerank_factor shortlist touches true vectors again. The
+    corpus never shuffles.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    enc = base.select(
-        id_col, norm.alias("norm"), encode(F.col("vec")).alias("code")
-    )
-    exploded = enc.select(
-        id_col, "norm", F.posexplode("code").alias("sub", "code")
-    )
+    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    cmat = np.array([list(map(float, c)) for c in model.clusterCenters()])
+    nearest_cid, probe_cids = _ivf_udfs(cmat, nprobe)
 
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        norm.alias("qnorm"),
-        adc_partials(F.col("vec")).alias("parts"),
+    cb = pq_train_codebooks(
+        embeddings, m=m, codes=codes, shared=shared_codebook, vec_col=vec_col
     )
-    adc = (
-        q.select(
-            "query_id", "qnorm", F.posexplode("parts").alias("sub", "arr")
-        )
+    encode, adc_partials = _pq_udfs(cb)
+
+    enc = base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        nearest_cid(F.col("vec")).alias("cid"),
+        encode(F.col("vec")).alias("code"),
+    )
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
         .select(
-            "query_id", "qnorm", "sub", F.posexplode("arr").alias("code", "part")
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cids(F.col("vec"))).alias("cid"),
         )
+    )
+    adc = _pq_adc_table(base, query_ids, adc_partials, id_col)
+    cell_cands = enc.join(F.broadcast(probes), "cid")
+    exploded = cell_cands.select(
+        "query_id", id_col, "norm", F.posexplode("code").alias("sub", "code")
     )
     scored = (
-        exploded.join(F.broadcast(adc), ["sub", "code"])
+        exploded.join(F.broadcast(adc), ["query_id", "sub", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(
@@ -814,29 +952,4 @@ def pq_ann(
         .filter(F.col("rn") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    # Exact refine: fetch true vectors for the shortlist only (both
-    # sides broadcast — |Q| and |Q|·k·rerank_factor rows), re-score
-    # with the JVM cosine fold, rank on the exact similarity.
-    qvecs = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
-    )
-    refined = (
-        base.join(
-            F.broadcast(shortlist),
-            base[id_col] == shortlist["neighbor_id"],
-        )
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        refined.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _exact_refine_topk(base, shortlist, query_ids, k, id_col)

@@ -332,6 +332,30 @@ def test_pq_ann_recall_and_shape(spark, embeddings):
     assert mean_recall >= 0.5, f"PQ mean recall {mean_recall}"
 
 
+def test_ivfpq_ann_recall(spark, embeddings):
+    """IVFADC (IVF cell pruning x PQ codes + refine): mean recall vs
+    brute force must clear 0.5 — the cell-miss floor is knn_ivf_ann's,
+    the in-cell fidelity is knn_pq_ann's (measured 0.64-0.74 on these
+    near-uniform embeddings across sfs)."""
+    k = 5
+    exact = similarity.knn_bruteforce(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    approx = similarity.ivfpq_ann(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVFPQ mean recall {mean_recall}"
+
+
 def test_pq_codebooks_shape_and_determinism(spark, embeddings):
     """Codebooks: (m, codes, dim/m) with fixed seeds — two trainings on
     the same corpus are identical; indivisible m is rejected."""

@@ -560,3 +560,44 @@ def test_curate_funnel_stage_shapes(spark):
     per-shard window."""
     plan = plan_of(spark, "pipeline_curate_corpus")
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_scoring_is_broadcast_and_partial_agg(spark):
+    """The PQ ADC scoring plan: the (query, sub, code, partial-dot)
+    table and the refine shortlist must come to the corpus as
+    BROADCAST hash joins (never a sort-merge shuffle of the corpus),
+    and the per-(query, vector) dot sum must map-side combine
+    (partial_sum before the exchange) — posexplode keeps a vector's m
+    rows partition-local, so the combine collapses them before any
+    data moves."""
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.pq_ann(emb, query_ids=list(range(10)), k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ivfpq_prunes_cells_before_scoring(spark):
+    """IVFADC: the probe list must broadcast into the cell-pruned code
+    stream (cid equality join) and the ADC join must also broadcast —
+    the corpus is never shuffled, and scoring happens only on probed
+    cells' vectors."""
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.ivfpq_ann(emb, query_ids=list(range(10)), k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2  # probe join + ADC join
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
