@@ -532,6 +532,27 @@ from parallel_map_reduce_spark.operators.queries_llm import (
 )
 
 
+def _knn_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """The shared ANN audit tail (one definition for every two-phase /
+    quantized ANN row, so the audit rule cannot drift between them):
+    value-hash the brute-force twin's deterministic aggregates and
+    certify mean recall@k >= 0.5 over the approximate hits in-query —
+    the contract _KNN_AUDIT_SELECT's oracle expects."""
+    hit = approx.distinct().withColumn("hit", F.lit(1))
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
 @register("knn_ivf_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-PHASE IVF ANN with a PERSISTED index — the production shape
@@ -559,19 +580,7 @@ def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
-    hit = approx.distinct().withColumn("hit", F.lit(1))
-    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return flagged.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-            "sum_exact_sim_e6"
-        ),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
-        ).alias("recall_ok"),
-    )
+    return _knn_audit_frame(exact, approx)
 
 
 @register("retract_and_readmit", ce.retract_and_readmit_oracle_sql())
@@ -638,19 +647,7 @@ def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
-    hit = approx.distinct().withColumn("hit", F.lit(1))
-    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return flagged.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-            "sum_exact_sim_e6"
-        ),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
-        ).alias("recall_ok"),
-    )
+    return _knn_audit_frame(exact, approx)
 
 
 @register("knn_pq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
@@ -677,19 +674,7 @@ def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    hit = approx.distinct().withColumn("hit", F.lit(1))
-    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return flagged.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-            "sum_exact_sim_e6"
-        ),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
-        ).alias("recall_ok"),
-    )
+    return _knn_audit_frame(exact, approx)
 
 
 @register("knn_ivfpq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
@@ -714,16 +699,4 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    hit = approx.distinct().withColumn("hit", F.lit(1))
-    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return flagged.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-            "sum_exact_sim_e6"
-        ),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
-        ).alias("recall_ok"),
-    )
+    return _knn_audit_frame(exact, approx)
