@@ -119,6 +119,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "pipeline_curate_corpus",
     "retract_and_readmit",
+    "knn_sq_ann",
 ]
 
 
@@ -242,6 +243,9 @@ def main() -> int:
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
         "knn_ivfpq_ann_ship": lambda: _sim.ivfpq_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
+        "knn_sq_ann_ship": lambda: _sim.sq_ann(
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
     }

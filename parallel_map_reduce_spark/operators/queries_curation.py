@@ -700,3 +700,28 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return _knn_audit_frame(exact, approx)
+
+
+@register("knn_sq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact re-ranking — the STORAGE
+    tier of the ANN family (FAISS ScalarQuantizer QT_8bit + refine):
+    every dimension affine-coded to 8 bits against trained
+    per-dimension (min, max), a 7.8x byte shrink at dim=64 with a
+    two-flop decode and no codebook. The only ANN row whose hot path
+    is entirely JVM-side (zip_with/aggregate folds, plan-asserted no
+    Python worker). Same audit contract as the other ANN rows: the
+    oracle value-hashes the brute-force twin's deterministic
+    aggregates and recall_ok certifies mean recall@k >= 0.5 in-query
+    (8-bit error is far below neighbor gaps: measured 1.0 across
+    sf0.001-0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.sq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    return _knn_audit_frame(exact, approx)

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.functions.hashing import hash64
-from parallel_map_reduce_spark.functions.vectors import cosine, to_double_array
+from parallel_map_reduce_spark.functions.vectors import (
+    cosine,
+    dot,
+    to_double_array,
+)
 
 
 def knn_bruteforce(
@@ -942,6 +946,123 @@ def ivfpq_ann(
             F.round(
                 F.sum("part") / (F.first("norm") * F.first("qnorm")), 6
             ).alias("approx_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def sq_train(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the scalar quantizer: per-dimension (min, max) over the
+    corpus — the whole model is 2·dim doubles, the smallest index-side
+    artifact in the ANN family (FAISS ScalarQuantizer QT_8bit's train
+    step). One narrow agg: posexplode to (pos, x), groupBy pos — a
+    dim-group shuffle of two partial-agg scalars per dimension, then a
+    dim-row collect (the same centroid-table discipline as IVF).
+    """
+    base = embeddings.select(to_double_array(F.col(vec_col)).alias("vec"))
+    rows = (
+        base.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pos"])
+    vmin = np.array([r["mn"] for r in rows], dtype="float64")
+    vmax = np.array([r["mx"] for r in rows], dtype="float64")
+    return vmin, vmax
+
+
+def sq_ann(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact re-ranking — the
+    STORAGE-compression tier of the ANN family (FAISS IndexScalarQuantizer
+    QT_8bit + refine): each dimension is affine-coded to 8 bits against
+    the trained per-dimension (min, max), so the corpus is stored at
+    dim bytes + one true norm instead of dim·8 — a 7.8x shrink at
+    dim=64 — and, unlike PQ, decode is a two-flop affine map with no
+    codebook lookup. Scoring passes over the full corpus (SQ shrinks
+    WHAT is stored, not — like IVF — WHICH vectors are scored; compose
+    with IVF for both), the top k·rerank_factor shortlist re-ranks on
+    true vectors fetched from the primary store, and the final top-k
+    ranks on exact cosine.
+
+    The hot path is the ONLY all-JVM one in the ANN family: encode,
+    dequantize, and the asymmetric dot (exact query x dequantized
+    corpus, true stored norms — only the direction is quantized) are
+    zip_with/aggregate folds; no Python worker is ever launched
+    (plan-asserted: no ArrowEvalPython/BatchEvalPython node).
+
+    Output: (query_id, neighbor_id, cosine_sim), k rows per query,
+    cosine_sim the EXACT re-ranked similarity rounded before ranking,
+    ties on neighbor_id.
+
+    Scale posture: queries broadcast, the corpus never shuffles before
+    the |Q|-keyed shortlist top-k; the quantizer model rides into the
+    plan as 2·dim literals (no join for the model); constant
+    dimensions (max == min) code to 0 and decode bit-exactly to their
+    single value.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    vmin, vmax = sq_train(embeddings, vec_col=vec_col)
+    scale = (vmax - vmin) / 255.0
+    scale[scale == 0.0] = 1.0  # constant dim: code 0, decode == vmin
+    mins = F.array(*[F.lit(float(v)) for v in vmin])
+    scales = F.array(*[F.lit(float(s)) for s in scale])
+    # code_d = clip(round((x_d - mn_d) / sc_d), 0, 255)  [8-bit affine]
+    # deq_d  = mn_d + code_d * sc_d
+    shifted = F.zip_with(
+        F.col("vec"),
+        mins,
+        lambda x, mn: F.struct(mn.alias("mn"), (x - mn).alias("diff")),
+    )
+    deq = F.zip_with(
+        shifted,
+        scales,
+        lambda s, sc: s["mn"]
+        + F.least(
+            F.greatest(F.round(s["diff"] / sc, 0), F.lit(0.0)), F.lit(255.0)
+        )
+        * sc,
+    )
+    enc = base.select(
+        id_col, _vec_norm().alias("norm"), deq.alias("deq")
+    )
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _vec_norm().alias("qnorm"),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qvec"), F.col("deq"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

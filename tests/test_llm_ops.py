@@ -978,3 +978,72 @@ def test_blocked_gram_sparse_and_negative_ids(spark):
         if s >= 0.5:
             want[(i, j)] = s
     assert got == want
+
+
+def test_sq_ann_recall_and_exact_recovery(spark, embeddings):
+    """SQ8+refine ANN: (a) mean recall vs brute force clears 0.5 (8-bit
+    affine error is far below neighbor gaps — measured 1.0 here); (b)
+    returned similarities are the EXACT re-ranked cosines; (c) with a
+    shortlist that covers the whole corpus (rerank_factor >= N/k) the
+    output EQUALS knn_bruteforce row-for-row — quantization error can
+    then only reorder inside the shortlist, which the exact refine
+    undoes completely."""
+    k = 5
+    exact = similarity.knn_bruteforce(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    approx = similarity.sq_ann(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    e = {}
+    exact_sims = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact_sims[(r["query_id"], r["neighbor_id"])] = r["cosine_sim"]
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]
+    assert all(len(v) == k for v in a.values())
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, f"SQ recall {recalls}"
+
+    n = embeddings.count()
+    full = similarity.sq_ann(
+        embeddings,
+        query_ids=list(range(10)),
+        k=k,
+        rerank_factor=(n // k) + 1,
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_sq_ann_all_jvm_plan(spark, embeddings):
+    """The SQ8 hot path is the only all-JVM ANN tier: no Python/Arrow
+    eval node anywhere in the executed plan, queries broadcast, no
+    SortMergeJoin."""
+    df = similarity.sq_ann(embeddings, query_ids=list(range(10)), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sq_train_bounds_and_constant_dim(spark):
+    """sq_train returns per-dimension (min, max) in dimension order; a
+    constant dimension decodes bit-exactly to its single value through
+    the zero-scale guard."""
+    import numpy as np
+
+    rows = [(i, [float(i % 7) - 3.0, 2.5, float(i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vmin, vmax = similarity.sq_train(df)
+    assert np.allclose(vmin, [-3.0, 2.5, 0.0])
+    assert np.allclose(vmax, [3.0, 2.5, 19.0])
+    out = similarity.sq_ann(df, query_ids=[0, 1], k=3, rerank_factor=10)
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    assert all(len([r for r in got if r["query_id"] == q]) == 3 for q in (0, 1))
