@@ -361,6 +361,31 @@ def embedding_all_pairs_blocked(
     )
 
 
+DEFAULT_TRAIN_CAP = 16384
+
+
+def _cap_train_set(train: DataFrame, key, cap: int | None) -> DataFrame:
+    """FAISS-style bounded quantizer training set: when the corpus
+    holds more than ``cap`` rows, keep a deterministic content-hash
+    residue sample of ~cap rows (xxhash64(key) % ceil(n/cap) == 0)
+    before the KMeans fit. Content-addressed, so the draw is
+    independent of partition layout and stable across runs — unlike
+    ``DataFrame.sample``, whose per-partition draw shifts with how rows
+    pack into splits. A no-op whenever n <= cap (every test sf, so the
+    capped trainers are bit-identical to the uncapped ones there); at
+    100 TB the fit touches O(cap·dim·iters) instead of O(corpus) —
+    FAISS's equivalent knob is max_points_per_centroid (it subsamples
+    past k·256 points). The pre-filter count is one partial-agg scan.
+    """
+    if cap is None:
+        return train
+    n = train.count()
+    if n <= cap:
+        return train
+    d = -(-n // cap)
+    return train.filter(F.pmod(F.xxhash64(key), F.lit(d)) == F.lit(0))
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -370,6 +395,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 5,
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into `num_centroids` cells; each query scores
@@ -381,8 +407,9 @@ def ivf_ann(
     one Arrow-batched numpy distance matrix per batch (argmin / stable
     argsort), the vectorized slow-path-done-right for dense matrix math.
 
-    Scale posture: train the quantizer on a SAMPLE (`.sample()` before
-    fit) at 100 TB; corpus cell assignment is one narrow projection, and
+    Scale posture: the quantizer trains on a bounded deterministic
+    sample (``train_cap``, see _cap_train_set) so the fit never scales
+    with the corpus; corpus cell assignment is one narrow projection, and
     the probe join is an equality join on cid with the (tiny) query side
     broadcast — the corpus never shuffles. Repartitioning the corpus BY
     cid once (write-time clustering) makes every probe partition-local,
@@ -396,7 +423,9 @@ def ivf_ann(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
     model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -473,6 +502,7 @@ def ivf_build_index(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
 ) -> None:
     """Phase 1 of the two-phase IVF: train the coarse quantizer and
     PERSIST the index — ``<path>/centroids`` holds the k (cid, center)
@@ -481,8 +511,9 @@ def ivf_build_index(
     file. This is the nightly index job of a production ANN service;
     query jobs (ivf_query_stored) read the store and never retrain.
 
-    Scale posture: the quantizer trains on the corpus (sample before
-    fit at 100 TB); assignment is one narrow projection; the
+    Scale posture: the quantizer trains on a bounded deterministic
+    sample (``train_cap``, see _cap_train_set); assignment is one
+    narrow projection; the
     partitionBy(cid) write clusters each cell's vectors contiguously so
     a probe of p cells reads exactly p partition directories —
     partition PRUNING, not a filter scan.
@@ -493,7 +524,9 @@ def ivf_build_index(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
     model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     spark = embeddings.sparkSession
@@ -637,6 +670,7 @@ def pq_train_codebooks(
     max_iter: int = 5,
     shared: bool = False,
     vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
 ) -> np.ndarray:
     """Train product-quantization codebooks (Jégou et al. 2011): split
     the vector space into ``m`` contiguous subspaces and k-means each
@@ -653,15 +687,18 @@ def pq_train_codebooks(
     returned shape and every downstream consumer are identical.
 
     Scale posture: each fit is a distributed KMeans over one narrow
-    slice projection (train on a sample at 100 TB, exactly like the
-    IVF quantizer); the shared form sees m·N sub_dim-wide rows in a
+    slice projection of a bounded deterministic sample (``train_cap``
+    full vectors, see _cap_train_set — both the shared and the
+    per-subspace fits see the same sampled vectors, exactly like the
+    IVF quantizer); the shared form sees m·cap sub_dim-wide rows in a
     single fit, the per-subspace form m sequential fits each touching
-    dim/m of every vector.
+    dim/m of every sampled vector.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.select(to_double_array(F.col(vec_col)).alias("vec"))
+    base = _cap_train_set(base, F.col("vec"), train_cap)
     dim = len(base.first()["vec"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -704,6 +741,7 @@ def pq_ann(
     shared_codebook: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
 ) -> DataFrame:
     """Product-quantization ANN with exact re-ranking: approximate
     cosine shortlisting with the corpus compressed to ``m`` sub-codes
@@ -741,7 +779,12 @@ def pq_ann(
     if query_ids is None:
         query_ids = list(range(10))
     cb = pq_train_codebooks(
-        embeddings, m=m, codes=codes, shared=shared_codebook, vec_col=vec_col
+        embeddings,
+        m=m,
+        codes=codes,
+        shared=shared_codebook,
+        vec_col=vec_col,
+        train_cap=train_cap,
     )
     encode, adc_partials = _pq_udfs(cb)
     base = embeddings.select(
@@ -885,6 +928,7 @@ def ivfpq_ann(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — the composition FAISS ships as
     its canonical billion-scale index and the 100 TB ANN architecture:
@@ -910,13 +954,20 @@ def ivfpq_ann(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    train = base.select(array_to_vector(F.col("vec")).alias("features"))
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
     model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
     cmat = np.array([list(map(float, c)) for c in model.clusterCenters()])
     nearest_cid, probe_cids = _ivf_udfs(cmat, nprobe)
 
     cb = pq_train_codebooks(
-        embeddings, m=m, codes=codes, shared=shared_codebook, vec_col=vec_col
+        embeddings,
+        m=m,
+        codes=codes,
+        shared=shared_codebook,
+        vec_col=vec_col,
+        train_cap=train_cap,
     )
     encode, adc_partials = _pq_udfs(cb)
 

@@ -1047,3 +1047,57 @@ def test_sq_train_bounds_and_constant_dim(spark):
     got = out.collect()
     assert {r["query_id"] for r in got} == {0, 1}
     assert all(len([r for r in got if r["query_id"] == q]) == 3 for q in (0, 1))
+
+
+def test_train_cap_noop_bound_and_layout_independence(spark, embeddings):
+    """The FAISS-style bounded training set (_cap_train_set): (a) a
+    non-binding cap is a true no-op — capped and uncapped codebooks are
+    bit-identical; (b) a binding cap keeps ~cap rows and the draw is
+    content-addressed, so it is identical under a different partition
+    layout (DataFrame.sample would not be); (c) an IVF quantizer
+    trained on the capped set still clears the recall floor."""
+    import numpy as np
+
+    cb_uncapped = similarity.pq_train_codebooks(
+        embeddings, m=8, codes=16, shared=True, train_cap=None
+    )
+    cb_capped = similarity.pq_train_codebooks(
+        embeddings, m=8, codes=16, shared=True
+    )  # default cap 16384 >> 500 rows: must not bind
+    assert np.array_equal(cb_uncapped, cb_capped)
+
+    base = embeddings.select("vec_id", "embedding")
+    cap = 100
+    ids_a = {
+        r["vec_id"]
+        for r in similarity._cap_train_set(
+            base, F.col("embedding"), cap
+        ).collect()
+    }
+    ids_b = {
+        r["vec_id"]
+        for r in similarity._cap_train_set(
+            base.repartition(7), F.col("embedding"), cap
+        ).collect()
+    }
+    assert ids_a == ids_b  # layout-independent draw
+    n = base.count()
+    assert 0 < len(ids_a) <= n
+    # binomial(n, cap/n): mean=cap, std≈sqrt(cap); 4-sigma bounds
+    assert cap - 40 <= len(ids_a) <= cap + 40
+
+    k = 5
+    exact = similarity.knn_bruteforce(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    approx = similarity.ivf_ann(
+        embeddings, query_ids=list(range(10)), k=k, train_cap=cap
+    ).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.4, f"capped-train recall {recalls}"
