@@ -120,6 +120,7 @@ HEADLINE = [
     "pipeline_curate_corpus",
     "retract_and_readmit",
     "knn_sq_ann",
+    "knn_opq_ann",
 ]
 
 
@@ -246,6 +247,9 @@ def main() -> int:
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
         "knn_sq_ann_ship": lambda: _sim.sq_ann(
+            _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
+        "knn_opq_ann_ship": lambda: _sim.opq_ann(
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
         ),
     }

@@ -790,6 +790,25 @@ def pq_ann(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
+    return _pq_score_refine(
+        base, query_ids, k, rerank_factor, encode, adc_partials, id_col
+    )
+
+
+def _pq_score_refine(
+    base: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int,
+    encode,
+    adc_partials,
+    id_col: str,
+) -> DataFrame:
+    """Shared back half of the flat PQ forms (pq_ann and opq_ann):
+    encode the corpus, broadcast-join the ADC partial table on
+    (sub, code), map-side combine to one approx cosine per
+    (query, vector) using TRUE stored norms, keep the
+    k·rerank_factor shortlist, exact-refine on true vectors."""
     enc = base.select(
         id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
     )
@@ -818,12 +837,17 @@ def pq_ann(
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
 
 
-def _pq_udfs(cb: np.ndarray):
+def _pq_udfs(cb: np.ndarray, rotation: np.ndarray | None = None):
     """(encode, adc_partials) pandas UDFs over a fixed (m, codes,
     sub_dim) codebook array — nearest-code assignment and the
     per-(subspace, code) partial-dot table as Arrow-batched numpy,
-    shared by pq_ann and ivfpq_ann so the code/partial rule cannot
-    drift between the flat and cell-pruned forms."""
+    shared by pq_ann, ivfpq_ann, and opq_ann so the code/partial rule
+    cannot drift between the flat, cell-pruned, and rotated forms.
+    ``rotation`` (OPQ's learned orthogonal dim x dim matrix) folds into
+    the SAME Arrow crossing as one batch matmul — the rotated tier
+    costs no extra Python round-trip, and because R is orthogonal the
+    rotated dot equals the original dot, so true stored norms and the
+    exact-refine step are untouched."""
     from pyspark.sql.functions import pandas_udf
 
     m, codes, sub_dim = cb.shape
@@ -831,6 +855,8 @@ def _pq_udfs(cb: np.ndarray):
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # batch x dim
+        if rotation is not None:
+            mat = mat @ rotation
         out = np.empty((mat.shape[0], m), dtype="int32")
         for s in range(m):
             sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
@@ -841,6 +867,8 @@ def _pq_udfs(cb: np.ndarray):
     @pandas_udf("array<array<double>>")
     def adc_partials(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())
+        if rotation is not None:
+            mat = mat @ rotation
         rows = []
         for v in mat:
             parts = [
@@ -1008,6 +1036,154 @@ def ivfpq_ann(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def _pq_fit_numpy(
+    xr: np.ndarray,
+    m: int,
+    codes: int,
+    iters: int,
+    rng: np.random.Generator,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over an in-memory (already rotated)
+    training sample — the inner codebook step of OPQ's alternating
+    minimization. Deterministic given the rng state; ``init`` warm-
+    starts from the previous outer iteration's codebooks so the
+    alternation descends instead of re-rolling centroids each round.
+    Empty cells keep their previous centroid (FAISS does the same)."""
+    n, dim = xr.shape
+    sub_dim = dim // m
+    books = np.empty((m, codes, sub_dim))
+    for s in range(m):
+        z = xr[:, s * sub_dim : (s + 1) * sub_dim]
+        if init is not None:
+            c = init[s].copy()
+        else:
+            c = z[rng.choice(n, size=codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((z[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(codes):
+                pts = z[assign == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def _pq_encode_decode_numpy(
+    xr: np.ndarray, cb: np.ndarray
+) -> np.ndarray:
+    """Reconstruct the rotated sample through its nearest codes —
+    X̂ in OPQ's ||XR − X̂||_F objective."""
+    m, codes, sub_dim = cb.shape
+    out = np.empty_like(xr)
+    for s in range(m):
+        z = xr[:, s * sub_dim : (s + 1) * sub_dim]
+        d2 = ((z[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s * sub_dim : (s + 1) * sub_dim] = cb[s][d2.argmin(axis=1)]
+    return out
+
+
+def opq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    codes: int = 32,
+    n_iter: int = 8,
+    kmeans_iters: int = 10,
+    vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train OPQ (Ge et al., CVPR 2013 — the non-parametric form,
+    FAISS's OPQMatrix): a learned ORTHOGONAL rotation R that
+    redistributes variance and decorrelates the subspaces before
+    product quantization, alternating (a) fit PQ codebooks on X·R and
+    (b) solve the orthogonal-Procrustes step R = UVᵀ from
+    SVD(Xᵀ·X̂) — each step does not increase ||X·R − X̂||_F, the
+    quantization error PQ pays.
+
+    Returns (R, codebooks): R dim×dim orthogonal, codebooks
+    (m, codes, dim/m) — together still a driver-sized artifact
+    (dim² + dim·codes doubles).
+
+    Scale posture: the alternation needs a centralized SVD per
+    iteration, so — exactly like FAISS, which trains OPQMatrix on an
+    in-memory sample — training collects the SAME bounded
+    deterministic sample every other trainer uses (``train_cap`` rows
+    via _cap_train_set, ≤16384·dim doubles ≈ 8 MB at dim=64) and runs
+    numpy on the driver. Corpus-side encode/score never touch the
+    driver; the rotation rides into the encode/ADC pandas UDFs as one
+    batch matmul (see _pq_udfs).
+    """
+    base = embeddings.select(to_double_array(F.col(vec_col)).alias("vec"))
+    sample = _cap_train_set(base, F.col("vec"), train_cap).collect()
+    x = np.array([r["vec"] for r in sample])
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < codes:
+        raise ValueError(f"train sample {n} smaller than codes={codes}")
+    rng = np.random.default_rng(42)
+    rot = np.eye(dim)
+    cb = None
+    for _ in range(n_iter):
+        xr = x @ rot
+        cb = _pq_fit_numpy(xr, m, codes, kmeans_iters, rng, init=cb)
+        xhat = _pq_encode_decode_numpy(xr, cb)
+        u, _, vt = np.linalg.svd(x.T @ xhat)
+        rot = u @ vt
+    # codebooks must match the FINAL rotation
+    cb = _pq_fit_numpy(x @ rot, m, codes, kmeans_iters, rng, init=cb)
+    return rot, cb
+
+
+def opq_ann(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    m: int = 8,
+    codes: int = 32,
+    rerank_factor: int = 20,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> DataFrame:
+    """OPQ ANN with exact re-ranking (Ge et al. 2013; FAISS index
+    factory's ``OPQ8,PQ8`` prefix) — PQ behind a learned orthogonal
+    rotation that decorrelates subspaces and balances their variance,
+    recovering recall PQ loses when the coordinate split crosses
+    correlated dimensions. Because R is orthogonal it preserves dots
+    and norms: the asymmetric ADC score in rotated space estimates the
+    SAME cosine, true stored norms stay valid, and the exact-refine
+    step is identical to pq_ann's — the entire delta vs pq_ann is one
+    batch matmul folded into the existing encode/ADC Arrow crossings
+    and a driver-trained dim×dim matrix riding in the UDF closure.
+
+    Output contract identical to pq_ann: (query_id, neighbor_id,
+    cosine_sim), k rows per query, exact re-ranked similarity, ties on
+    neighbor_id. Scale posture identical to pq_ann (corpus never
+    shuffles; ADC table broadcast; map-side combine) plus opq_train's
+    bounded driver-side alternation.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    rot, cb = opq_train(
+        embeddings,
+        m=m,
+        codes=codes,
+        n_iter=n_iter,
+        vec_col=vec_col,
+        train_cap=train_cap,
+    )
+    encode, adc_partials = _pq_udfs(cb, rotation=rot)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    return _pq_score_refine(
+        base, query_ids, k, rerank_factor, encode, adc_partials, id_col
+    )
 
 
 def sq_train(

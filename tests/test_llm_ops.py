@@ -1101,3 +1101,74 @@ def test_train_cap_noop_bound_and_layout_independence(spark, embeddings):
         a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(e[q] & a.get(q, set())) / k for q in e]
     assert sum(recalls) / len(recalls) >= 0.4, f"capped-train recall {recalls}"
+
+
+def test_opq_rotation_properties_and_recall(spark, embeddings):
+    """OPQ (Ge et al. 2013): (a) the trained rotation is orthogonal —
+    R·Rᵀ = I to fp tolerance — so dots/norms are preserved and the ADC
+    estimate in rotated space targets the same cosine; (b) returned
+    similarities are the EXACT re-ranked cosines; (c) recall clears the
+    0.5 audit floor (measured 0.98 at this sf vs PQ's 0.94); (d) a
+    full-coverage shortlist (rerank_factor >= N/k) recovers
+    knn_bruteforce row-for-row, same as the other refine-backed tiers."""
+    import numpy as np
+
+    rot, cb = similarity.opq_train(embeddings)
+    dim = rot.shape[0]
+    assert rot.shape == (dim, dim)
+    assert np.allclose(rot @ rot.T, np.eye(dim), atol=1e-8)
+    assert cb.shape[0] * cb.shape[2] == dim
+
+    k = 5
+    exact = similarity.knn_bruteforce(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    approx = similarity.opq_ann(
+        embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact
+    }
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]
+    assert all(len(v) == k for v in a.values())
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, f"OPQ recall {recalls}"
+
+    n = embeddings.count()
+    full = similarity.opq_ann(
+        embeddings,
+        query_ids=list(range(10)),
+        k=k,
+        rerank_factor=(n // k) + 1,
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_opq_training_descends(spark, embeddings):
+    """The alternation is a descent on ||X·R − X̂||_F: the trained
+    (R, codebooks) reconstruct the sample no worse than iteration-0
+    plain PQ (identity rotation, same inner k-means budget)."""
+    import numpy as np
+
+    base = embeddings.select(
+        similarity.to_double_array(F.col("embedding")).alias("vec")
+    )
+    x = np.array([r["vec"] for r in base.collect()])
+
+    rng = np.random.default_rng(42)
+    cb0 = similarity._pq_fit_numpy(x, 8, 32, 10, rng)
+    err0 = np.linalg.norm(x - similarity._pq_encode_decode_numpy(x, cb0))
+
+    rot, cb = similarity.opq_train(embeddings)
+    xr = x @ rot
+    err = np.linalg.norm(xr - similarity._pq_encode_decode_numpy(xr, cb))
+    assert err <= err0 * 1.001, (err, err0)
