@@ -767,3 +767,97 @@ def test_retract_and_readmit_matches_duckdb(spark, texts):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Quantized-ANN exactness recovery (r7 SQ8 / OPQ tiers)
+# ---------------------------------------------------------------------------
+
+# Small integer-grid vectors with a fixed 1.0 tail component so every
+# norm is nonzero; duplicates and constant dimensions are allowed on
+# purpose (ties break on neighbor_id identically in every tier, and a
+# constant dimension exercises SQ's zero-scale guard).
+VECSETS = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ),
+    min_size=5,
+    max_size=12,
+)
+
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in v] + [1.0]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+@given(vecs=VECSETS)
+@PROP_SETTINGS
+def test_sq_ann_exactness_recovery_property(spark, vecs):
+    """For ANY corpus (duplicates, ties, constant dims included), SQ8
+    with a full-coverage shortlist equals knn_bruteforce row-for-row:
+    the affine encode/clip/decode round-trip and the zero-scale guard
+    can reorder candidates only INSIDE the shortlist, which the exact
+    refine undoes completely."""
+    from parallel_map_reduce_spark.operators import similarity
+
+    df = _emb_df(spark, vecs)
+    n = len(vecs)
+    k = min(3, n - 1)
+    qids = [0, n - 1]
+    exact = similarity.knn_bruteforce(df, query_ids=qids, k=k).collect()
+    got = similarity.sq_ann(
+        df, query_ids=qids, k=k, rerank_factor=(n // k) + 1
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+@given(vecs=VECSETS)
+@PROP_SETTINGS
+def test_opq_ann_exactness_recovery_property(spark, vecs):
+    """For ANY corpus, the trained OPQ rotation is orthogonal and
+    OPQ+refine with a full-coverage shortlist equals knn_bruteforce
+    row-for-row — the Procrustes alternation can never break the
+    refine contract, whatever rotation it lands on."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.operators import similarity
+
+    df = _emb_df(spark, vecs)
+    n = len(vecs)
+    codes = min(4, n)
+    rot, cb = similarity.opq_train(
+        df, m=2, codes=codes, n_iter=3, kmeans_iters=3
+    )
+    assert np.allclose(rot @ rot.T, np.eye(4), atol=1e-8)
+    k = min(3, n - 1)
+    qids = [0, n - 1]
+    exact = similarity.knn_bruteforce(df, query_ids=qids, k=k).collect()
+    got = similarity.opq_ann(
+        df,
+        query_ids=qids,
+        k=k,
+        m=2,
+        codes=codes,
+        n_iter=3,
+        rerank_factor=(n // k) + 1,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+@given(vecs=VECSETS)
+@PROP_SETTINGS
+def test_sq_train_matches_numpy_minmax(spark, vecs):
+    """sq_train's distributed posexplode agg equals the numpy
+    per-dimension min/max of the same matrix, in dimension order."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.operators import similarity
+
+    df = _emb_df(spark, vecs)
+    mat = np.array([[float(x) for x in v] + [1.0] for v in vecs])
+    vmin, vmax = similarity.sq_train(df)
+    assert np.array_equal(vmin, mat.min(axis=0))
+    assert np.array_equal(vmax, mat.max(axis=0))
