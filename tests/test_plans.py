@@ -584,6 +584,25 @@ def test_pq_adc_scoring_is_broadcast_and_partial_agg(spark):
     assert "partial_sum" in plan
 
 
+def test_opq_shares_the_pq_plan_shape(spark):
+    """OPQ's entire runtime delta vs PQ is a matmul inside the existing
+    encode/ADC pandas UDFs, so its executed plan must keep pq_ann's
+    shape bit-for-bit in kind: broadcast joins only, map-side combined
+    dot sums, no corpus shuffle."""
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.opq_ann(emb, query_ids=list(range(10)), k=5, n_iter=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
 def test_ivfpq_prunes_cells_before_scoring(spark):
     """IVFADC: the probe list must broadcast into the cell-pruned code
     stream (cid equality join) and the ADC join must also broadcast —
