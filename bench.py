@@ -121,6 +121,7 @@ HEADLINE = [
     "retract_and_readmit",
     "knn_sq_ann",
     "knn_opq_ann",
+    "knn_pq_ann_stored",
 ]
 
 
@@ -287,6 +288,29 @@ def main() -> int:
         )
     finally:
         _shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Same discipline for the persisted PQ code store: encode once
+    # outside the clock, time only the answer-from-codes path — compare
+    # against knn_pq_ann_ship (which retrains + re-encodes every call)
+    # to read off what persisting the codes buys.
+    pq_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_pq_")
+    try:
+        _sim.pq_build_index(_emb(), pq_dir)
+
+        def run_pq_stored():
+            _sim.pq_query_stored(
+                spark, pq_dir, _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_pq_ann_stored_ship"] = round(
+            min(_timed(run_pq_stored) for _ in range(2)), 3
+        )
+        print(
+            f"# knn_pq_ann_stored_ship: {timings['knn_pq_ann_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(pq_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

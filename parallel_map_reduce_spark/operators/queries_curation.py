@@ -702,6 +702,37 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
+@register("knn_pq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE PQ ANN with a PERSISTED code store — the production
+    shape of knn_pq_ann: phase 1 (the nightly encode job) trains the
+    codebooks once, encodes the corpus ONCE, and persists the model
+    row + the ~16 B/vec (vec_id, norm, codes) table
+    (similarity.pq_build_index — the index holds NO float vectors);
+    phase 2 answers top-k from the store with no retrain and no
+    re-encode, fetching only the exact-refine candidates from the
+    primary table (similarity.pq_query_stored — the FAISS IndexRefine
+    split: codes in the index, originals in the primary store). Same
+    audit contract as the other ANN rows; the stored phase-2 output is
+    pytest-pinned identical to the self-contained pq_ann (and, built
+    with rotation=True, to opq_ann) on the same trained model."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("pq_index", sf_dir)
+    _similarity.pq_build_index(emb, idx)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.pq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _knn_audit_frame(exact, approx)
+
+
 @register("knn_opq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN with exact re-ranking (Ge et al. 2013; FAISS's

@@ -812,6 +812,23 @@ def _pq_score_refine(
     enc = base.select(
         id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
     )
+    return _pq_score_refine_enc(
+        base, enc, query_ids, k, rerank_factor, adc_partials, id_col
+    )
+
+
+def _pq_score_refine_enc(
+    base: DataFrame,
+    enc: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int,
+    adc_partials,
+    id_col: str,
+) -> DataFrame:
+    """ADC scoring + exact refine over an ALREADY-ENCODED
+    (id, norm, code) frame — the entry point the stored-index form
+    uses, where ``enc`` comes off parquet instead of an encode pass."""
     exploded = enc.select(
         id_col, "norm", F.posexplode("code").alias("sub", "code")
     )
@@ -1183,6 +1200,126 @@ def opq_ann(
     )
     return _pq_score_refine(
         base, query_ids, k, rerank_factor, encode, adc_partials, id_col
+    )
+
+
+def pq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    codes: int = 32,
+    shared_codebook: bool = True,
+    rotation: bool = False,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> None:
+    """Phase 1 of the two-phase PQ/OPQ: train the codebooks (plus, with
+    ``rotation=True``, the OPQ rotation), encode the corpus ONCE, and
+    persist the compressed index —
+
+      ``<path>/model``  one row: (m, codes, sub_dim, flattened
+                        codebook, flattened rotation or NULL) — the
+                        driver-sized artifact every query job loads;
+      ``<path>/codes``  (vec_id, norm, code array) — m sub-codes and
+                        one true norm per vector, the ~16 B/vec payload
+                        that replaces the float corpus in the scoring
+                        hot path.
+
+    This is the nightly encode job of a production compressed-ANN
+    service (FAISS: train + add, then write_index); query jobs
+    (pq_query_stored) read the store, never retrain, and never
+    re-encode. The index stores NO float vectors — exact refine fetches
+    its k·rerank_factor candidates from the primary table, the same
+    split FAISS's IndexRefine keeps (codes in the index, originals in a
+    flat sidecar — here the primary parquet IS that sidecar).
+
+    Scale posture: training is the bounded-sample fit (train_cap);
+    encode is the corpus's single Arrow crossing; the write is a narrow
+    projection — no shuffle anywhere.
+    """
+    if rotation:
+        rot, cb = opq_train(
+            embeddings,
+            m=m,
+            codes=codes,
+            n_iter=n_iter,
+            vec_col=vec_col,
+            train_cap=train_cap,
+        )
+    else:
+        rot = None
+        cb = pq_train_codebooks(
+            embeddings,
+            m=m,
+            codes=codes,
+            shared=shared_codebook,
+            vec_col=vec_col,
+            train_cap=train_cap,
+        )
+    encode, _ = _pq_udfs(cb, rotation=rot)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    spark = embeddings.sparkSession
+    model = [
+        (
+            int(m),
+            int(codes),
+            int(cb.shape[2]),
+            [float(x) for x in cb.ravel()],
+            [float(x) for x in rot.ravel()] if rot is not None else None,
+        )
+    ]
+    spark.createDataFrame(
+        model,
+        "m int, codes int, sub_dim int, codebook array<double>, "
+        "rotation array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    base.select(
+        id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_query_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Phase 2 of the two-phase PQ/OPQ: answer top-k from the PERSISTED
+    code store — no retrain, no re-encode; the model row rebuilds the
+    codebook (and rotation, if the index was built with one) on the
+    driver, query-side ADC partials are the only Arrow crossing, and
+    the full-corpus pass is the JVM-side broadcast-join/partial-agg
+    over the ~16 B/vec code stream. Query vectors and the exact-refine
+    candidates come from the PRIMARY table (``embeddings``) — the index
+    itself holds no float vectors. Output is identical to
+    pq_ann/opq_ann at the same parameters on the same trained model
+    (pytest-pinned): persisting changes the I/O shape, not the answer.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    rot = (
+        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+        if mrow["rotation"] is not None
+        else None
+    )
+    _, adc_partials = _pq_udfs(cb, rotation=rot)
+    enc = spark.read.parquet(f"{path}/codes")
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    return _pq_score_refine_enc(
+        base, enc, query_ids, k, rerank_factor, adc_partials, id_col
     )
 
 

@@ -1172,3 +1172,32 @@ def test_opq_training_descends(spark, embeddings):
     xr = x @ rot
     err = np.linalg.norm(xr - similarity._pq_encode_decode_numpy(xr, cb))
     assert err <= err0 * 1.001, (err, err0)
+
+
+def test_pq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
+    """The persisted PQ code store answers IDENTICALLY to the
+    self-contained pq_ann on the same trained model (persisting changes
+    the I/O shape, not the answer), and with rotation=True to opq_ann;
+    the codes table holds no float vectors — only (vec_id, norm, code)."""
+    idx = str(tmp_path / "pq_index")
+    similarity.pq_build_index(embeddings, idx)
+    stored = similarity.pq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    self_c = similarity.pq_ann(
+        embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, self_c))
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert set(codes.columns) == {"vec_id", "norm", "code"}
+    assert codes.count() == embeddings.count()
+
+    similarity.pq_build_index(embeddings, idx, rotation=True)
+    stored_o = similarity.pq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    self_o = similarity.opq_ann(
+        embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    assert sorted(map(tuple, stored_o)) == sorted(map(tuple, self_o))
