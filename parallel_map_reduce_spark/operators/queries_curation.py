@@ -733,6 +733,37 @@ def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
+@register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ with INCREMENTAL INDEX MAINTENANCE — the nightly
+    delta job for the compression tier, mirroring
+    knn_ivf_ann_appended: phase 1 trains the codebooks on the even-id
+    HALF of the corpus and persists model + codes
+    (similarity.pq_build_index); the odd-id half arrives later and is
+    encoded against the STORED model and appended — no retrain, no
+    existing code file rewritten (similarity.pq_append_to_index,
+    FAISS's add-after-train contract); phase 2 answers top-k from the
+    grown store. The brute-force twin over the FULL corpus runs in the
+    same query and recall_ok certifies the half-trained codebooks
+    still clear mean recall@k >= 0.5 under quantizer drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("pq_index_app", sf_dir)
+    _similarity.pq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    _similarity.pq_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.pq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _knn_audit_frame(exact, approx)
+
+
 @register("knn_opq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN with exact re-ranking (Ge et al. 2013; FAISS's

@@ -1282,6 +1282,44 @@ def pq_build_index(
     ).write.mode("overwrite").parquet(f"{path}/codes")
 
 
+def pq_append_to_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance for the two-phase PQ: encode a NEW
+    batch of vectors against the STORED model (codebooks + optional OPQ
+    rotation, read back from ``<path>/model``) and append their
+    (vec_id, norm, code) rows to the code table — FAISS's
+    add-after-train contract applied to the compression tier. The model
+    is deliberately not retrained: code words stay fixed so earlier
+    codes never need re-encoding, at the cost of quantization drift if
+    the new data's distribution shifts — rebuild cadence is the
+    production knob, exactly as for ivf_append_to_index.
+
+    Scale shape: one driver-sized model read, one Arrow encode pass
+    over the batch, one parquet append — no existing code file is read
+    or rewritten.
+    """
+    spark = embeddings.sparkSession
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    rot = (
+        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+        if mrow["rotation"] is not None
+        else None
+    )
+    encode, _ = _pq_udfs(cb, rotation=rot)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    base.select(
+        id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
 def pq_query_stored(
     spark,
     path: str,

@@ -1201,3 +1201,40 @@ def test_pq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
         embeddings, query_ids=list(range(10)), k=5
     ).collect()
     assert sorted(map(tuple, stored_o)) == sorted(map(tuple, self_o))
+
+
+def test_pq_append_to_index(spark, embeddings, tmp_path):
+    """Add-after-train for the PQ store: an appended duplicate of a
+    query vector surfaces as that query's top stored hit (cosine 1.0
+    survives quantized shortlisting and exact refine), the code table
+    grows by exactly the batch, and no pre-existing code row changes."""
+    idx = str(tmp_path / "pq_index")
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    similarity.pq_build_index(half, idx)
+    before = {
+        r["vec_id"]: (r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    dup_id = 999_999
+    batch = spark.createDataFrame(
+        [(dup_id, list(qvec))], "vec_id long, embedding array<float>"
+    )
+    similarity.pq_append_to_index(batch, idx)
+    after = {
+        r["vec_id"]: (r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+    assert set(after) == set(before) | {dup_id}
+    assert all(after[i] == before[i] for i in before)
+
+    got = similarity.pq_query_stored(
+        spark,
+        idx,
+        half.select("vec_id", "embedding").unionByName(batch),
+        query_ids=[0],
+        k=1,
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["neighbor_id"] == dup_id
+    assert got[0]["cosine_sim"] == 1.0
