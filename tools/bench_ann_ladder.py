@@ -60,6 +60,8 @@ def main() -> int:
 
     idx = tempfile.mkdtemp(prefix="ann_ladder_ivf_")
     sim.ivf_build_index(emb, idx)
+    pq_idx = tempfile.mkdtemp(prefix="ann_ladder_pq_")
+    sim.pq_build_index(emb, pq_idx)
 
     # (name, per-vector index bytes, callable) — bytes: what the tier's
     # encoding stores per corpus vector (float64 baseline = dim*8).
@@ -69,6 +71,7 @@ def main() -> int:
         ("ivf", dim * 8 + 4, lambda: sim.ivf_ann(emb, query_ids=qids, k=k)),
         ("ivf_stored", dim * 8 + 4, lambda: sim.ivf_query_stored(spark, idx, query_ids=qids, k=k)),
         ("pq", 8 * 1 + 8, lambda: sim.pq_ann(emb, query_ids=qids, k=k)),
+        ("pq_stored", 8 * 1 + 8, lambda: sim.pq_query_stored(spark, pq_idx, emb, query_ids=qids, k=k)),
         ("opq", 8 * 1 + 8, lambda: sim.opq_ann(emb, query_ids=qids, k=k)),
         ("ivfpq", 8 * 1 + 8 + 4, lambda: sim.ivfpq_ann(emb, query_ids=qids, k=k)),
         ("sq8", dim * 1 + 8, lambda: sim.sq_ann(emb, query_ids=qids, k=k)),
@@ -83,6 +86,7 @@ def main() -> int:
             f"{dim * 8 / bytes_per_vec:>8.1f}x"
         )
     shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(pq_idx, ignore_errors=True)
     spark.stop()
     return 0
 
