@@ -122,6 +122,7 @@ HEADLINE = [
     "knn_sq_ann",
     "knn_opq_ann",
     "knn_pq_ann_stored",
+    "knn_ivfpq_ann_stored",
 ]
 
 
@@ -311,6 +312,28 @@ def main() -> int:
         )
     finally:
         _shutil.rmtree(pq_dir, ignore_errors=True)
+
+    # And the composed index: persisted IVFADC (coarse centroids + PQ
+    # model + cid-partitioned codes) — the FAISS billion-scale layout.
+    ivfpq_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_ivfpq_")
+    try:
+        _sim.ivfpq_build_index(_emb(), ivfpq_dir)
+
+        def run_ivfpq_stored():
+            _sim.ivfpq_query_stored(
+                spark, ivfpq_dir, _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_ivfpq_ann_stored_ship"] = round(
+            min(_timed(run_ivfpq_stored) for _ in range(2)), 3
+        )
+        print(
+            "# knn_ivfpq_ann_stored_ship: "
+            f"{timings['knn_ivfpq_ann_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

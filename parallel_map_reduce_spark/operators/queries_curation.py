@@ -733,6 +733,38 @@ def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
+@register("knn_ivfpq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_ivfpq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE IVFADC with a PERSISTED index — the on-disk layout
+    FAISS's canonical billion-scale index persists and the artifact an
+    actual 100 TB ANN deployment ships: phase 1 trains BOTH quantizers
+    once and writes centroids + the PQ model row + the corpus as
+    ~16 B/vec codes partitioned BY cid (similarity.ivfpq_build_index —
+    no float vectors anywhere in the index); phase 2 answers from the
+    store reading only the probed cid=N partitions of the code table,
+    with exact-refine candidates fetched from the primary table
+    (similarity.ivfpq_query_stored). Both pruning axes — which cells,
+    how many bytes — are baked into the layout. Same audit contract as
+    the other ANN rows; the stored phase-2 output is pytest-pinned
+    identical to the self-contained ivfpq_ann on the same trained
+    quantizers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivfpq_index", sf_dir)
+    _similarity.ivfpq_build_index(emb, idx)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.ivfpq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _knn_audit_frame(exact, approx)
+
+
 @register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ with INCREMENTAL INDEX MAINTENANCE — the nightly

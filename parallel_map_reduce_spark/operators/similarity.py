@@ -1030,6 +1030,26 @@ def ivfpq_ann(
         )
     )
     adc = _pq_adc_table(base, query_ids, adc_partials, id_col)
+    return _ivfpq_score_refine(
+        base, enc, probes, adc, query_ids, k, rerank_factor, id_col
+    )
+
+
+def _ivfpq_score_refine(
+    base: DataFrame,
+    enc: DataFrame,
+    probes: DataFrame,
+    adc: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared back half of the IVFADC forms (self-contained and
+    stored): broadcast the probe list into the cell-assigned code
+    stream (cid equality join — partition pruning on the stored form),
+    broadcast-join the per-query ADC table, map-side combine to one
+    approx cosine per (query, vector), shortlist, exact-refine."""
     cell_cands = enc.join(F.broadcast(probes), "cid")
     exploded = cell_cands.select(
         "query_id", id_col, "norm", F.posexplode("code").alias("sub", "code")
@@ -1053,6 +1073,135 @@ def ivfpq_ann(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    m: int = 8,
+    codes: int = 32,
+    shared_codebook: bool = True,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> None:
+    """Phase 1 of the two-phase IVFADC — the on-disk layout FAISS's
+    canonical billion-scale index (``IVF16,PQ8``) persists, and the
+    artifact an actual 100 TB ANN deployment ships: both quantizers
+    trained once on the bounded deterministic sample, then
+
+      ``<path>/centroids``  the coarse quantizer's k (cid, center) rows;
+      ``<path>/model``      the PQ model row (same layout as
+                            pq_build_index, rotation NULL);
+      ``<path>/invfile``    the corpus as (vec_id, norm, code) rows
+                            partitioned BY cid — cell-clustered
+                            ~16 B/vec codes, NO float vectors anywhere
+                            in the index.
+
+    Query jobs (ivfpq_query_stored) read centroids + model driver-side
+    (a few KB), then touch only the probed ``cid=N`` partitions of the
+    code table — the two pruning axes (which cells, how many bytes)
+    are both baked into the layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
+    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cid int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    cb = pq_train_codebooks(
+        embeddings,
+        m=m,
+        codes=codes,
+        shared=shared_codebook,
+        vec_col=vec_col,
+        train_cap=train_cap,
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(m),
+                int(codes),
+                int(cb.shape[2]),
+                [float(x) for x in cb.ravel()],
+                None,
+            )
+        ],
+        "m int, codes int, sub_dim int, codebook array<double>, "
+        "rotation array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+    nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
+    encode, _ = _pq_udfs(cb)
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        nearest_cid(F.col("vec")).alias("cid"),
+        encode(F.col("vec")).alias("code"),
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/invfile")
+
+
+def ivfpq_query_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Phase 2 of the two-phase IVFADC: answer top-k from the PERSISTED
+    index — centroids and PQ model load driver-side, probe selection
+    and query-side ADC partials are the only Arrow crossings, and the
+    corpus side reads ONLY the probed ``cid=N`` partitions of the
+    ~16 B/vec code table (the broadcast cid join prunes at the
+    parquet-partition level, as in ivf_query_stored). Exact-refine
+    candidates come from the primary table — the index holds no float
+    vectors. Output identical to the self-contained ivfpq_ann at the
+    same parameters on the same trained quantizers (pytest-pinned)."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["center"] for r in crows])
+    _, probe_cids = _ivf_udfs(cmat, nprobe)
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    cb = np.array(mrow["codebook"]).reshape(
+        mrow["m"], mrow["codes"], mrow["sub_dim"]
+    )
+    _, adc_partials = _pq_udfs(cb)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    enc = spark.read.parquet(f"{path}/invfile")
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cids(F.col("vec"))).alias("cid"),
+        )
+    )
+    adc = _pq_adc_table(base, query_ids, adc_partials, id_col)
+    return _ivfpq_score_refine(
+        base, enc, probes, adc, query_ids, k, rerank_factor, id_col
+    )
 
 
 def _pq_fit_numpy(

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "knn_opq_ann",
     "knn_pq_ann_stored",
     "knn_pq_ann_appended",
+    "knn_ivfpq_ann_stored",
     # 1c) round-7 code-touched: every registered consumer of the shared
     # sequential-fold Gram kernel (functions/gram.py replaced the three
     # hand-copies in similarity.py / curation_extras.py) re-windows so
@@ -100,13 +101,12 @@ _PRIORITY: list[str] = [
     # tail items here are displaced one-for-one by group-4 entries as
     # round 7 registers new queries or touches implementations
     "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    # tpch_q19_disjunctive_revenue / tpch_q22_dormant_customers /
-    # tpch_q8_market_share / events_session_windows /
-    # events_sessionization / funnel_conversion / cohort_retention /
-    # simhash_near_pairs displaced one-for-one by the eight group-1b
-    # queries registered late in round 7; they roll to the round-8
-    # window with the rest of the r3/r4 backlog.
+    # tpch_q18_large_volume_customer / tpch_q19_disjunctive_revenue /
+    # tpch_q22_dormant_customers / tpch_q8_market_share /
+    # events_session_windows / events_sessionization / funnel_conversion /
+    # cohort_retention / simhash_near_pairs displaced one-for-one by the
+    # nine group-1b queries registered late in round 7; they roll to the
+    # round-8 window with the rest of the r3/r4 backlog.
 ]
 
 

@@ -1238,3 +1238,28 @@ def test_pq_append_to_index(spark, embeddings, tmp_path):
     assert len(got) == 1
     assert got[0]["neighbor_id"] == dup_id
     assert got[0]["cosine_sim"] == 1.0
+
+
+def test_ivfpq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
+    """The persisted IVFADC index answers IDENTICALLY to the
+    self-contained ivfpq_ann on the same trained quantizers, its
+    invfile is cid-partitioned (Hive-style cid=N directories — the
+    probed-partition pruning surface), and the code table holds no
+    float vectors."""
+    import os
+
+    idx = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_build_index(embeddings, idx)
+    stored = similarity.ivfpq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    self_c = similarity.ivfpq_ann(
+        embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, self_c))
+
+    parts = [d for d in os.listdir(f"{idx}/invfile") if d.startswith("cid=")]
+    assert len(parts) > 1
+    codes = spark.read.parquet(f"{idx}/invfile")
+    assert set(codes.columns) == {"vec_id", "norm", "code", "cid"}
+    assert codes.count() == embeddings.count()
