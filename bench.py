@@ -187,6 +187,23 @@ def main() -> int:
     # cannot separate that from a real regression. The second run re-does
     # construction too, so eager iterative operators (connected
     # components) still have their full work on the clock.
+    # Noise indicator (shared host): the same trivial probe — the warmed
+    # sf0.001 wordcount — timed at the start, middle and end of the run.
+    # Its spread (max/min) quantifies host-load drift WITHIN the run, and
+    # its absolute level is a round-over-round normalization constant:
+    # untouched queries historically move 0.74x-1.37x between rounds on
+    # identical code, and the probe separates that load band from a real
+    # regression when comparing BENCH_r{N} files.
+    def _probe() -> float:
+        def run_probe():
+            qs["wordcount"](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        return round(_timed(run_probe), 3)
+
+    noise_probe: list[float] = [_probe()]
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -208,6 +225,8 @@ def main() -> int:
         # a compact final dump keep the artifact reconstructable even
         # if the tail cut ever lands mid-JSON again.
         print(f"# {name}: {timings[name]}s", flush=True)
+
+    noise_probe.append(_probe())
 
     # Ship-path rows for the ANN family. The REGISTERED queries above
     # (knn_lsh_ann, embedding_near_dup_lsh, semantic_dedup_keep_corpus_ann)
@@ -335,6 +354,8 @@ def main() -> int:
     finally:
         _shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
+    noise_probe.append(_probe())
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_seconds",
@@ -342,6 +363,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "noise_probe": {
+            "seconds": noise_probe,
+            "spread": round(max(noise_probe) / min(noise_probe), 2),
+        },
     }
 
     # Apples-to-apples vs BASELINE.md: the reference's own 13.25 MB corpus
@@ -412,14 +437,19 @@ def main() -> int:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > budget:
         compact["queries_file"] = "BENCH_FULL.json"
-        compact["queries_omitted"] = 0
+        # Worst-case-width placeholder so the measured length never
+        # undercounts the final line (the real count is <= len(q2), so
+        # its digit width is <= this placeholder's).
+        compact["queries_omitted"] = len(q2)
         kept: dict[str, float] = {}
         compact["queries"] = kept
         for k, v in sorted(q2.items(), key=lambda kv: (-kv[1], kv[0])):
             kept[k] = v
             if len(json.dumps(compact, separators=(",", ":"))) > budget:
+                # Skip (don't stop): a shorter-keyed row later in the
+                # order may still fit inside the budget.
                 del kept[k]
-                break
+                continue
         compact["queries_omitted"] = len(q2) - len(kept)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

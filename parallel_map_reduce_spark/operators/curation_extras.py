@@ -559,6 +559,9 @@ def cluster_sharded_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_above: int | None = 8192,
+    num_blocks: int = 8,
+    _task_probe=None,
 ) -> DataFrame:
     """Within-cluster cosine near-dup pairs: (cluster, id_a, id_b,
     cosine_sim), id_a < id_b, sim ≥ threshold, pairs only between
@@ -567,19 +570,28 @@ def cluster_sharded_pairs(
     similarity.nearest_centroid_assign, in production any kmeans
     assignment table.
 
-    Scale shape: one shuffle clusters the corpus by cluster id; each
-    cluster's vectors cross the Arrow boundary once into a per-cluster
-    Gram kernel — the SHARED sequential-fold kernel (functions/gram.py)
-    every embedding pair generator uses, so every cosine is
-    bit-identical to the JVM/DuckDB folds and the driver can
-    value-hash the full output. Per-kernel memory is n·dim float64s
-    for the stacked vectors plus O(block²) for the tiled pair
-    emission (gram.DEFAULT_BLOCK² tiles) — the r6 docstring's n²
-    Gram/denom/sims triple is gone, so a skewed cluster costs
-    quadratic TIME but bounded memory; cluster count k now only tunes
-    parallelism and wall-clock, not the OOM ceiling. The occupancy
-    bound is pytest-enforced on a deliberately skewed cluster
-    (tests/test_curation_extras.py).
+    Scale shape: clusters BELOW ``block_above`` occupancy shuffle once
+    on the cluster key into a per-cluster Arrow kernel. Clusters AT OR
+    ABOVE it — the Zipfian-hot topic heads that would otherwise run
+    their whole n²/2 Gram inside ONE task — are decomposed exactly like
+    embedding_all_pairs_blocked (similarity.py): each hot vector fans
+    out to the ``num_blocks`` block-pair groups it participates in
+    (block = pmod(id, B); group (bi, bj), bi ≤ bj), so one hot
+    cluster's quadratic work runs as B(B+1)/2 PARALLEL tile tasks
+    instead of one straggler. Every unordered pair lands in exactly one
+    group (cross groups score left×right only; diagonal groups score
+    the upper triangle), so the decomposition is value-neutral by
+    construction — pytest-pinned bit-identical on a deliberately hot
+    cluster. Both paths use the SHARED sequential-fold kernel
+    (functions/gram.py), so every cosine is bit-identical to the
+    JVM/DuckDB folds and the driver can value-hash the full output;
+    per-kernel memory stays O(block² + n·dim) via the tiled pair
+    emission. The occupancy split costs one partial-agg count over the
+    (id, cluster) assignment table — no vectors move for it.
+    ``block_above=None`` disables the split (the pre-r8 single-task
+    shape). ``_task_probe`` is a test-only accumulator the hot-path
+    kernel adds its partition id to, proving tiles really run in
+    distinct tasks.
     """
     import numpy as np
     import pandas as pd
@@ -590,34 +602,95 @@ def cluster_sharded_pairs(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    clustered = base.join(assigned.select(F.col(id_col), "cluster"), id_col)
+    amap = assigned.select(F.col(id_col), "cluster")
+    clustered = base.join(amap, id_col)
 
-    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "cluster": pd.Series(dtype="int32"),
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cosine_sim": pd.Series(dtype="float64"),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf[id_col].to_numpy()
-        mat = np.stack(pdf["vec"].to_numpy())
-        ia, ib, sims = cosine_pairs(ids, mat, threshold)
+    out_schema = "cluster int, id_a long, id_b long, cosine_sim double"
+    empty = pd.DataFrame(
+        {
+            "cluster": pd.Series(dtype="int32"),
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _frame(cluster, ia, ib, sims) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "cluster": np.full(len(ia), pdf["cluster"].iloc[0], dtype="int32"),
+                "cluster": np.full(len(ia), cluster, dtype="int32"),
                 "id_a": np.minimum(ia, ib),
                 "id_b": np.maximum(ia, ib),
                 "cosine_sim": sims,
             }
         )
 
-    return clustered.groupBy("cluster").applyInPandas(
-        shard_pairs, "cluster int, id_a long, id_b long, cosine_sim double"
+    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy())
+        ia, ib, sims = cosine_pairs(ids, mat, threshold)
+        return _frame(pdf["cluster"].iloc[0], ia, ib, sims)
+
+    if block_above is None:
+        return clustered.groupBy("cluster").applyInPandas(
+            shard_pairs, out_schema
+        )
+
+    # Occupancy split on the assignment table alone (no vectors move):
+    # the hot list is at most a few head clusters — broadcast it.
+    hot = (
+        amap.groupBy("cluster")
+        .count()
+        .filter(F.col("count") >= block_above)
+        .select("cluster")
     )
+    small = clustered.join(F.broadcast(hot), "cluster", "left_anti")
+    out_small = small.groupBy("cluster").applyInPandas(shard_pairs, out_schema)
+
+    spark = embeddings.sparkSession
+    bp = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
+    block_pairs = spark.createDataFrame(bp, "bi int, bj int")
+    hot_rows = (
+        clustered.join(F.broadcast(hot), "cluster")
+        .withColumn("blk", F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int"))
+        .join(
+            F.broadcast(block_pairs),
+            (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+        )
+    )
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if _task_probe is not None:
+            from pyspark import TaskContext
+
+            _task_probe.add({TaskContext.get().partitionId()})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        ids_l = left[id_col].to_numpy()
+        # guard BEFORE np.stack: an empty residue class would make
+        # np.stack([]) raise and kill the query
+        if len(ids_l) == 0 or (bi == bj and len(ids_l) < 2):
+            return empty
+        mat_l = np.stack(left["vec"].to_numpy())
+        if bi == bj:
+            ia, ib, sims = cosine_pairs(ids_l, mat_l, threshold)
+        else:
+            right = pdf[pdf["blk"] == bj]
+            ids_r = right[id_col].to_numpy()
+            if len(ids_r) == 0:
+                return empty
+            mat_r = np.stack(right["vec"].to_numpy())
+            ia, ib, sims = cosine_pairs(
+                ids_l, mat_l, threshold, ids_r=ids_r, mat_r=mat_r
+            )
+        return _frame(pdf["cluster"].iloc[0], ia, ib, sims)
+
+    out_hot = hot_rows.groupBy("cluster", "bi", "bj").applyInPandas(
+        tile_pairs, out_schema
+    )
+    return out_small.unionByName(out_hot)
 
 
 # ---------------------------------------------------------------------------
@@ -2233,8 +2306,8 @@ def _store_slices(subs: list[str], before_bid: int | None) -> list[str]:
     successors already ran). ``None`` means read everything (the final
     result assembly). Module-level so the boundary arithmetic is
     unit-testable without running the engine. Names starting with '_'
-    (a crashed compaction's ``_compact`` staging dir) are never read
-    as slices."""
+    (a crashed compaction's ``_compact`` staging dir or its ``_old_``
+    pre-delete renames) are never read as slices."""
     subs = [s for s in subs if not s.startswith("_")]
     if before_bid is None:
         return subs
@@ -2523,8 +2596,13 @@ def retract_and_readmit(
     * phase ``readmit``: every admit-phase ``cross_dup`` whose
       canonical (dup_of) was retracted re-runs standard admission
       against the post-retraction kept state — surviving original
-      kept docs plus the batch's survivors, with the batch survivors'
-      signatures APPENDED to the store rather than recomputed.
+      kept docs plus the batch's survivors, whose signatures are
+      appended to the store by recomputing them from the survivor
+      texts (MinHash is deterministic, so the values are identical to
+      the admit phase's; the extra pass costs one signature scan over
+      the batch survivors — threading the admit phase's signatures
+      out of incremental_lsh_dedup would save it at the price of
+      widening that shared interface).
 
     Scale shape: the re-admission batch is only the affected docs
     (O(#suppressed-by-retracted)), the store update is one anti-join +
@@ -2660,30 +2738,43 @@ def compact_store_slices(spark, path: str) -> int:
     fold is a union + rewrite, no dedup logic; replay safety belongs
     to the admission loop, compaction only runs on quiesced stores.
 
-    Write-then-swap: the union lands in a sibling ``_compact`` dir
-    first, the old slices are removed, and the new data is renamed to
-    ``base`` last — a crash mid-compaction leaves either the old
-    slices or a complete ``_compact`` to recover from, never a store
-    that mixes both generations under the reader's listing (the
-    reader unions every subdirectory except names starting with '_',
-    which Spark's parquet reader already skips for its own metadata).
+    Write-then-swap-then-delete: the union lands in a sibling
+    ``_compact`` dir first; the old slices are then RENAMED to
+    ``_old_<name>`` (underscore-prefixed, so the reader's listing —
+    which unions every subdirectory except names starting with '_' —
+    never sees them); ``_compact`` is promoted to ``base``; and only
+    then are the ``_old_`` dirs deleted. Every row therefore exists
+    on disk at every crash point: before the promote, the complete
+    ``_compact`` plus the (possibly partially renamed) old generation;
+    after it, a correct store plus dead ``_old_`` dirs that the next
+    compaction (or a rerun of this one) clears. Deleting old slices
+    BEFORE the swap — the naive order — has a window where a crash
+    leaves a partial old generation that a reader would union as if
+    complete: silent row loss.
     """
     import os
     import shutil
 
+    tmp = os.path.join(path, "_compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # Dead renames from a prior crash-after-promote (the store itself
+    # is already correct in that state; these hold superseded rows).
+    for s in os.listdir(path):
+        if s.startswith("_old_"):
+            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
     subs = sorted(
         s for s in os.listdir(path) if not s.startswith("_")
     )
     if len(subs) <= 1:
         return 0
-    tmp = os.path.join(path, "_compact")
-    shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(
         *(os.path.join(path, s) for s in subs)
     ).write.mode("overwrite").parquet(tmp)
     for s in subs:
-        shutil.rmtree(os.path.join(path, s))
+        os.replace(os.path.join(path, s), os.path.join(path, "_old_" + s))
     os.replace(tmp, os.path.join(path, "base"))
+    for s in subs:
+        shutil.rmtree(os.path.join(path, "_old_" + s), ignore_errors=True)
     return len(subs)
 
 

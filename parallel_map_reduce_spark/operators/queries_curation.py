@@ -190,14 +190,22 @@ def q_semantic_dedup_cluster_sharded(spark: SparkSession, sf_dir: str) -> DataFr
     memory DETERMINISTICALLY (vs the LSH tier's probabilistic bucket
     occupancy). Sharding can only remove edges, so the keep-set
     provably contains the global exact tier's
-    (semantic_dedup_keep_corpus) — pytest-pinned."""
+    (semantic_dedup_keep_corpus) — pytest-pinned. ``block_above=40``
+    is sized so the head clusters at the driver's sfs (≈50 vectors per
+    cluster at sf0.01) take the hot-cluster block-pair decomposition —
+    the r8 skew fix — while the tail clusters take the single-kernel
+    path, so the driver value-hashes BOTH paths and their union every
+    round (the decomposition is value-neutral, so the oracle is
+    unchanged)."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
         _similarity.nearest_centroid_assign(emb)
         .select("vec_id", "cluster")
         .localCheckpoint(eager=True)
     )
-    pairs = ce.cluster_sharded_pairs(emb, assigned, EMBED_DUP_THRESHOLD)
+    pairs = ce.cluster_sharded_pairs(
+        emb, assigned, EMBED_DUP_THRESHOLD, block_above=40, num_blocks=4
+    )
     comps = _dedup.connected_components(pairs.select("id_a", "id_b"))
     losers = (
         comps.filter(F.col("u") != F.col("label"))

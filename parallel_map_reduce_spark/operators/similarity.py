@@ -1183,10 +1183,18 @@ def ivfpq_query_stored(
     cmat = np.array([r["center"] for r in crows])
     _, probe_cids = _ivf_udfs(cmat, nprobe)
     mrow = spark.read.parquet(f"{path}/model").collect()[0]
-    cb = np.array(mrow["codebook"]).reshape(
-        mrow["m"], mrow["codes"], mrow["sub_dim"]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    # Honor a rotation if the persisted model carries one (the shared
+    # model schema reserves the column; ivfpq_build_index writes NULL
+    # today, but scoring MUST match whatever the codes were encoded
+    # with — same branch as pq_query_stored).
+    rot = (
+        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+        if mrow["rotation"] is not None
+        else None
     )
-    _, adc_partials = _pq_udfs(cb)
+    _, adc_partials = _pq_udfs(cb, rotation=rot)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )

@@ -367,10 +367,10 @@ def test_bigram_lm_broadcasts_scalar_total(spark):
 
 
 def test_cluster_sharded_single_shuffle_into_kernel(spark):
-    """Cluster-sharded SemDeDup's pair stage: exactly ONE exchange on
-    the cluster key feeds the per-cluster Arrow kernel
-    (FlatMapGroupsInPandas) — the corpus must not be re-shuffled or
-    re-scanned per block."""
+    """Cluster-sharded SemDeDup's pair stage, split-disabled form
+    (block_above=None): exactly ONE exchange on the cluster key feeds
+    the per-cluster Arrow kernel (FlatMapGroupsInPandas) — the corpus
+    must not be re-shuffled or re-scanned per block."""
     from parallel_map_reduce_spark.operators import curation_extras as ce
     from parallel_map_reduce_spark.operators import similarity
     from parallel_map_reduce_spark.sources.tables import load_table
@@ -381,7 +381,7 @@ def test_cluster_sharded_single_shuffle_into_kernel(spark):
         .select("vec_id", "cluster")
         .localCheckpoint(eager=True)
     )
-    df = ce.cluster_sharded_pairs(emb, assigned, 0.4)
+    df = ce.cluster_sharded_pairs(emb, assigned, 0.4, block_above=None)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("simple")
@@ -391,6 +391,40 @@ def test_cluster_sharded_single_shuffle_into_kernel(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning(cluster" in l
     ]
     assert len(kernel_shuffles) == 1, plan
+
+
+def test_cluster_sharded_skew_split_plan(spark):
+    """The occupancy-split form: the small branch keeps its one
+    cluster-key exchange into a per-cluster kernel; the hot branch
+    shuffles on (cluster, bi, bj) so one hot cluster's tiles land in
+    MANY tasks; the hot-list and block-pair joins are broadcasts (never
+    a shuffled join of the corpus against the occupancy table); and no
+    vectors move for the occupancy count itself."""
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned = (
+        similarity.nearest_centroid_assign(emb)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    df = ce.cluster_sharded_pairs(
+        emb, assigned, 0.4, block_above=10, num_blocks=4
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert any(
+        "Exchange hashpartitioning(cluster" in l and "bi" in l and "bj" in l
+        for l in plan.splitlines()
+    ), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_quantile_band_approx_sketch_is_partial_final(spark):
