@@ -1602,6 +1602,140 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q12_shipmode_priority",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so l_linestatus stands in for the
+    shipmode group key and ``l_shipdate > o_orderdate`` is the lateness
+    predicate — the same proxy tpch_q4 established): join the two facts
+    on the order key, then a CASE-split conditional count by priority
+    class per group. The date-range predicates push to the lineitem
+    parquet scan; the priority CASE folds into the partial aggregate, so
+    one order-key shuffle plus one two-group final agg is the whole
+    plan."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE n_name LIKE 'NATION_1%'
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: the one
+    relational form the surface lacked, TWO correlated subqueries on the
+    SAME fact with different correlation predicates (EXISTS: some other
+    supplier contributed to the order; NOT EXISTS: no other supplier was
+    late on it), i.e. the supplier is the sole cause of the wait.
+    Adapted to testdata columns: lateness is ``l_shipdate >
+    o_orderdate`` (no commit/receipt dates exist; q4's proxy), and the
+    nation filter is a prefix class so the result is non-trivial at
+    every test sf. Plan shape: the EXISTS decorrelates to a left-semi
+    and the NOT EXISTS to a left-anti join, BOTH hash-keyed on
+    l_orderkey — the same partitioning the orders join uses, so the
+    fact shuffles once on the order key and Catalyst reuses it;
+    supplier⋈nation broadcasts; top-k is a k-heap
+    (TakeOrderedAndProject), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp_in_nation = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .join(
+            F.broadcast(supp_in_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (F.col("l3_shipdate") > F.col("o_orderdate")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
     "window_ntile_quartiles",
     """
 SELECT c_custkey, c_mktsegment,

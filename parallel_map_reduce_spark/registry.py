@@ -32,81 +32,77 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-7 rotation
-# (PLANS.md "Round-6 window plan", re-issued verbatim by VERDICT r6
-# "Next round" #1 because round 6 never applied it): the 8 round-5b
-# staged operators registered this round come first (every new query
-# must be in-window its first round), then queries NEW in round 7,
-# then the 23 r2-latest rows, then the oldest r3-latest rows filling
-# the window.  Names not listed keep registration order after these.
+# exceeds that or names a query that doesn't exist.  Round-8 rotation
+# (PLANS.md "Round-8 window plan", re-issued by VERDICT r7 "Next round"
+# #1): queries NEW in round 8 first (every new query must be in-window
+# its first round), then round-8 code-touched queries, then ALL 37
+# r3-latest rows (the 18 displaced from r7 planning + the 19 already
+# scheduled), then the OLDEST r4-latest rows filling the window —
+# after this round no query's latest driver row is older than r4.
+# Names not listed keep registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) the 8 staged registrations — first driver row this round
-    "gopher_repetition_stats",
-    "bpe_encode_stats",
-    "gopher_quality_stats",
-    "dsir_importance_weights",
-    "soft_dedup_weights",
-    "weighted_systematic_sample",
-    "snapshot_diff",
-    "streaming_incremental_dedup",
-    # 1b) queries NEW in round 7 (first driver row this round)
-    "pipeline_curate_corpus",
-    "knn_ivf_ann_stored",
-    "retract_and_readmit",
-    "incremental_lsh_dedup_compacted",
-    "knn_ivf_ann_appended",
-    "knn_pq_ann",
-    "knn_ivfpq_ann",
-    "knn_sq_ann",
-    "knn_opq_ann",
-    "knn_pq_ann_stored",
-    "knn_pq_ann_appended",
-    "knn_ivfpq_ann_stored",
-    # 1c) round-7 code-touched: every registered consumer of the shared
-    # sequential-fold Gram kernel (functions/gram.py replaced the three
-    # hand-copies in similarity.py / curation_extras.py) re-windows so
-    # no row is older than the code under it
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_lsh",
-    "semantic_dedup_keep_corpus",
-    "semantic_dedup_keep_corpus_ann",
+    # 1) queries NEW in round 8 — first driver row this round
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_suppliers",
+    # 1b) round-8 code-touched: cluster_sharded_pairs gained the
+    # hot-cluster block-pair decomposition (and the registered query now
+    # exercises it via block_above=40); ivfpq_query_stored now honors a
+    # persisted rotation; compact_store_slices' crash ordering changed
+    # under incremental_lsh_dedup_compacted
     "semantic_dedup_cluster_sharded",
-    "knn_ivf_ann",
-    # 2) the 23 r2-latest rows (round-2 row order)
-    "cube_flag_status",
-    "pivot_status_revenue",
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "conditional_bucketing",
-    "events_by_type",
-    "events_json_props",
-    "events_tumbling_window",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "grouping_sets_revenue",
-    "salted_count_distinct_users",
-    "skew_salted_join_top_words",
-    "unpivot_lineitem_measures",
-    "tpch_q14_promo_revenue",
-    "tpch_q7_nation_volume",
-    "array_map_functions",
-    "tpch_q13_order_distribution",
-    "map_functions_events",
-    "array_agg_priorities",
-    "tpch_q15_top_supplier",
-    # 3) 19 oldest r3-latest rows (heaviest / refactor-adjacent first);
-    # tail items here are displaced one-for-one by group-4 entries as
-    # round 7 registers new queries or touches implementations
-    "tpch_q17_small_qty_revenue",
-    # tpch_q18_large_volume_customer / tpch_q19_disjunctive_revenue /
-    # tpch_q22_dormant_customers / tpch_q8_market_share /
-    # events_session_windows / events_sessionization / funnel_conversion /
-    # cohort_retention / simhash_near_pairs displaced one-for-one by the
-    # nine group-1b queries registered late in round 7; they roll to the
-    # round-8 window with the rest of the r3/r4 backlog.
+    "knn_ivfpq_ann_stored",
+    "incremental_lsh_dedup_compacted",
+    # 2) the 18 r3-latest rows displaced from round-7 planning
+    "ngram_jaccard_pairs_capped",
+    "decontaminate_corpus",
+    "pipeline_clean_corpus",
+    "doc_repetition_stats",
+    "asof_join_purchase_to_view",
+    "interval_join_event_pairs",
+    "hll_mergeable_daily_users",
+    "stats_aggregates",
+    "simhash_block_near_pairs",
+    "cohort_retention",
+    "simhash_near_pairs",
+    "funnel_conversion",
+    "events_sessionization",
+    "events_session_windows",
+    "tpch_q8_market_share",
+    "tpch_q22_dormant_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q18_large_volume_customer",
+    # 3) the 19 remaining r3-latest rows (r3 row order) — with these,
+    # every r3 row re-verifies this round
+    "dataset_split_assignment",
+    "pack_batches_by_budget",
+    "inverted_index_postings",
+    "stratified_sample_deterministic",
+    "intersect_all_nations",
+    "except_all_nations",
+    "window_value_functions",
+    "ansi_safe_functions",
+    "sql_interface_recursive_months",
+    "udaf_geomean_price",
+    "grouped_zscore_events",
+    "udtf_token_lengths",
+    "sql_interface_q6",
+    "sql_interface_segments",
+    "window_ntile_quartiles",
+    "window_time_range_sum",
+    "latest_event_per_user",
+    "daily_revenue_gapfill",
+    "events_variant_extract",
+    # 4) oldest r4-latest rows (r4 row order) fill the window; the rest
+    # of the r4 batch rolls to round 9
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "knn_bruteforce",
+    "knn_lsh_ann",
+    "quality_scores",
+    "multimodal_features",
 ]
 
 
