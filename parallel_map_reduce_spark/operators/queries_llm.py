@@ -2531,6 +2531,88 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_train_converged_oracle_sql(max_rounds: int = 6) -> str:
+    """Replay the full Lloyd loop unrolled: one (centroids → rescore →
+    argmax → stats) CTE triple per round, chained off the SAME seed
+    assignment CTE the single-step queries use. Every loop CTE is AS
+    MATERIALIZED — DuckDB would otherwise inline each round's CTEs into
+    the next and the plan grows exponentially (the bpe_train_vocab
+    lesson). The final SELECT reproduces the early stop: round r is
+    emitted iff every earlier round still moved vectors, so the
+    converged round appears and later (never-executed) rounds don't."""
+    sql = _CLUSTER_ASSIGNED_CTE
+    prev = "assigned"
+    for r in range(1, max_rounds + 1):
+        sql += f""",
+comp_{r} AS MATERIALIZED (
+  SELECT a.cluster, i AS pos, ROUND(AVG(b.vec[i]), 6) AS cval
+  FROM {prev} a JOIN base b USING (vec_id)
+  CROSS JOIN UNNEST(generate_series(1, len(b.vec))) t(i)
+  GROUP BY a.cluster, i
+),
+cent_{r} AS MATERIALIZED (
+  SELECT cluster AS cand, list(cval ORDER BY pos) AS cvec
+  FROM comp_{r} GROUP BY cluster
+),
+best_{r} AS MATERIALIZED (
+  SELECT vec_id, old_cluster, cand AS cluster, sim FROM (
+    SELECT a.vec_id, a.cluster AS old_cluster, c.cand,
+           ROUND(list_cosine_similarity(b.vec, c.cvec), 6) AS sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(b.vec, c.cvec), 6) DESC,
+                      c.cand ASC) AS rn
+    FROM {prev} a JOIN base b USING (vec_id) CROSS JOIN cent_{r} c
+  ) WHERE rn = 1
+),
+stat_{r} AS MATERIALIZED (
+  SELECT {r} AS round,
+         CAST(SUM(CASE WHEN cluster <> old_cluster THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved,
+         ROUND(AVG(sim), 4) AS avg_sim,
+         CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+  FROM best_{r}
+)"""
+        prev = f"best_{r}"
+    selects = [
+        "SELECT round, n_moved, avg_sim, n_clusters,"
+        " (n_moved = 0) AS converged FROM stat_1"
+    ]
+    for r in range(2, max_rounds + 1):
+        conds = " AND ".join(
+            f"(SELECT n_moved FROM stat_{i}) > 0" for i in range(1, r)
+        )
+        selects.append(
+            f"SELECT round, n_moved, avg_sim, n_clusters,"
+            f" (n_moved = 0) FROM stat_{r} WHERE {conds}"
+        )
+    return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+_KMEANS_TRAIN_ROUNDS = 6
+
+
+@register(
+    "kmeans_train_converged",
+    kmeans_train_converged_oracle_sql(_KMEANS_TRAIN_ROUNDS),
+)
+def q_kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means iterated to convergence (or a 6-round cap) under
+    the BPE trainer's driver-loop discipline: localCheckpoint per round,
+    ONLY a 1-row scalar stat to the driver, deterministic min-id seeds,
+    centroid components rounded to 6 each round so both engines walk the
+    identical trajectory. One value-hashed audit row per executed round
+    (n_moved / avg_sim / n_clusters / converged); the oracle replays the
+    whole loop unrolled as materialized CTE triples and reproduces the
+    early stop with per-round n_moved guards. This upgrades the IVF
+    coarse-quantizer training story from a fixed iteration count to
+    convergence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_converged(
+        emb, max_rounds=_KMEANS_TRAIN_ROUNDS
+    )
+
+
 _BPE_MERGE_SQL = (
     _TOKS_CTE
     + """,

@@ -630,6 +630,107 @@ def nearest_centroid_assign(
     )
 
 
+def kmeans_train_converged(
+    embeddings: DataFrame,
+    max_rounds: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multi-iteration Lloyd k-means to convergence: iterate
+    embedding_kmeans_refine's single step — per-cluster mean centroids
+    (components ROUNDED to 6 so both engines feed bit-identical
+    centroids into the next round), reassign by rounded cosine argmax —
+    until no vector moves or ``max_rounds`` is hit. One audit row per
+    EXECUTED round: (round, n_moved, avg_sim, n_clusters, converged);
+    the converged round (n_moved = 0) is emitted, later rounds are not.
+    Seeding is nearest_centroid_assign's deterministic min-id-per-label
+    rule — no RNG anywhere, so the full trajectory is reproducible
+    across engines, runs, and partitionings.
+
+    Driver-loop discipline (the BPE trainer's): per round one
+    distributed centroid agg + one reassignment, the assignment frame
+    localCheckpointed eagerly so round r's plan is O(1) not O(r), and
+    ONLY a 1-row scalar stat crosses to the driver (loop control, not
+    data). Scale shape per round: centroid recompute is a posexplode
+    partial agg on (cluster, dim) — k·dim rows out, corpus combines
+    map-side; the k refined centroids broadcast back and the corpus is
+    rescored in place — the corpus never shuffles except the per-vector
+    argmax window. This is also the coarse-quantizer training story for
+    the IVF family run to convergence instead of ivf_train's fixed
+    iteration count.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    assigned = (
+        nearest_centroid_assign(embeddings, id_col, vec_col, label_col)
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)
+    )
+    rows: list[tuple] = []
+    for rnd in range(1, max_rounds + 1):
+        withvec = base.join(assigned, id_col)
+        cent = (
+            withvec.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cvec")
+            )
+            .select(F.col("cluster").alias("cand"), "cvec")
+        )
+        rescored = withvec.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            F.col("cluster").alias("old_cluster"),
+            "cand",
+            F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("sim").desc(), F.col("cand").asc()
+        )
+        best = (
+            rescored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col("cand").alias("cluster"),
+                "old_cluster",
+                "sim",
+            )
+            .localCheckpoint(eager=True)
+        )
+        stat = best.agg(
+            F.sum((F.col("cluster") != F.col("old_cluster")).cast("long")).alias(
+                "n_moved"
+            ),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        ).collect()[0]
+        rows.append(
+            (
+                rnd,
+                stat["n_moved"],
+                stat["avg_sim"],
+                stat["n_clusters"],
+                stat["n_moved"] == 0,
+            )
+        )
+        assigned = best.select(id_col, "cluster")
+        if stat["n_moved"] == 0:
+            break
+    return spark.createDataFrame(
+        rows,
+        "round int, n_moved long, avg_sim double, n_clusters long, "
+        "converged boolean",
+    )
+
+
 def ivf_append_to_index(
     embeddings: DataFrame,
     path: str,

@@ -1263,3 +1263,35 @@ def test_ivfpq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
     codes = spark.read.parquet(f"{idx}/invfile")
     assert set(codes.columns) == {"vec_id", "norm", "code", "cid"}
     assert codes.count() == embeddings.count()
+
+
+def test_kmeans_train_converges_and_descends(spark, embeddings):
+    """On well-separated clusters the Lloyd loop must actually hit the
+    n_moved = 0 fixed point BEFORE the round cap (exercising the early
+    stop the registered query's cap path never shows), emit the
+    converged round and nothing after it, and descend monotonically.
+    The real-corpus run must also descend (n_moved non-increasing is
+    not guaranteed by Lloyd, but avg objective improvement is)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # three orthogonal-ish centers, tight noise: converges in 1-2 steps
+    centers = np.eye(3, 8) * 10.0
+    for i in range(60):
+        lab = i % 3
+        v = centers[lab] + rng.normal(0, 0.01, 8)
+        rows.append((i, lab, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.kmeans_train_converged(df, max_rounds=6).collect()
+    assert 0 < len(out) < 6
+    assert out[-1]["converged"] and out[-1]["n_moved"] == 0
+    for prev_row, row in zip(out, out[1:]):
+        assert row["round"] == prev_row["round"] + 1
+        assert prev_row["n_moved"] > 0  # only the last row may be 0
+    # the real corpus: objective (mean winning cosine) never decreases
+    real = similarity.kmeans_train_converged(embeddings, max_rounds=3).collect()
+    sims = [r["avg_sim"] for r in real]
+    assert sims == sorted(sims)
