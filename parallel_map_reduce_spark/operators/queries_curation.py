@@ -225,6 +225,147 @@ def q_semantic_dedup_cluster_sharded(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Exact-vs-sharded disagreement audit for the SemDeDup cluster tier:
+# replays BOTH pair generators (global all-pairs and within-cluster) and
+# both keep-sets, emitting the measured miss rates as value-hashed
+# aggregates plus two booleans — the provable containment (sharding only
+# removes edges, so the sharded losers are a subset of the exact
+# losers) and an integer-exact disagreement bound.
+_SHARD_MISS_SQL = (
+    _CLUSTER_ASSIGNED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
+        >= {EMBED_DUP_THRESHOLD}
+),
+shard_pairs AS (
+  SELECT p.id_a, p.id_b FROM exact_pairs p
+  JOIN assigned x ON p.id_a = x.vec_id
+  JOIN assigned y ON p.id_b = y.vec_id AND x.cluster = y.cluster
+),
+sym_e AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+          UNION ALL SELECT id_b, id_a FROM exact_pairs),
+reach_e AS (SELECT u, v FROM sym_e
+            UNION SELECT r.u, s.v FROM reach_e r JOIN sym_e s ON r.v = s.u),
+comp_e AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS label
+           FROM reach_e GROUP BY u),
+losers_e AS (SELECT vec_id FROM comp_e WHERE vec_id <> label),
+sym_s AS (SELECT id_a AS u, id_b AS v FROM shard_pairs
+          UNION ALL SELECT id_b, id_a FROM shard_pairs),
+reach_s AS (SELECT u, v FROM sym_s
+            UNION SELECT r.u, s.v FROM reach_s r JOIN sym_s s ON r.v = s.u),
+comp_s AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS label
+           FROM reach_s GROUP BY u),
+losers_s AS (SELECT vec_id FROM comp_s WHERE vec_id <> label),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+         (SELECT COUNT(*) FROM exact_pairs) AS n_exact_pairs,
+         (SELECT COUNT(*) FROM shard_pairs) AS n_sharded_pairs,
+         (SELECT COUNT(*) FROM losers_e) AS n_losers_exact,
+         (SELECT COUNT(*) FROM losers_s) AS n_losers_shard,
+         (SELECT COUNT(*) FROM losers_s
+          WHERE vec_id NOT IN (SELECT vec_id FROM losers_e))
+           AS n_shard_only_losers
+)
+SELECT n_docs, n_exact_pairs, n_sharded_pairs,
+       n_exact_pairs - n_sharded_pairs AS n_missed_pairs,
+       n_losers_exact, n_losers_shard, n_shard_only_losers,
+       (n_shard_only_losers = 0) AS keep_superset_ok,
+       ROUND((n_exact_pairs - n_sharded_pairs)
+             / GREATEST(n_exact_pairs, 1), 4) AS miss_pair_rate,
+       ROUND((n_losers_exact - n_losers_shard) / n_docs, 4)
+         AS keep_disagree_rate,
+       (5 * (n_losers_exact - n_losers_shard) <= 2 * n_docs) AS disagree_ok
+FROM counts
+"""
+)
+
+
+@register("semantic_dedup_sharded_miss_audit", _SHARD_MISS_SQL)
+def q_semantic_dedup_sharded_miss_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantified miss-rate audit for the cluster-sharded SemDeDup tier
+    (VERDICT r7 #6): run the GLOBAL exact pair generator and the
+    within-cluster sharded one in the same query, form both keep-sets,
+    and emit the measured approximation quality as driver-value-hashed
+    aggregates — missed (cross-cluster) pair count and rate, keep-set
+    disagreement rate — plus two booleans the oracle expects TRUE:
+    ``keep_superset_ok`` (sharding only removes edges, so the sharded
+    losers are provably a subset of the exact losers — the pytest
+    containment claim, now checked by the driver every round) and
+    ``disagree_ok`` (integer-exact ≤40% keep-set disagreement; the
+    synthetic corpus at threshold {t} measures 9-34% across sfs because
+    its near-dup graph is cross-topic — production SemDeDup thresholds
+    of 0.95+ make cross-cluster misses rare, and THIS audit is the tool
+    that measures that on a real corpus). The sharded side reuses the
+    hot-cluster block-pair decomposition (block_above=40), so the skew
+    path is re-exercised under a second oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        _similarity.nearest_centroid_assign(emb)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    exact_pairs = _similarity.embedding_near_dup_pairs(
+        emb, threshold=EMBED_DUP_THRESHOLD
+    ).select("id_a", "id_b")
+    shard_pairs = ce.cluster_sharded_pairs(
+        emb, assigned, EMBED_DUP_THRESHOLD, block_above=40, num_blocks=4
+    ).select("id_a", "id_b")
+    losers_e = (
+        _dedup.connected_components(exact_pairs)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    losers_s = (
+        _dedup.connected_components(shard_pairs)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        emb.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(exact_pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+        .crossJoin(shard_pairs.agg(F.count(F.lit(1)).alias("n_sharded_pairs")))
+        .crossJoin(losers_e.agg(F.count(F.lit(1)).alias("n_losers_exact")))
+        .crossJoin(losers_s.agg(F.count(F.lit(1)).alias("n_losers_shard")))
+        .crossJoin(
+            losers_s.join(losers_e, "vec_id", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_shard_only_losers"))
+        )
+    )
+    return counts.select(
+        "n_docs",
+        "n_exact_pairs",
+        "n_sharded_pairs",
+        (F.col("n_exact_pairs") - F.col("n_sharded_pairs")).alias(
+            "n_missed_pairs"
+        ),
+        "n_losers_exact",
+        "n_losers_shard",
+        "n_shard_only_losers",
+        (F.col("n_shard_only_losers") == 0).alias("keep_superset_ok"),
+        F.round(
+            (F.col("n_exact_pairs") - F.col("n_sharded_pairs"))
+            / F.greatest(F.col("n_exact_pairs"), F.lit(1)),
+            4,
+        ).alias("miss_pair_rate"),
+        F.round(
+            (F.col("n_losers_exact") - F.col("n_losers_shard"))
+            / F.col("n_docs"),
+            4,
+        ).alias("keep_disagree_rate"),
+        (
+            5 * (F.col("n_losers_exact") - F.col("n_losers_shard"))
+            <= 2 * F.col("n_docs")
+        ).alias("disagree_ok"),
+    )
+
+
 _BPE_ROUNDS = 12
 
 
