@@ -381,3 +381,95 @@ def test_redelivery_dedup_totals_match_single_delivery(spark):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_recovery_exactly_once(spark, tmp_path):
+    """The failure mode real deployments hit (VERDICT r7 #4): a stream
+    stops after processing a prefix of the feed, then RESTARTS from the
+    same checkpointLocation while the upstream both re-delivers the
+    already-processed files (at-least-once) and delivers new ones. The
+    restarted run must (a) not re-read files the checkpoint marks seen,
+    (b) drop every re-delivered row via dedup state RESTORED from the
+    state store — not within-batch hashing, the redelivery arrives in
+    its own micro-batches — and (c) continue the per-user aggregate from
+    restored state so users spanning both phases end with single-run
+    totals. Final table == the single-delivery batch GROUP BY; any
+    recovery failure double-counts or drops rows and flips the hash."""
+    import glob
+    import os
+    import shutil
+
+    src = os.path.abspath(os.path.join(SF, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(src)
+
+    def stage_half(pred_mod: int, name: str) -> str:
+        tmp = str(tmp_path / f"_w_{name}")
+        raw.filter(F.col("event_id") % 2 == pred_mod).coalesce(1).write.parquet(
+            tmp
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = str(tmp_path / "stage" / f"{name}.parquet")
+        shutil.copyfile(part, dst)
+        shutil.rmtree(tmp)
+        return dst
+
+    os.makedirs(tmp_path / "stage")
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    half_a = stage_half(0, "half_a")
+
+    def run_to_completion():
+        ev = windowed.stream_events_dir(
+            spark,
+            str(tmp_path / "stage"),
+            probe_path=half_a,
+            max_files_per_trigger=1,
+        )
+        totals = (
+            windowed.deduped_events(ev, watermark="3650 days")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _b: windowed.upsert_batch(df, target, ["user_id"])
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table():
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    def expect(df):
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .collect()
+        }
+
+    # phase 1: half the feed, drained to completion, then the query stops
+    run_to_completion()
+    assert table() == expect(raw.filter(F.col("event_id") % 2 == 0))
+
+    # "crash window": upstream re-delivers the processed half under a NEW
+    # path (same bytes — the file source has never seen this path) and
+    # delivers the other half; restart from the same checkpoint
+    shutil.copyfile(half_a, str(tmp_path / "stage" / "half_a_redelivered.parquet"))
+    stage_half(1, "half_b")
+    run_to_completion()
+    assert table() == expect(raw)
