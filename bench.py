@@ -123,6 +123,13 @@ HEADLINE = [
     "knn_opq_ann",
     "knn_pq_ann_stored",
     "knn_ivfpq_ann_stored",
+    # round-8 breadth: the two new TPC-H shapes, the converged trainer,
+    # and the sharded-semdedup audit (exact all-pairs + two CC runs in
+    # one query — audit-carrying BY DESIGN, like the ANN audit rows)
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_suppliers",
+    "kmeans_train_converged",
+    "semantic_dedup_sharded_miss_audit",
 ]
 
 
@@ -202,6 +209,11 @@ def main() -> int:
 
         return round(_timed(run_probe), 3)
 
+    # One untimed probe run first: the measured first probe was
+    # consistently ~2x the later ones (residual first-run effects the
+    # generic warmup above doesn't cover), which would inflate `spread`
+    # with a constant artifact instead of actual host-load drift.
+    _probe()
     noise_probe: list[float] = [_probe()]
 
     timings: dict[str, float] = {}
