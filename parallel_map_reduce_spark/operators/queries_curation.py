@@ -302,19 +302,32 @@ def q_semantic_dedup_sharded_miss_audit(
     of 0.95+ make cross-cluster misses rare, and THIS audit is the tool
     that measures that on a real corpus). The sharded side reuses the
     hot-cluster block-pair decomposition (block_above=40), so the skew
-    path is re-exercised under a second oracle."""
+    path is re-exercised under a second oracle. The exact side uses the
+    BLOCKED Arrow Gram generator (embedding_all_pairs_blocked — emits
+    the identical pair set to the per-row JVM fold, pytest-pinned) and
+    both pair sets are materialized once: each generator feeds its
+    count aggregate AND its connected-components run without
+    re-evaluating the quadratic kernel."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
         _similarity.nearest_centroid_assign(emb)
         .select("vec_id", "cluster")
         .localCheckpoint(eager=True)
     )
-    exact_pairs = _similarity.embedding_near_dup_pairs(
-        emb, threshold=EMBED_DUP_THRESHOLD
-    ).select("id_a", "id_b")
-    shard_pairs = ce.cluster_sharded_pairs(
-        emb, assigned, EMBED_DUP_THRESHOLD, block_above=40, num_blocks=4
-    ).select("id_a", "id_b")
+    exact_pairs = (
+        _similarity.embedding_all_pairs_blocked(
+            emb, threshold=EMBED_DUP_THRESHOLD, num_blocks=8
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    shard_pairs = (
+        ce.cluster_sharded_pairs(
+            emb, assigned, EMBED_DUP_THRESHOLD, block_above=40, num_blocks=4
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     losers_e = (
         _dedup.connected_components(exact_pairs)
         .filter(F.col("u") != F.col("label"))
