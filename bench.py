@@ -130,6 +130,7 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "kmeans_train_converged",
     "semantic_dedup_sharded_miss_audit",
+    "knn_range_ivf",
 ]
 
 
@@ -253,6 +254,7 @@ def main() -> int:
         EMBED_DUP_THRESHOLD,
         KNN_K,
         KNN_QUERY_IDS,
+        RANGE_RADIUS as _RANGE_RADIUS,
         _semantic_dedup_keep,
     )
     from parallel_map_reduce_spark.sources.tables import load_table
@@ -284,6 +286,9 @@ def main() -> int:
         ),
         "knn_opq_ann_ship": lambda: _sim.opq_ann(
             _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+        ),
+        "knn_range_ivf_ship": lambda: _sim.ivf_range_search(
+            _emb(), KNN_QUERY_IDS, _RANGE_RADIUS
         ),
     }
     for name, mk in ship.items():

@@ -442,6 +442,87 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_recall_audit(spark, sf_dir, method="lsh")
 
 
+RANGE_RADIUS = 0.25
+
+_RANGE_EXACT_CTE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM base
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+in_range AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qvec, vec), 6) AS cosine_sim
+  FROM base b CROSS JOIN q
+  WHERE b.vec_id <> query_id
+    AND ROUND(list_cosine_similarity(qvec, vec), 6) >= {RANGE_RADIUS}
+)"""
+
+
+@register(
+    "knn_range_ivf",
+    _RANGE_EXACT_CTE
+    + """
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS n_exact,
+       CAST(SUM(neighbor_id) AS BIGINT) AS sum_exact_neighbor_ids,
+       CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_exact_sim_e6,
+       TRUE AS subset_ok,
+       TRUE AS recall_ok
+FROM in_range
+""",
+)
+def q_knn_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search — FAISS's second query mode (range_search alongside
+    top-k search), closing the ANN family's API surface: all neighbors
+    within a cosine radius, variable cardinality per query, no k and no
+    top-k window anywhere. The IVF-pruned tier
+    (similarity.ivf_range_search) runs against the exact twin in the
+    same query; the oracle value-hashes the exact side's deterministic
+    aggregates plus ``subset_ok`` (every IVF hit is an exact in-range
+    pair — scoring inside probed cells is exact, so false positives are
+    impossible by construction) and ``recall_ok`` (the IVF tier found
+    ≥ 50% of the exact in-range rows across the query set — the same
+    cell-miss bound as knn_ivf_ann's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.range_search_exact(
+        emb, KNN_QUERY_IDS, RANGE_RADIUS
+    ).localCheckpoint(eager=True)
+    approx = similarity.ivf_range_search(
+        emb, KNN_QUERY_IDS, RANGE_RADIUS
+    ).localCheckpoint(eager=True)
+    hit = (
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    n_false_pos = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_fp"))
+    return flagged.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+            "sum_exact_sim_e6"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    ).crossJoin(n_false_pos).select(
+        "n_queries",
+        "n_exact",
+        "sum_exact_neighbor_ids",
+        "sum_exact_sim_e6",
+        (F.col("n_fp") == 0).alias("subset_ok"),
+        "recall_ok",
+    )
+
+
 _EMB_EXACT_PAIRS_CTE = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 exact_pairs AS (

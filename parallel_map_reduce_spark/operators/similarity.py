@@ -443,6 +443,90 @@ def ivf_ann(
     return _ivf_score_probes(assigned, probes, k, id_col)
 
 
+def range_search_exact(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact RANGE search (FAISS's second query mode, range_search
+    alongside top-k search): every (query_id, neighbor_id, cosine_sim)
+    with ROUND(cos, 6) >= radius — variable cardinality per query, no k.
+    The query side broadcasts; the corpus streams through the JVM
+    cosine fold and the radius filter — never shuffles, no window, no
+    sort: strictly cheaper than top-k at the same selectivity."""
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= radius)
+    )
+
+
+def ivf_range_search(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    radius: float,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> DataFrame:
+    """IVF-pruned RANGE search: the coarse quantizer restricts exact
+    scoring to each query's ``nprobe`` nearest cells, then the radius
+    filter keeps every in-range neighbor found there — FAISS
+    IndexIVF.range_search. Scoring inside probed cells is exact, so the
+    result is a SUBSET of range_search_exact by construction (zero
+    false positives — pytest-pinned); recall is the probability the
+    neighbor's cell was probed, the same knob as ivf_ann's. With
+    nprobe = num_centroids every cell is probed and the output EQUALS
+    the exact tier row-for-row (exactness-recovery pytest).
+
+    Scale shape: identical to ivf_ann's — bounded deterministic
+    quantizer training (train_cap), one narrow cell-assignment
+    projection, broadcast probe join on cid, no corpus shuffle, and no
+    top-k window at all (the radius filter replaces it map-side)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
+    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    cmat = np.array([list(map(float, c)) for c in model.clusterCenters()])
+    nearest_cid, probe_cids = _ivf_udfs(cmat, nprobe)
+    assigned = base.withColumn("cid", nearest_cid(F.col("vec")))
+    probes = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(probe_cids(F.col("vec"))).alias("cid"),
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= radius)
+    )
+
+
 def _ivf_udfs(cmat: np.ndarray, nprobe: int):
     """(nearest_cid, probe_cids) pandas UDFs over a fixed centroid
     matrix — cell assignment and probe selection as ONE Arrow-batched

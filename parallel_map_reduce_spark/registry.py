@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "tpch_q21_waiting_suppliers",
     "kmeans_train_converged",
     "semantic_dedup_sharded_miss_audit",
+    "knn_range_ivf",
     # 1b) round-8 code-touched: cluster_sharded_pairs gained the
     # hot-cluster block-pair decomposition (and the registered query now
     # exercises it via block_above=40); ivfpq_query_stored now honors a
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "knn_bruteforce",
-    "knn_lsh_ann",
 ]
 
 

@@ -1295,3 +1295,45 @@ def test_kmeans_train_converges_and_descends(spark, embeddings):
     real = similarity.kmeans_train_converged(embeddings, max_rounds=3).collect()
     sims = [r["avg_sim"] for r in real]
     assert sims == sorted(sims)
+
+
+def test_ivf_range_search_subset_and_exact_recovery(spark, embeddings):
+    """Range-search invariants: (a) the IVF tier's hits are a SUBSET of
+    the exact tier's (scoring inside probed cells is exact, so a false
+    positive is impossible); (b) probing EVERY cell recovers the exact
+    answer row-for-row (the rerank_factor-style exactness-recovery
+    property, range flavor); (c) measured recall at the default nprobe
+    clears the registered query's 0.5 bound."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_QUERY_IDS,
+        RANGE_RADIUS,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.range_search_exact(
+            embeddings, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect()
+    }
+    assert exact  # the radius is sized to hit at every test sf
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.ivf_range_search(
+            embeddings, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]  # same rounded cosine for every shared hit
+    assert len(approx) * 2 >= len(exact)  # the registered recall bound
+    full_probe = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.ivf_range_search(
+            embeddings,
+            KNN_QUERY_IDS,
+            RANGE_RADIUS,
+            num_centroids=16,
+            nprobe=16,
+        ).collect()
+    }
+    assert full_probe == exact
