@@ -131,6 +131,7 @@ HEADLINE = [
     "kmeans_train_converged",
     "semantic_dedup_sharded_miss_audit",
     "knn_range_ivf",
+    "knn_range_ivf_stored",
 ]
 
 
@@ -321,6 +322,22 @@ def main() -> int:
         )
         print(
             f"# knn_ivf_ann_stored_ship: {timings['knn_ivf_ann_stored_ship']}s",
+            flush=True,
+        )
+
+        # The SAME stored index also serves range queries (FAISS's other
+        # query mode) — time it on the artifact already built above.
+        def run_range_stored():
+            _sim.ivf_range_query_stored(
+                spark, idx_dir, KNN_QUERY_IDS, _RANGE_RADIUS
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_range_ivf_stored_ship"] = round(
+            min(_timed(run_range_stored) for _ in range(2)), 3
+        )
+        print(
+            "# knn_range_ivf_stored_ship: "
+            f"{timings['knn_range_ivf_stored_ship']}s",
             flush=True,
         )
     finally:

@@ -689,8 +689,12 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 from parallel_map_reduce_spark.operators.queries_llm import (
     _KNN_AUDIT_SELECT,
     _KNN_EXACT_CTE,
+    _RANGE_AUDIT_SELECT,
+    _RANGE_EXACT_CTE,
+    _range_audit_frame,
     KNN_K,
     KNN_QUERY_IDS,
+    RANGE_RADIUS,
 )
 
 
@@ -743,6 +747,34 @@ def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(idx, ignore_errors=True)
     return _knn_audit_frame(exact, approx)
+
+
+@register("knn_range_ivf_stored", _RANGE_EXACT_CTE + _RANGE_AUDIT_SELECT)
+def q_knn_range_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search from the PERSISTED IVF index — one stored artifact
+    serving both FAISS query modes: the same centroids +
+    cid-partitioned inverted file knn_ivf_ann_stored answers top-k
+    from also answers radius queries (similarity.ivf_range_query_stored
+    — only probed cid=N partitions read, no retrain, no top-k window;
+    the radius filter replaces it map-side). Same audit contract as
+    knn_range_ivf: exact-twin aggregates value-hashed, subset_ok
+    provable TRUE, recall_ok ≥ 0.5. Stored output pytest-pinned
+    identical to the self-contained ivf_range_search on the same index
+    parameters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivf_range_index", sf_dir)
+    _similarity.ivf_build_index(emb, idx)
+    exact = _similarity.range_search_exact(
+        emb, KNN_QUERY_IDS, RANGE_RADIUS
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.ivf_range_query_stored(
+            spark, idx, KNN_QUERY_IDS, RANGE_RADIUS
+        )
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _range_audit_frame(exact, approx)
 
 
 @register("retract_and_readmit", ce.retract_and_readmit_oracle_sql())

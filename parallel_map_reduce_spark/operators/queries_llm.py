@@ -459,10 +459,9 @@ in_range AS (
 )"""
 
 
-@register(
-    "knn_range_ivf",
-    _RANGE_EXACT_CTE
-    + """
+# Audit select shared by the self-contained and stored range-search
+# registrations (the _KNN_AUDIT_SELECT pattern, range flavor).
+_RANGE_AUDIT_SELECT = """
 SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
        COUNT(*) AS n_exact,
        CAST(SUM(neighbor_id) AS BIGINT) AS sum_exact_neighbor_ids,
@@ -471,8 +470,52 @@ SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
        TRUE AS subset_ok,
        TRUE AS recall_ok
 FROM in_range
-""",
-)
+"""
+
+
+def _range_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared audit body for the range-search registrations: exact-twin
+    deterministic aggregates (value-hashed by the oracle) + subset_ok
+    (zero approximate hits outside the exact in-range set — impossible
+    by construction since probed-cell scoring is exact) + recall_ok
+    (the approximate tier found ≥ 50% of the exact in-range rows)."""
+    hit = (
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    n_false_pos = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        flagged.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
+            F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
+                "sum_exact_sim_e6"
+            ),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2
+                >= F.count(F.lit(1))
+            ).alias("recall_ok"),
+        )
+        .crossJoin(n_false_pos)
+        .select(
+            "n_queries",
+            "n_exact",
+            "sum_exact_neighbor_ids",
+            "sum_exact_sim_e6",
+            (F.col("n_fp") == 0).alias("subset_ok"),
+            "recall_ok",
+        )
+    )
+
+
+@register("knn_range_ivf", _RANGE_EXACT_CTE + _RANGE_AUDIT_SELECT)
 def q_knn_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE search — FAISS's second query mode (range_search alongside
     top-k search), closing the ANN family's API surface: all neighbors
@@ -492,35 +535,7 @@ def q_knn_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.ivf_range_search(
         emb, KNN_QUERY_IDS, RANGE_RADIUS
     ).localCheckpoint(eager=True)
-    hit = (
-        approx.select("query_id", "neighbor_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    n_false_pos = approx.join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("n_fp"))
-    return flagged.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-        F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-            "sum_exact_sim_e6"
-        ),
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2 >= F.count(F.lit(1))
-        ).alias("recall_ok"),
-    ).crossJoin(n_false_pos).select(
-        "n_queries",
-        "n_exact",
-        "sum_exact_neighbor_ids",
-        "sum_exact_sim_e6",
-        (F.col("n_fp") == 0).alias("subset_ok"),
-        "recall_ok",
-    )
+    return _range_audit_frame(exact, approx)
 
 
 _EMB_EXACT_PAIRS_CTE = f"""

@@ -666,6 +666,49 @@ def ivf_query_stored(
     return _ivf_score_probes(inv, probes, k, id_col)
 
 
+def ivf_range_query_stored(
+    spark,
+    path: str,
+    query_ids: list[int],
+    radius: float,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RANGE search answered from the PERSISTED IVF index — the same
+    stored artifact (centroids + cid-partitioned inverted file)
+    ivf_query_stored serves top-k from, because FAISS serves both query
+    modes off one IndexIVF: centroids load as a k-row table, probe
+    selection runs the shared Arrow distance UDF, the corpus side reads
+    ONLY the probed ``cid=N`` partitions, and the radius filter keeps
+    every in-range neighbor found there — no top-k window anywhere.
+    Output is identical to the self-contained ivf_range_search at the
+    same parameters on the same index (pytest-pinned)."""
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["center"] for r in crows])
+    _, probe_cids = _ivf_udfs(cmat, nprobe)
+    inv = spark.read.parquet(f"{path}/invfile")
+    probes = (
+        inv.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+        )
+        .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    return (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= radius)
+    )
+
+
 def nearest_centroid_assign(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "kmeans_train_converged",
     "semantic_dedup_sharded_miss_audit",
     "knn_range_ivf",
+    "knn_range_ivf_stored",
     # 1b) round-8 code-touched: cluster_sharded_pairs gained the
     # hot-cluster block-pair decomposition (and the registered query now
     # exercises it via block_above=40); ivfpq_query_stored now honors a
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_signatures",
-    "knn_bruteforce",
 ]
 
 

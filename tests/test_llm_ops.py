@@ -1337,3 +1337,31 @@ def test_ivf_range_search_subset_and_exact_recovery(spark, embeddings):
         ).collect()
     }
     assert full_probe == exact
+
+
+def test_ivf_range_stored_matches_self_contained(spark, embeddings, tmp_path):
+    """Range answers from the persisted IVF index must equal the
+    self-contained ivf_range_search on the same index parameters — one
+    stored artifact serves both FAISS query modes (top-k is pinned by
+    test_ivf_stored_matches_self_contained; this pins range)."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_QUERY_IDS,
+        RANGE_RADIUS,
+    )
+
+    idx = str(tmp_path / "ivf_range_index")
+    similarity.ivf_build_index(embeddings, idx)
+    stored = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.ivf_range_query_stored(
+            spark, idx, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect()
+    }
+    self_c = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.ivf_range_search(
+            embeddings, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect()
+    }
+    assert stored == self_c
+    assert stored  # non-empty at every test sf by radius sizing
