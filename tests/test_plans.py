@@ -654,3 +654,36 @@ def test_ivfpq_prunes_cells_before_scoring(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # probe join + ADC join
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_ivf_range_search_plan_no_sort_no_window(spark):
+    """Range search must have NO top-k machinery at all: no Window, no
+    Sort, no TakeOrdered — the radius filter replaces ranking map-side.
+    The probe side broadcasts; the corpus never shuffles; q12/q21-style
+    joins stay out of it entirely."""
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_QUERY_IDS,
+        RANGE_RADIUS,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.ivf_range_search(emb, KNN_QUERY_IDS, RANGE_RADIUS)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # probe join on cid, build side = probes
+    assert "Window" not in plan
+    assert "TakeOrdered" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the corpus side must not be exchanged before the probe join: the
+    # only exchanges allowed are broadcast ones
+    non_broadcast_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert not non_broadcast_exchanges, plan
