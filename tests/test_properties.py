@@ -861,3 +861,88 @@ def test_sq_train_matches_numpy_minmax(spark, vecs):
     vmin, vmax = similarity.sq_train(df)
     assert np.array_equal(vmin, mat.min(axis=0))
     assert np.array_equal(vmax, mat.max(axis=0))
+
+
+# --- cluster-sharded pair split (r8 hot-cluster decomposition) -----------
+
+VEC_DIM = 6
+PAIR_VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=VEC_DIM,
+        max_size=VEC_DIM,
+    ),
+    min_size=2,
+    max_size=14,
+)
+PAIR_SPLIT_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vecs=PAIR_VECS,
+    data=st.data(),
+)
+@PAIR_SPLIT_SETTINGS
+def test_cluster_sharded_split_invariant_under_assignment(spark, vecs, data):
+    """The hot-cluster block-pair decomposition must be value-neutral for
+    ANY cluster assignment, any occupancy threshold, and any block
+    count — including adversarial shapes: all vectors in one cluster,
+    every vector its own cluster, thresholds that split none/some/all
+    clusters, sparse and gappy id spaces (negative-residue protection is
+    pmod's job), and num_blocks exceeding the corpus size."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        cluster_sharded_pairs,
+    )
+
+    n = len(vecs)
+    ids = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    clusters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=3), min_size=n, max_size=n
+        )
+    )
+    block_above = data.draw(st.integers(min_value=1, max_value=n + 1))
+    num_blocks = data.draw(st.sampled_from([2, 3, 4, 7, 16]))
+    threshold = data.draw(st.sampled_from([-1.0, 0.0, 0.5, 0.9]))
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in zip(ids, vecs)],
+        schema="vec_id long, embedding array<double>",
+    )
+    assigned = spark.createDataFrame(
+        [Row(vec_id=i, cluster=c) for i, c in zip(ids, clusters)],
+        schema="vec_id long, cluster int",
+    )
+
+    def as_map(df):
+        return {
+            (r["cluster"], r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in df.collect()
+        }
+
+    split = as_map(
+        cluster_sharded_pairs(
+            emb,
+            assigned,
+            threshold,
+            block_above=block_above,
+            num_blocks=num_blocks,
+        )
+    )
+    plain = as_map(
+        cluster_sharded_pairs(emb, assigned, threshold, block_above=None)
+    )
+    assert split == plain
