@@ -2307,7 +2307,11 @@ def _store_slices(subs: list[str], before_bid: int | None) -> list[str]:
     result assembly). Module-level so the boundary arithmetic is
     unit-testable without running the engine. Names starting with '_'
     (a crashed compaction's ``_compact`` staging dir or its ``_old_``
-    pre-delete renames) are never read as slices."""
+    pre-delete renames) are never read as slices — which is only
+    sufficient once :func:`recover_store_slices` has restored any
+    pre-promote ``_old_`` renames (those hold live rows the plain
+    listing would otherwise miss), so readers of a store a crashed
+    compaction may have touched run that recovery before listing."""
     subs = [s for s in subs if not s.startswith("_")]
     if before_bid is None:
         return subs
@@ -2727,6 +2731,55 @@ SELECT doc_id, 'readmit' AS phase, status, dup_of FROM res2
 """
 
 
+def recover_store_slices(path: str) -> str:
+    """Crash-state recovery for a per-batch-keyed store that may hold
+    the remains of an interrupted ``compact_store_slices`` run; safe
+    (and a cheap no-op) on a clean store. Returns the state found:
+    ``clean`` / ``cleared_staging`` / ``rolled_back`` / ``cleared_dead``.
+
+    The compaction's crash points map onto exactly two disk states,
+    distinguished by whether the ``_compact`` staging dir still exists
+    — it is created before any rename and disappears atomically AT the
+    promote (``os.replace(_compact, base)``), never in between:
+
+    - ``_compact`` present → the crash happened BEFORE the promote.
+      Any ``_old_<name>`` dirs are the renamed-away LIVE generation
+      (the promoted ``base`` replacing them was never installed), so
+      they hold the only copy of their rows: roll the renames BACK
+      (restore ``<name>``) and delete the staging dir. Deleting them
+      instead — the pre-fix behavior — lost the whole store when every
+      slice had been renamed, and silently dropped rows otherwise.
+    - ``_compact`` absent → any ``_old_`` dirs are dead renames from a
+      crash AFTER the promote; ``base`` already holds their rows
+      (the union was complete before any rename started). Delete them.
+
+    A live name coexisting with its ``_old_`` twin is unreachable by
+    this state machine (each name is renamed at most once per run, and
+    post-promote recovery deletes ``_old_`` dirs before a new run can
+    recreate the name), so that state raises rather than guessing
+    which copy to keep.
+    """
+    import os
+    import shutil
+
+    tmp = os.path.join(path, "_compact")
+    olds = sorted(s for s in os.listdir(path) if s.startswith("_old_"))
+    if os.path.isdir(tmp):
+        for s in olds:
+            live = os.path.join(path, s[len("_old_"):])
+            if os.path.exists(live):
+                raise RuntimeError(
+                    f"store {path}: {s} and {s[len('_old_'):]} both exist "
+                    "— unrecognized crash state, refusing to delete either"
+                )
+            os.replace(os.path.join(path, s), live)
+        shutil.rmtree(tmp)
+        return "rolled_back" if olds else "cleared_staging"
+    for s in olds:
+        shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+    return "cleared_dead" if olds else "clean"
+
+
 def compact_store_slices(spark, path: str) -> int:
     """Fold a per-batch-keyed store (``base`` + ``batch_<bid>`` parquet
     slices — the layout streaming_incremental_dedup's admission loop
@@ -2745,23 +2798,20 @@ def compact_store_slices(spark, path: str) -> int:
     never sees them); ``_compact`` is promoted to ``base``; and only
     then are the ``_old_`` dirs deleted. Every row therefore exists
     on disk at every crash point: before the promote, the complete
-    ``_compact`` plus the (possibly partially renamed) old generation;
-    after it, a correct store plus dead ``_old_`` dirs that the next
-    compaction (or a rerun of this one) clears. Deleting old slices
-    BEFORE the swap — the naive order — has a window where a crash
-    leaves a partial old generation that a reader would union as if
-    complete: silent row loss.
+    old generation (plain and/or ``_old_``-renamed) plus the staging
+    union; after it, a correct store plus dead ``_old_`` renames.
+    Entry runs :func:`recover_store_slices`, which tells those two
+    states apart by the staging dir's existence and rolls the live
+    generation BACK (pre-promote crash) or clears the dead renames
+    (post-promote crash) — never deleting a sole copy. Readers that
+    may open a store between a crash and the next compaction call the
+    same recovery first (see the ``_read_all`` helpers).
     """
     import os
     import shutil
 
+    recover_store_slices(path)
     tmp = os.path.join(path, "_compact")
-    shutil.rmtree(tmp, ignore_errors=True)
-    # Dead renames from a prior crash-after-promote (the store itself
-    # is already correct in that state; these hold superseded rows).
-    for s in os.listdir(path):
-        if s.startswith("_old_"):
-            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
     subs = sorted(
         s for s in os.listdir(path) if not s.startswith("_")
     )
@@ -2824,6 +2874,10 @@ def incremental_lsh_dedup_compacted(
         out = os.path.join(run_dir, "statuses")
 
         def _read_all(path: str) -> DataFrame:
+            # A compacted store may carry a crashed compaction's
+            # leftovers; recovery first, or the plain listing would
+            # miss rows renamed to _old_ before the promote.
+            recover_store_slices(path)
             subs = _store_slices(sorted(os.listdir(path)), None)
             return spark.read.parquet(*(os.path.join(path, s) for s in subs))
 

@@ -1291,6 +1291,126 @@ def test_compact_store_slices_roundtrip(spark, sf_dir, tmp_path):
     ]
 
 
+def _make_store(spark, sf_dir, root) -> tuple[str, list[tuple]]:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    store = str(root / "store")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(f"{store}/base")
+    docs.filter(F.col("doc_id") % 3 == 1).write.parquet(f"{store}/batch_1")
+    docs.filter(F.col("doc_id") % 3 == 2).write.parquet(f"{store}/batch_2")
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{store}/base", f"{store}/batch_1", f"{store}/batch_2"
+        ).collect()
+    )
+    return store, rows
+
+
+def _read_store(spark, store) -> list[tuple]:
+    import os
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    subs = ce._store_slices(sorted(os.listdir(store)), None)
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            *(os.path.join(store, s) for s in subs)
+        ).collect()
+    )
+
+
+def test_compact_recovery_pre_promote_mid_rename(spark, sf_dir, tmp_path):
+    """Crash mid-rename (staging union complete, SOME slices renamed to
+    _old_): the _old_ dirs hold the only copy of their rows. Recovery
+    must roll the renames back — the pre-fix rmtree silently lost
+    them — and a rerun compaction must then fold the full content."""
+    import os
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store, rows = _make_store(spark, sf_dir, tmp_path)
+    # Simulate the crash: write the staging union, rename ONE slice.
+    spark.read.parquet(
+        f"{store}/base", f"{store}/batch_1", f"{store}/batch_2"
+    ).write.parquet(f"{store}/_compact")
+    os.replace(f"{store}/base", f"{store}/_old_base")
+    assert ce.recover_store_slices(store) == "rolled_back"
+    assert sorted(os.listdir(store)) == ["base", "batch_1", "batch_2"]
+    assert _read_store(spark, store) == rows
+    # And the whole flow through a rerun compaction preserves content.
+    os.replace(f"{store}/batch_2", f"{store}/_old_batch_2")
+    spark.range(1).write.mode("overwrite").parquet(f"{store}/_compact")
+    assert ce.compact_store_slices(spark, store) == 3
+    assert _read_store(spark, store) == rows
+
+
+def test_compact_recovery_pre_promote_all_renamed(spark, sf_dir, tmp_path):
+    """Crash after EVERY slice was renamed but before the promote: the
+    _old_ dirs are the entire store. The pre-fix cleanup rmtree'd them
+    all — total store loss; recovery must restore every slice."""
+    import os
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store, rows = _make_store(spark, sf_dir, tmp_path)
+    spark.read.parquet(
+        f"{store}/base", f"{store}/batch_1", f"{store}/batch_2"
+    ).write.parquet(f"{store}/_compact")
+    for s in ("base", "batch_1", "batch_2"):
+        os.replace(f"{store}/{s}", f"{store}/_old_{s}")
+    assert ce.recover_store_slices(store) == "rolled_back"
+    assert sorted(os.listdir(store)) == ["base", "batch_1", "batch_2"]
+    assert _read_store(spark, store) == rows
+
+
+def test_compact_recovery_post_promote(spark, sf_dir, tmp_path):
+    """Crash after the promote, before the _old_ deletes: base already
+    holds the union, the _old_ dirs are dead renames — recovery deletes
+    them and the store content is unchanged."""
+    import os
+    import shutil
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store, rows = _make_store(spark, sf_dir, tmp_path)
+    spark.read.parquet(
+        f"{store}/base", f"{store}/batch_1", f"{store}/batch_2"
+    ).write.parquet(f"{store}/_compact")
+    for s in ("base", "batch_1", "batch_2"):
+        os.replace(f"{store}/{s}", f"{store}/_old_{s}")
+    os.replace(f"{store}/_compact", f"{store}/base")  # the promote
+    assert ce.recover_store_slices(store) == "cleared_dead"
+    assert sorted(os.listdir(store)) == ["base"]
+    assert _read_store(spark, store) == rows
+    shutil.rmtree(store)
+
+
+def test_compact_recovery_partial_staging_and_clean(spark, sf_dir, tmp_path):
+    """A crash mid-union-write leaves a partial _compact and an intact
+    plain generation: recovery just clears the staging dir. A clean
+    store is a no-op. A live/_old_ name collision (unreachable by the
+    compaction's state machine) raises instead of guessing."""
+    import os
+
+    import pytest
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store, rows = _make_store(spark, sf_dir, tmp_path)
+    os.makedirs(f"{store}/_compact")  # partial: no parquet written yet
+    assert ce.recover_store_slices(store) == "cleared_staging"
+    assert _read_store(spark, store) == rows
+    assert ce.recover_store_slices(store) == "clean"
+    # collision: both batch_1 and _old_batch_1 exist alongside _compact
+    os.makedirs(f"{store}/_compact")
+    os.makedirs(f"{store}/_old_batch_1")
+    with pytest.raises(RuntimeError, match="both exist"):
+        ce.recover_store_slices(store)
+
+
 def test_ivf_append_assigns_to_stored_centroids(spark, sf_dir, tmp_path):
     """Incremental index append: new vectors land in the cell the
     STORED centroids dictate (no retrain), the inverted file then
