@@ -464,9 +464,10 @@ in_range AS (
 _RANGE_AUDIT_SELECT = """
 SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
        COUNT(*) AS n_exact,
-       CAST(SUM(neighbor_id) AS BIGINT) AS sum_exact_neighbor_ids,
-       CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS BIGINT)
-         AS sum_exact_sim_e6,
+       COALESCE(CAST(SUM(neighbor_id) AS BIGINT), 0)
+         AS sum_exact_neighbor_ids,
+       COALESCE(CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT))
+                     AS BIGINT), 0) AS sum_exact_sim_e6,
        TRUE AS subset_ok,
        TRUE AS recall_ok
 FROM in_range
@@ -478,7 +479,11 @@ def _range_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     deterministic aggregates (value-hashed by the oracle) + subset_ok
     (zero approximate hits outside the exact in-range set — impossible
     by construction since probed-cell scoring is exact) + recall_ok
-    (the approximate tier found ≥ 50% of the exact in-range rows)."""
+    (the approximate tier found ≥ 50% of the exact in-range rows).
+    Zero-row-safe: when NO exact pair is in range (a radius above every
+    off-diagonal cosine), the sums coalesce to 0 and recall_ok is
+    vacuously TRUE — matching the oracle's aggregates-over-empty
+    output instead of emitting NULLs that flip the value hash."""
     hit = (
         approx.select("query_id", "neighbor_id")
         .distinct()
@@ -494,12 +499,16 @@ def _range_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
         flagged.agg(
             F.countDistinct("query_id").alias("n_queries"),
             F.count(F.lit(1)).alias("n_exact"),
-            F.sum("neighbor_id").alias("sum_exact_neighbor_ids"),
-            F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")).alias(
-                "sum_exact_sim_e6"
+            F.coalesce(F.sum("neighbor_id"), F.lit(0)).alias(
+                "sum_exact_neighbor_ids"
             ),
+            F.coalesce(
+                F.sum(F.round(F.col("cosine_sim") * 1000000, 0).cast("long")),
+                F.lit(0),
+            ).alias("sum_exact_sim_e6"),
             (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2
+                F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
+                * 2
                 >= F.count(F.lit(1))
             ).alias("recall_ok"),
         )

@@ -1339,6 +1339,38 @@ def test_ivf_range_search_subset_and_exact_recovery(spark, embeddings):
     assert full_probe == exact
 
 
+def test_range_audit_empty_in_range_set(spark, sf_dir):
+    """When NO exact pair is in range (radius above every off-diagonal
+    cosine), the audit frame must emit (0, 0, 0, 0, TRUE, TRUE) — not
+    NULL sums / NULL recall_ok — and the DuckDB oracle must produce the
+    identical row, so the driver hash cannot depend on RANGE_RADIUS
+    happening to hit at the test sfs (the r8 ADVICE empty-case gap)."""
+    import duckdb
+
+    from parallel_map_reduce_spark.operators import queries_llm as qll
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    radius = 1.01  # cosine <= 1.0, so the in-range set is empty
+    exact = similarity.range_search_exact(
+        emb, qll.KNN_QUERY_IDS, radius
+    )
+    approx = similarity.ivf_range_search(emb, qll.KNN_QUERY_IDS, radius)
+    (row,) = qll._range_audit_frame(exact, approx).collect()
+    got = tuple(row)
+    assert got == (0, 0, 0, 0, True, True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = (qll._RANGE_EXACT_CTE + qll._RANGE_AUDIT_SELECT).replace(
+        str(qll.RANGE_RADIUS), str(radius)
+    )
+    (oracle_row,) = con.execute(sql).fetchall()
+    assert tuple(oracle_row) == got
+
+
 def test_ivf_range_stored_matches_self_contained(spark, embeddings, tmp_path):
     """Range answers from the persisted IVF index must equal the
     self-contained ivf_range_search on the same index parameters — one
