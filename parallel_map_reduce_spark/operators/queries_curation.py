@@ -138,6 +138,7 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from parallel_map_reduce_spark.functions.hashing import hash64, hash64_sql
 from parallel_map_reduce_spark.operators import dedup as _dedup
 from parallel_map_reduce_spark.operators import similarity as _similarity
 from parallel_map_reduce_spark.operators.queries_llm import (
@@ -231,9 +232,7 @@ def q_semantic_dedup_cluster_sharded(spark: SparkSession, sf_dir: str) -> DataFr
 # aggregates plus two booleans — the provable containment (sharding only
 # removes edges, so the sharded losers are a subset of the exact
 # losers) and an integer-exact disagreement bound.
-_SHARD_MISS_SQL = (
-    _CLUSTER_ASSIGNED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
+_SHARD_MISS_TAIL = f""",
 exact_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM base a JOIN base b ON a.vec_id < b.vec_id
@@ -280,35 +279,69 @@ SELECT n_docs, n_exact_pairs, n_sharded_pairs,
        (5 * (n_losers_exact - n_losers_shard) <= 2 * n_docs) AS disagree_ok
 FROM counts
 """
+
+_SHARD_MISS_SQL = (
+    _CLUSTER_ASSIGNED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SHARD_MISS_TAIL
+)
+
+# Deterministic audit sample: hash64(vec_id) residue, d = ceil(n / cap)
+# — the _cap_train_set discipline with the portable md5 hash so the
+# oracle draws the IDENTICAL subset. cap=512 makes the sample a no-op
+# at sf0.001/0.01 (500 vectors) — the sampled audit is bit-identical to
+# the full one there — and a real 4x row cut at sf0.1 (2000 vectors).
+_AUDIT_SAMPLE_CAP = 512
+_AUDIT_SAMPLE_SEED = 13
+
+_SAMPLED_BASE_CTE = f"""WITH nrows AS (
+  SELECT GREATEST(CAST(CEIL(COUNT(*) / {_AUDIT_SAMPLE_CAP}.0) AS BIGINT), 1)
+           AS d
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec
+  FROM embeddings CROSS JOIN nrows
+  WHERE {hash64_sql("CAST(vec_id AS VARCHAR)", _AUDIT_SAMPLE_SEED)} % d = 0
+),"""
+
+_SAMPLED_ASSIGNED_CTE = _CLUSTER_ASSIGNED_CTE.replace(
+    "WITH base AS "
+    "(SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),",
+    _SAMPLED_BASE_CTE,
+    1,
+)
+if _SAMPLED_ASSIGNED_CTE == _CLUSTER_ASSIGNED_CTE:
+    # The replace is anchored on the shared CTE's literal text; if that
+    # text drifts, fail at import instead of shipping an unsampled
+    # "sampled" oracle (python -O strips asserts, so a real raise).
+    raise RuntimeError(
+        "_CLUSTER_ASSIGNED_CTE base-CTE text drifted; the sampled "
+        "miss-audit oracle replace no longer matches"
+    )
+
+_SHARD_MISS_SAMPLED_SQL = (
+    _SAMPLED_ASSIGNED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SHARD_MISS_TAIL
 )
 
 
-@register("semantic_dedup_sharded_miss_audit", _SHARD_MISS_SQL)
-def q_semantic_dedup_sharded_miss_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Quantified miss-rate audit for the cluster-sharded SemDeDup tier
-    (VERDICT r7 #6): run the GLOBAL exact pair generator and the
-    within-cluster sharded one in the same query, form both keep-sets,
-    and emit the measured approximation quality as driver-value-hashed
-    aggregates — missed (cross-cluster) pair count and rate, keep-set
-    disagreement rate — plus two booleans the oracle expects TRUE:
+def _shard_miss_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Shared body of the exact-vs-sharded SemDeDup miss audit: run the
+    GLOBAL exact pair generator and the within-cluster sharded one over
+    the SAME embedding frame, form both keep-sets, and emit the
+    measured approximation quality as driver-value-hashed aggregates —
+    missed (cross-cluster) pair count and rate, keep-set disagreement
+    rate — plus two booleans the oracle expects TRUE:
     ``keep_superset_ok`` (sharding only removes edges, so the sharded
-    losers are provably a subset of the exact losers — the pytest
-    containment claim, now checked by the driver every round) and
-    ``disagree_ok`` (integer-exact ≤40% keep-set disagreement; the
-    synthetic corpus at threshold {t} measures 9-34% across sfs because
-    its near-dup graph is cross-topic — production SemDeDup thresholds
-    of 0.95+ make cross-cluster misses rare, and THIS audit is the tool
-    that measures that on a real corpus). The sharded side reuses the
-    hot-cluster block-pair decomposition (block_above=40), so the skew
-    path is re-exercised under a second oracle. The exact side uses the
-    BLOCKED Arrow Gram generator (embedding_all_pairs_blocked — emits
-    the identical pair set to the per-row JVM fold, pytest-pinned) and
-    both pair sets are materialized once: each generator feeds its
-    count aggregate AND its connected-components run without
-    re-evaluating the quadratic kernel."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    losers are provably a subset of the exact losers) and
+    ``disagree_ok`` (integer-exact ≤40% keep-set disagreement). The
+    sharded side reuses the hot-cluster block-pair decomposition
+    (block_above=40); the exact side uses the BLOCKED Arrow Gram
+    generator (embedding_all_pairs_blocked — emits the identical pair
+    set to the per-row JVM fold, pytest-pinned) and both pair sets are
+    materialized once: each generator feeds its count aggregate AND its
+    connected-components run without re-evaluating the quadratic
+    kernel."""
     assigned = (
         _similarity.nearest_centroid_assign(emb)
         .select("vec_id", "cluster")
@@ -377,6 +410,59 @@ def q_semantic_dedup_sharded_miss_audit(
             <= 2 * F.col("n_docs")
         ).alias("disagree_ok"),
     )
+
+
+@register("semantic_dedup_sharded_miss_audit", _SHARD_MISS_SQL)
+def q_semantic_dedup_sharded_miss_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantified miss-rate audit for the cluster-sharded SemDeDup tier
+    (VERDICT r7 #6) over the FULL corpus — see _shard_miss_frame for
+    the shared body and boolean contract. The synthetic corpus at
+    threshold {t} measures 9-34% keep disagreement across sfs because
+    its near-dup graph is cross-topic — production SemDeDup thresholds
+    of 0.95+ make cross-cluster misses rare, and THIS audit is the tool
+    that measures that on a real corpus. The exact side is O(n²)
+    cosines BY DESIGN (it is the ground truth being compared against),
+    which is affordable at driver sfs but not at 100 TB — the sampled
+    twin below is the form you run at the design scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _shard_miss_frame(spark, emb)
+
+
+@register(
+    "semantic_dedup_sharded_miss_audit_sampled", _SHARD_MISS_SAMPLED_SQL
+)
+def q_semantic_dedup_sharded_miss_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB-safe form of the miss audit (VERDICT r8 #2): both
+    generators — exact all-pairs AND cluster-sharded — run over a
+    DETERMINISTIC hash-residue sample of the corpus (hash64(vec_id) %
+    ceil(n/cap) = 0, the _cap_train_set discipline with the portable
+    md5 hash so the DuckDB oracle draws the identical subset), and the
+    keep_superset_ok / disagree_ok booleans are measured on the sample.
+    The quadratic exact side therefore costs O(cap²) REGARDLESS of
+    corpus size — the only registered query that couldn't run at the
+    design scale now can. cap=512: a no-op at sf0.001/0.01 (500
+    vectors — bit-identical to the full audit there, so the sampled
+    form is itself audited against the full one every round the two
+    share a window), a 4x row / ~16x pair cut at sf0.1. Statistical
+    caveat by design: a residue sample underestimates CLUSTERED
+    duplication slightly (pairs need both ends drawn), but the
+    exact-vs-sharded DISAGREEMENT comparison is unbiased — both
+    generators see the same sample, so containment stays provable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    d = max(1, -(-n // _AUDIT_SAMPLE_CAP))
+    emb_s = emb.filter(
+        F.pmod(
+            hash64(F.col("vec_id").cast("string"), _AUDIT_SAMPLE_SEED),
+            F.lit(d),
+        )
+        == 0
+    )
+    return _shard_miss_frame(spark, emb_s)
 
 
 _BPE_ROUNDS = 12

@@ -2636,15 +2636,13 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_train_converged_oracle_sql(max_rounds: int = 6) -> str:
-    """Replay the full Lloyd loop unrolled: one (centroids → rescore →
-    argmax → stats) CTE triple per round, chained off the SAME seed
-    assignment CTE the single-step queries use. Every loop CTE is AS
-    MATERIALIZED — DuckDB would otherwise inline each round's CTEs into
-    the next and the plan grows exponentially (the bpe_train_vocab
-    lesson). The final SELECT reproduces the early stop: round r is
-    emitted iff every earlier round still moved vectors, so the
-    converged round appears and later (never-executed) rounds don't."""
+def _kmeans_unrolled_ctes(max_rounds: int) -> str:
+    """The unrolled Lloyd-loop CTE prefix shared by the convergence
+    audit and the final-assignment oracles: the seed assignment CTE
+    plus one (centroids → rescore → argmax → stats) MATERIALIZED
+    quadruple per round. Every loop CTE is AS MATERIALIZED — DuckDB
+    would otherwise inline each round's CTEs into the next and the
+    plan grows exponentially (the bpe_train_vocab lesson)."""
     sql = _CLUSTER_ASSIGNED_CTE
     prev = "assigned"
     for r in range(1, max_rounds + 1):
@@ -2679,6 +2677,15 @@ stat_{r} AS MATERIALIZED (
   FROM best_{r}
 )"""
         prev = f"best_{r}"
+    return sql
+
+
+def kmeans_train_converged_oracle_sql(max_rounds: int = 6) -> str:
+    """Replay the full Lloyd loop unrolled (see _kmeans_unrolled_ctes).
+    The final SELECT reproduces the early stop: round r is emitted iff
+    every earlier round still moved vectors, so the converged round
+    appears and later (never-executed) rounds don't."""
+    sql = _kmeans_unrolled_ctes(max_rounds)
     selects = [
         "SELECT round, n_moved, avg_sim, n_clusters,"
         " (n_moved = 0) AS converged FROM stat_1"
@@ -2692,6 +2699,37 @@ stat_{r} AS MATERIALIZED (
             f" (n_moved = 0) FROM stat_{r} WHERE {conds}"
         )
     return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+def kmeans_final_assignment_cte(max_rounds: int) -> str:
+    """The unrolled Lloyd loop ending in a ``final_assigned(vec_id,
+    cluster)`` CTE — the assignment after the converged (or capped)
+    round, for oracles that consume the TRAINED clustering (topic-aware
+    mixture resampling). The early stop is reproduced with per-round
+    n_moved guards: branch r < max fires iff rounds 1..r-1 all moved
+    vectors and round r moved none (r is the converged round); the
+    r = max branch fires iff every earlier round moved (the cap bound,
+    converged or not) — exactly one branch emits rows."""
+    sql = _kmeans_unrolled_ctes(max_rounds)
+    branches = []
+    for r in range(1, max_rounds + 1):
+        conds = [
+            f"(SELECT n_moved FROM stat_{i}) > 0" for i in range(1, r)
+        ]
+        if r < max_rounds:
+            conds.append(f"(SELECT n_moved FROM stat_{r}) = 0")
+        where = " AND ".join(conds) if conds else "TRUE"
+        branches.append(
+            f"SELECT vec_id, cluster FROM best_{r} WHERE {where}"
+        )
+    joined = "\n  UNION ALL ".join(branches)
+    return (
+        sql
+        + f""",
+final_assigned AS MATERIALIZED (
+  {joined}
+)"""
+    )
 
 
 _KMEANS_TRAIN_ROUNDS = 6

@@ -763,6 +763,7 @@ def kmeans_train_converged(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    return_assignment: bool = False,
 ) -> DataFrame:
     """Multi-iteration Lloyd k-means to convergence: iterate
     embedding_kmeans_refine's single step — per-cluster mean centroids
@@ -786,6 +787,22 @@ def kmeans_train_converged(
     argmax window. This is also the coarse-quantizer training story for
     the IVF family run to convergence instead of ivf_train's fixed
     iteration count.
+
+    With ``return_assignment=True`` the return value is instead the
+    FINAL (id, cluster) assignment after the converged (or capped)
+    round — the trained-topic membership downstream consumers (topic-
+    aware mixture resampling) join against.
+
+    Cross-engine tolerance note: each round's centroids come from
+    ``F.avg`` over doubles ROUNDED to 6 — float summation order is
+    partition-dependent, so a component landing exactly on a rounding
+    boundary could in principle diverge the trajectory vs the oracle's
+    DuckDB AVG. The single-step embedding_kmeans_refine has held this
+    contract since round 4 and the loop is capped small (6 registered
+    rounds ≈ 6 independent boundary draws per component); if a boundary
+    flip is ever observed, the fix is a summation-order-independent
+    centroid agg (sum of per-value rounded contributions), not a wider
+    rounding.
     """
     spark = embeddings.sparkSession
     base = embeddings.select(
@@ -851,6 +868,8 @@ def kmeans_train_converged(
         assigned = best.select(id_col, "cluster")
         if stat["n_moved"] == 0:
             break
+    if return_assignment:
+        return assigned
     return spark.createDataFrame(
         rows,
         "round int, n_moved long, avg_sim double, n_clusters long, "

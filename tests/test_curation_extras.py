@@ -1322,6 +1322,51 @@ def _read_store(spark, store) -> list[tuple]:
     )
 
 
+def test_sampled_miss_audit_no_op_at_small_sf_and_samples_at_sf01(spark, sf_dir):
+    """The sampled miss audit must (a) equal the full audit row wherever
+    d = ceil(n/cap) = 1 (sf0.001: 500 <= 512 vectors — the no-op
+    contract that lets the two queries audit each other in a shared
+    window), and (b) at sf0.1 (2000 vectors, d = 4) run on the exact
+    hash64-residue subset with both containment booleans still TRUE."""
+    import hashlib
+
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        _AUDIT_SAMPLE_CAP,
+        _AUDIT_SAMPLE_SEED,
+        q_semantic_dedup_sharded_miss_audit as q_full,
+        q_semantic_dedup_sharded_miss_audit_sampled as q_sampled,
+    )
+
+    (full,) = q_full(spark, sf_dir).collect()
+    (sampled,) = q_sampled(spark, sf_dir).collect()
+    assert tuple(sampled) == tuple(full)  # d == 1 at this sf
+
+    sf01 = "/root/testdata/sf0.1"
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM '{sf01}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    d = -(-len(ids) // _AUDIT_SAMPLE_CAP)
+    assert d > 1  # the sample is real at sf0.1
+
+    def h64(v: int) -> int:
+        return int(
+            hashlib.md5(
+                f"{v}\x1f{_AUDIT_SAMPLE_SEED}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+
+    expected_n = sum(1 for v in ids if h64(v) % d == 0)
+    (row,) = q_sampled(spark, sf01).collect()
+    assert row["n_docs"] == expected_n
+    assert row["keep_superset_ok"] and row["disagree_ok"]
+
+
 def test_compact_recovery_pre_promote_mid_rename(spark, sf_dir, tmp_path):
     """Crash mid-rename (staging union complete, SOME slices renamed to
     _old_): the _old_ dirs hold the only copy of their rows. Recovery
