@@ -143,7 +143,10 @@ from parallel_map_reduce_spark.operators import dedup as _dedup
 from parallel_map_reduce_spark.operators import similarity as _similarity
 from parallel_map_reduce_spark.operators.queries_llm import (
     _CLUSTER_ASSIGNED_CTE,
+    _KMEANS_TRAIN_ROUNDS,
+    _POW60,
     EMBED_DUP_THRESHOLD,
+    kmeans_final_assignment_cte,
 )
 
 # Replays the Spark composition: seed-centroid assignment (the SAME CTE
@@ -463,6 +466,77 @@ def q_semantic_dedup_sharded_miss_audit_sampled(
         == 0
     )
     return _shard_miss_frame(spark, emb_s)
+
+
+_TOPIC_MIX_SEED = 11
+
+_TOPIC_MIX_SQL = (
+    kmeans_final_assignment_cte(_KMEANS_TRAIN_ROUNDS)
+    + f""",
+cnts AS (
+  SELECT cluster, COUNT(*) AS src_n, (cluster % 4 + 1) AS w
+  FROM final_assigned GROUP BY cluster
+),
+tot AS (
+  SELECT SUM(w) AS sum_w,
+         CAST(FLOOR(SUM(src_n) / 2.0) AS BIGINT) AS t_total
+  FROM cnts
+)
+SELECT f.vec_id, f.cluster
+FROM final_assigned f JOIN cnts USING (cluster) CROSS JOIN tot
+WHERE CAST({hash64_sql("CAST(f.vec_id AS VARCHAR)", _TOPIC_MIX_SEED)} AS DOUBLE)
+        * (CAST(sum_w AS DOUBLE) * CAST(src_n AS DOUBLE))
+      < (CAST(t_total AS DOUBLE) * CAST(w AS DOUBLE)) * {_POW60!r}
+"""
+)
+
+
+@register("topic_mixture_resample", _TOPIC_MIX_SQL)
+def q_topic_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-AWARE mixture resampling: domain_mixture_resample's
+    DoReMi-style rebalancing with the domain label replaced by a
+    LEARNED topic — the converged k-means clustering
+    (similarity.kmeans_train_converged, return_assignment=True) instead
+    of the source-name column. This is the composition a real mixing
+    run executes when domains aren't labeled: cluster the corpus, then
+    up/down-weight each discovered topic (here w = cluster % 4 + 1
+    standing in for the measured weight table). The keep rule is the
+    SAME hash-Bernoulli membership predicate as the source-label form —
+    ``hash64(vec_id)·(Σw·src_n) < (t_total·w)·2^60`` compared in DOUBLE
+    with the identical multiply shape on both engines — so exact row
+    membership is value-hashed; the oracle replays the trained
+    clustering via the unrolled final-assignment CTEs
+    (kmeans_final_assignment_cte) and the mixture arithmetic on top.
+
+    Scale posture: training is the registered converged-trainer loop
+    (bounded rounds, scalar-only driver traffic); the per-topic counts
+    + weights are one partial agg (rows = k topics) broadcast back; the
+    keep probe is a codegen'd scan — the corpus never shuffles beyond
+    the trainer's own argmax window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _similarity.kmeans_train_converged(
+        emb, max_rounds=_KMEANS_TRAIN_ROUNDS, return_assignment=True
+    )
+    w = F.col("cluster") % 4 + 1
+    cnts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("src_n"), F.first(w).alias("w")
+    )
+    tot = cnts.agg(
+        F.sum("w").alias("sum_w"),
+        F.floor(F.sum("src_n") / 2.0).cast("long").alias("t_total"),
+    )
+    keep = (
+        hash64(F.col("vec_id").cast("string"), _TOPIC_MIX_SEED).cast("double")
+        * (F.col("sum_w").cast("double") * F.col("src_n").cast("double"))
+        < (F.col("t_total").cast("double") * F.col("w").cast("double"))
+        * F.lit(_POW60)
+    )
+    return (
+        assigned.join(F.broadcast(cnts), "cluster")
+        .crossJoin(F.broadcast(tot))
+        .filter(keep)
+        .select("vec_id", "cluster")
+    )
 
 
 _BPE_ROUNDS = 12

@@ -1295,6 +1295,48 @@ def test_kmeans_train_converges_and_descends(spark, embeddings):
     real = similarity.kmeans_train_converged(embeddings, max_rounds=3).collect()
     sims = [r["avg_sim"] for r in real]
     assert sims == sorted(sims)
+    # return_assignment=True: one row per vector, converged fixed point —
+    # on the separable data above, reassigning against the final
+    # clustering's own centroids moves nothing, so the assignment equals
+    # the label structure the generator planted (labels are the seeds).
+    final = similarity.kmeans_train_converged(
+        df, max_rounds=6, return_assignment=True
+    ).collect()
+    assert len(final) == 60
+    assert {r["vec_id"] % 3 == r["cluster"] for r in final} == {True}
+
+
+def test_topic_mixture_resample_deterministic_half(spark, sf_dir):
+    """The trained-topic mixture resample keeps ~half the corpus, is
+    reproducible run-to-run (pure hash membership — no RNG), and every
+    kept (vec_id, cluster) pair comes from the trained assignment."""
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        q_topic_mixture_resample,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        _KMEANS_TRAIN_ROUNDS,
+    )
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    kept1 = sorted(
+        tuple(r) for r in q_topic_mixture_resample(spark, sf_dir).collect()
+    )
+    kept2 = sorted(
+        tuple(r) for r in q_topic_mixture_resample(spark, sf_dir).collect()
+    )
+    assert kept1 == kept2
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert 0 < len(kept1) < n
+    # hash-Bernoulli at target n/2: loose 3-sigma-ish band
+    assert abs(len(kept1) - n / 2) < 0.15 * n
+    assigned = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.kmeans_train_converged(
+            emb, max_rounds=_KMEANS_TRAIN_ROUNDS, return_assignment=True
+        ).collect()
+    }
+    assert set(kept1) <= assigned
 
 
 def test_ivf_range_search_subset_and_exact_recovery(spark, embeddings):
