@@ -32,77 +32,78 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-8 rotation
-# (PLANS.md "Round-8 window plan", re-issued by VERDICT r7 "Next round"
-# #1): queries NEW in round 8 first (every new query must be in-window
-# its first round), then round-8 code-touched queries, then ALL 37
-# r3-latest rows (the 18 displaced from r7 planning + the 19 already
-# scheduled), then the OLDEST r4-latest rows filling the window —
-# after this round no query's latest driver row is older than r4.
+# exceeds that or names a query that doesn't exist.  Round-9 rotation
+# (PLANS.md "Round-9 window plan", re-issued by VERDICT r8 "Next round"
+# #1): queries NEW in round 9 first (every new query must be in-window
+# its first round), then round-9 code-touched queries, then ALL 38
+# remaining r4-latest rows (r4 row order), then the OLDEST r6-latest
+# rows filling the window (the new/touched head displaced 7 of the 12
+# planned r6 fills one-for-one; they roll to round 10) — after this
+# round no query's latest driver row is older than r6.
 # Names not listed keep registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) queries NEW in round 8 — first driver row this round
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_waiting_suppliers",
-    "kmeans_train_converged",
-    "semantic_dedup_sharded_miss_audit",
+    # 1) queries NEW in round 9 — first driver row this round
+    "semantic_dedup_sharded_miss_audit_sampled",
+    "topic_mixture_resample",
+    # 1b) round-9 code-touched: compact_store_slices gained crash-state
+    # rollback recovery (under incremental_lsh_dedup_compacted); the
+    # range-audit frame + SQL became zero-row-safe; kmeans_train_converged
+    # gained return_assignment and its oracle generator was refactored
+    # into shared unrolled CTEs; the miss audit's body moved into the
+    # shared _shard_miss_frame
+    "incremental_lsh_dedup_compacted",
     "knn_range_ivf",
     "knn_range_ivf_stored",
-    # 1b) round-8 code-touched: cluster_sharded_pairs gained the
-    # hot-cluster block-pair decomposition (and the registered query now
-    # exercises it via block_above=40); ivfpq_query_stored now honors a
-    # persisted rotation; compact_store_slices' crash ordering changed
-    # under incremental_lsh_dedup_compacted
-    "semantic_dedup_cluster_sharded",
-    "knn_ivfpq_ann_stored",
-    "incremental_lsh_dedup_compacted",
-    # 2) the 18 r3-latest rows displaced from round-7 planning
-    "ngram_jaccard_pairs_capped",
-    "decontaminate_corpus",
-    "pipeline_clean_corpus",
-    "doc_repetition_stats",
-    "asof_join_purchase_to_view",
-    "interval_join_event_pairs",
-    "hll_mergeable_daily_users",
-    "stats_aggregates",
-    "simhash_block_near_pairs",
-    "cohort_retention",
-    "simhash_near_pairs",
-    "funnel_conversion",
-    "events_sessionization",
-    "events_session_windows",
-    "tpch_q8_market_share",
-    "tpch_q22_dormant_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q18_large_volume_customer",
-    # 3) the 19 remaining r3-latest rows (r3 row order) — with these,
-    # every r3 row re-verifies this round
-    "dataset_split_assignment",
-    "pack_batches_by_budget",
-    "inverted_index_postings",
-    "stratified_sample_deterministic",
-    "intersect_all_nations",
-    "except_all_nations",
-    "window_value_functions",
-    "ansi_safe_functions",
-    "sql_interface_recursive_months",
-    "udaf_geomean_price",
-    "grouped_zscore_events",
-    "udtf_token_lengths",
-    "sql_interface_q6",
-    "sql_interface_segments",
-    "window_ntile_quartiles",
-    "window_time_range_sum",
-    "latest_event_per_user",
-    "daily_revenue_gapfill",
-    "events_variant_extract",
-    # 4) oldest r4-latest rows (r4 row order) fill the window; the rest
-    # of the r4 batch rolls to round 9
-    "dedup_exact_groups",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
+    "kmeans_train_converged",
+    "semantic_dedup_sharded_miss_audit",
+    # 2) ALL 38 remaining r4-latest rows (r4 row order) — with these,
+    # every r4 row re-verifies this round
+    "bm25_search",
+    "bpe_token_stats",
+    "chunk_documents",
+    "dedup_group_assignment",
+    "dedup_keep_corpus",
+    "knn_bruteforce",
+    "knn_lsh_ann",
+    "multimodal_features",
+    "multimodal_frame_samples",
+    "quality_scores",
+    "unigram_lm_doc_scores",
+    "approx_aggregates",
+    "multimodal_pixel_stats",
+    "multimodal_real_decode",
+    "streaming_sliding_means",
+    "streaming_dedup_user_totals",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_counts",
+    "streaming_running_user_totals",
+    "duplicated_span_stats",
+    "substring_dedup_corpus",
+    "ngram_jaccard_pairs_prefix",
+    "pipeline_training_batches",
+    "hybrid_retrieval_rrf",
+    "heavy_hitters_tokens",
+    "domain_mixture_resample",
+    "quality_quantile_filter",
+    "pii_redaction_stats",
+    "line_dedup_stats",
+    "embedding_cluster_assign",
+    "sql_interface_lateral_topn",
+    "embedding_kmeans_refine",
+    "bpe_merge_pairs",
+    "tfidf_top_terms",
+    "event_transition_matrix",
+    "multimodal_resize_stats",
+    "streaming_session_windows",
+    "data_quality_audit",
+    # 3) oldest r6-latest rows (r6 row order) fill the window; the rest
+    # of the r6 batch rolls to round 10
+    "dedup_exact",
+    "token_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "bigram_frequencies",
 ]
 
 

@@ -92,3 +92,23 @@ def test_driver_window_covers_all_unchecked_queries():
     window = set(qs[:50])
     missing = [n for n in qs if n not in checked and n not in window]
     assert not missing, f"never-checked and outside window: {missing}"
+
+
+def test_correctness_history_names_fold_back_to_registry():
+    """The inverse of the window-coverage invariant (VERDICT r8 #6):
+    every name in the folded CORRECTNESS_r*.json history must still be
+    a registered query. An orphan row means a query was renamed or
+    dropped AFTER accumulating driver evidence — its history silently
+    stops counting toward freshness and a rotation planner reading the
+    fold would starve the renamed query of a slot. Renames must carry
+    their evidence forward deliberately (re-window the new name);
+    deletions must be recorded in SURVEY §8."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(p)))
+    qs = set(entrymod.queries())
+    orphans = sorted(checked - qs)
+    assert not orphans, f"CORRECTNESS rows for unregistered names: {orphans}"

@@ -8,8 +8,12 @@ Usage:
 Accepts both formats: the driver's wrapper ({"n", "rc", "cpus", "sf",
 "tail"} with the bench's JSON line buried in `tail` among \\r progress
 junk) and bench.py's raw single-line output. Queries are compared against
-the FIRST file given; >1.3x is flagged (the sandbox shows ~30% noise on
-single-shot timings — only trust flags reproduced across best-of-N runs).
+the FIRST file given. Flag thresholds follow the timing protocol: rows
+measured median-of-3 in the LATEST file (bench.py's MEDIAN3 tier,
+recorded in `median3_rows` since headline_timing=median3) flag at
+>1.3x — the median is robust to one-sided load spikes; best-of-N rows
+flag only at >2.2x, the measured noise-probe spread on this shared host
+(a smaller single-shot move is indistinguishable from load).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import re
 import sys
 
 REGRESSION_RATIO = 1.3
+NOISE_RATIO = 2.2  # measured noise_probe spread (BENCH_r08) on best-of-N rows
 
 
 def load_bench(path: str) -> dict:
@@ -45,6 +50,7 @@ def main(argv: list[str]) -> int:
     )
     header = f"{'query':40s}" + "".join(f"{n[-12:]:>13s}" for n in names)
     print(header + f"{'last/base':>10s}")
+    median3 = set(rounds[-1][1].get("median3_rows") or [])
     flagged = []
     for q in qnames:
         cells = ""
@@ -54,10 +60,14 @@ def main(argv: list[str]) -> int:
         b, last = base["queries"].get(q), rounds[-1][1]["queries"].get(q)
         if b is not None and last is not None and b > 0:
             ratio = last / b
-            flag = "  <-- REGR" if ratio > REGRESSION_RATIO else ""
+            # Median-of-3 rows are load-robust → the tight threshold;
+            # best-of-N rows only flag above the measured noise band.
+            limit = REGRESSION_RATIO if q in median3 else NOISE_RATIO
+            mark = " m3" if q in median3 else ""
+            flag = f"  <-- REGR(>{limit}x)" if ratio > limit else ""
             if flag:
                 flagged.append(q)
-            print(f"{q:40s}{cells}{ratio:10.2f}{flag}")
+            print(f"{q:40s}{cells}{ratio:10.2f}{mark}{flag}")
         else:
             print(f"{q:40s}{cells}{'-':>10s}")
     shared = set(base["queries"]) & set(rounds[-1][1]["queries"])
