@@ -1433,6 +1433,50 @@ def test_compact_recovery_post_promote(spark, sf_dir, tmp_path):
     shutil.rmtree(store)
 
 
+def test_compact_recovery_exhaustive_rename_subsets(spark, tmp_path):
+    """Exhaustive pre-promote crash sweep: the compaction can die after
+    renaming ANY subset of slices (renames happen one at a time). For
+    every subset of {base, batch_1, batch_2}, recovery must restore the
+    exact original content and a rerun compaction must fold it — the
+    uniform-rollback property the state machine claims, checked over
+    all 8 reachable states rather than three representatives."""
+    import itertools
+    import os
+    import shutil
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    slices = ["base", "batch_1", "batch_2"]
+    for subset_size in range(len(slices) + 1):
+        for renamed in itertools.combinations(slices, subset_size):
+            store = str(tmp_path / f"store_{'_'.join(renamed) or 'none'}")
+            for i, s in enumerate(slices):
+                spark.range(10 * i, 10 * i + 10).write.parquet(
+                    f"{store}/{s}"
+                )
+            expected = sorted(range(30))
+            spark.read.parquet(
+                *(f"{store}/{s}" for s in slices)
+            ).write.parquet(f"{store}/_compact")
+            for s in renamed:
+                os.replace(f"{store}/{s}", f"{store}/_old_{s}")
+            state = ce.recover_store_slices(store)
+            assert state == ("rolled_back" if renamed else "cleared_staging")
+            got = sorted(
+                r["id"]
+                for r in spark.read.parquet(
+                    *(f"{store}/{s}" for s in slices)
+                ).collect()
+            )
+            assert got == expected, f"rows lost after crash state {renamed}"
+            assert ce.compact_store_slices(spark, store) == 3
+            got2 = sorted(
+                r["id"] for r in spark.read.parquet(f"{store}/base").collect()
+            )
+            assert got2 == expected
+            shutil.rmtree(store)
+
+
 def test_compact_recovery_partial_staging_and_clean(spark, sf_dir, tmp_path):
     """A crash mid-union-write leaves a partial _compact and an intact
     plain generation: recovery just clears the staging dir. A clean

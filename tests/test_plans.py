@@ -687,3 +687,37 @@ def test_ivf_range_search_plan_no_sort_no_window(spark):
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
     assert not non_broadcast_exchanges, plan
+
+
+def test_topic_mixture_resample_plan_broadcast_only(spark):
+    """The mixture layer on top of the trained clustering must add NO
+    corpus shuffle: the per-topic counts (a partial+final hash agg over
+    the k-topic key — the only exchange allowed) broadcast back into
+    the assignment scan, the 1-row totals broadcast, and the keep rule
+    evaluates inside the join — no SortMergeJoin, no Sort, no Window in
+    the post-training plan (the trainer's own work is behind the
+    localCheckpoint scan boundary)."""
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        q_topic_mixture_resample,
+    )
+
+    df = q_topic_mixture_resample(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # per-topic counts join
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan  # cnts agg combines map-side
+    # Every exchange is agg-scale: the k-row per-cluster count (appears
+    # twice — tot recomputes the cnts branch) and the 1-row global
+    # totals. The CORPUS never shuffles: no exchange keys on vec_id.
+    non_broadcast = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert non_broadcast, plan
+    for l in non_broadcast:
+        assert (
+            "hashpartitioning(cluster" in l or "SinglePartition" in l
+        ), plan
+    assert "hashpartitioning(vec_id" not in plan, plan
