@@ -648,6 +648,13 @@ def ivf_query_stored(
     """
     if query_ids is None:
         query_ids = list(range(10))
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    # A crashed invfile compaction may have renamed the live inverted
+    # file away; recovery (one cheap listing) restores it before open.
+    recover_store_slices(path)
     crows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cid"],
@@ -664,6 +671,60 @@ def ivf_query_stored(
         .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
     )
     return _ivf_score_probes(inv, probes, k, id_col)
+
+
+def compact_ivf_index(spark, path: str) -> tuple[int, int]:
+    """Inverted-file maintenance for the two-phase IVF: fold the data
+    files that nightly ``ivf_append_to_index`` batches accumulate
+    inside each ``cid=N`` partition back to ONE file per cell,
+    returning (files_before, files_after). Row content is preserved
+    exactly — the fold is a read + clustered rewrite, no quantizer
+    retrain and no reassignment, so query answers are bit-identical
+    before and after (pytest-pinned). What it buys at 100 TB is the
+    same thing store compaction buys the dedup pipeline: an N-append
+    index holds N files per touched cell, and listing/footer cost for
+    every probe grows linearly until a compaction restores O(1) opens
+    per cell. FAISS's on-disk IndexIVF has no analogous fragmentation
+    only because its add() rewrites a single memory-mapped file; the
+    parquet inverted file trades that for cheap appends plus THIS
+    periodic fold. Run quiesced (between query jobs), like
+    compact_store_slices.
+
+    Crash safety reuses the store-compaction state machine
+    (curation_extras.recover_store_slices, same `_compact`/`_old_`
+    naming): the clustered rewrite lands in ``<path>/_compact``, the
+    live ``invfile`` is renamed to ``_old_invfile``, ``_compact``
+    promotes to ``invfile``, and only then is the old generation
+    deleted — entry recovery rolls a pre-promote crash back (the
+    ``_old_`` rename holds the only copy) and clears a post-promote
+    crash's dead rename. The stored-query readers run the same
+    recovery before opening the index.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    inv = f"{path}/invfile"
+    tmp = f"{path}/_compact"
+
+    def _nfiles() -> int:
+        return len(_glob.glob(f"{inv}/cid=*/*.parquet"))
+
+    files_before = _nfiles()
+    # repartition BY cid: every cell's rows land in one task, so the
+    # partitionBy write emits exactly one file per non-empty cell.
+    spark.read.parquet(inv).repartition("cid").write.partitionBy(
+        "cid"
+    ).parquet(tmp)
+    os.replace(inv, f"{path}/_old_invfile")
+    os.replace(tmp, inv)
+    shutil.rmtree(f"{path}/_old_invfile", ignore_errors=True)
+    return files_before, _nfiles()
 
 
 def ivf_range_query_stored(
@@ -683,6 +744,11 @@ def ivf_range_query_stored(
     every in-range neighbor found there — no top-k window anywhere.
     Output is identical to the self-contained ivf_range_search at the
     same parameters on the same index (pytest-pinned)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)  # see ivf_query_stored
     crows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cid"],

@@ -57,6 +57,11 @@ _PRIORITY: list[str] = [
     "knn_range_ivf_stored",
     "kmeans_train_converged",
     "semantic_dedup_sharded_miss_audit",
+    # (also touched: the stored-IVF readers gained crash-recovery-at-
+    # entry when compact_ivf_index landed, so both stored-reader
+    # queries not already listed re-window)
+    "knn_ivf_ann_stored",
+    "knn_ivf_ann_appended",
     # 2) ALL 38 remaining r4-latest rows (r4 row order) — with these,
     # every r4 row re-verifies this round
     "bm25_search",
@@ -98,12 +103,10 @@ _PRIORITY: list[str] = [
     "streaming_session_windows",
     "data_quality_audit",
     # 3) oldest r6-latest rows (r6 row order) fill the window; the rest
-    # of the r6 batch rolls to round 10
+    # of the r6 batch (from doc_fingerprints on) rolls to round 10
     "dedup_exact",
     "token_stats",
     "lang_id",
-    "doc_fingerprints",
-    "bigram_frequencies",
 ]
 
 

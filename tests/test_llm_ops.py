@@ -1413,6 +1413,96 @@ def test_range_audit_empty_in_range_set(spark, sf_dir):
     assert tuple(oracle_row) == got
 
 
+def test_compact_ivf_index_preserves_answers_and_folds_files(
+    spark, embeddings, tmp_path
+):
+    """Invfile compaction: after appends fragment the cid partitions,
+    compact_ivf_index must (a) fold to exactly one file per non-empty
+    cell, (b) preserve row content exactly, and (c) leave stored top-k
+    AND range answers bit-identical — maintenance never changes
+    semantics. Crash states recover via the shared state machine: a
+    pre-promote crash (complete _compact, invfile renamed away) rolls
+    back at the next reader/compaction entry; a post-promote crash's
+    dead rename is cleared."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_QUERY_IDS,
+        RANGE_RADIUS,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    similarity.ivf_build_index(half, idx)
+    for m in (1, 3):  # two append batches fragment the partitions
+        similarity.ivf_append_to_index(
+            embeddings.filter(F.col("vec_id") % 4 == m), idx
+        )
+    rows_before = sorted(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+    )
+    topk_before = sorted(
+        map(tuple, similarity.ivf_query_stored(
+            spark, idx, query_ids=KNN_QUERY_IDS, k=5
+        ).collect())
+    )
+    range_before = sorted(
+        map(tuple, similarity.ivf_range_query_stored(
+            spark, idx, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect())
+    )
+
+    before, after = similarity.compact_ivf_index(spark, idx)
+    ncells = len(glob.glob(f"{idx}/invfile/cid=*"))
+    assert before > ncells  # appends really fragmented the cells
+    assert after == ncells  # exactly one file per non-empty cell
+    rows_after = sorted(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+    )
+    assert rows_after == rows_before
+    assert sorted(
+        map(tuple, similarity.ivf_query_stored(
+            spark, idx, query_ids=KNN_QUERY_IDS, k=5
+        ).collect())
+    ) == topk_before
+    assert sorted(
+        map(tuple, similarity.ivf_range_query_stored(
+            spark, idx, KNN_QUERY_IDS, RANGE_RADIUS
+        ).collect())
+    ) == range_before
+
+    # pre-promote crash: staging written, live invfile renamed away —
+    # the stored reader's entry recovery must roll it back and answer.
+    spark.read.parquet(f"{idx}/invfile").repartition("cid").write.partitionBy(
+        "cid"
+    ).parquet(f"{idx}/_compact")
+    os.replace(f"{idx}/invfile", f"{idx}/_old_invfile")
+    assert sorted(
+        map(tuple, similarity.ivf_query_stored(
+            spark, idx, query_ids=KNN_QUERY_IDS, k=5
+        ).collect())
+    ) == topk_before
+    assert os.path.isdir(f"{idx}/invfile")
+    assert not os.path.exists(f"{idx}/_compact")
+
+    # post-promote crash: dead _old_invfile next to the promoted file —
+    # recovery clears it, content unchanged.
+    os.makedirs(f"{idx}/_old_invfile")
+    assert recover_store_slices(idx) == "cleared_dead"
+    assert sorted(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+    ) == rows_before
+
+
 def test_ivf_range_stored_matches_self_contained(spark, embeddings, tmp_path):
     """Range answers from the persisted IVF index must equal the
     self-contained ivf_range_search on the same index parameters — one
