@@ -680,7 +680,10 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     returning (files_before, files_after). Row content is preserved
     exactly — the fold is a read + clustered rewrite, no quantizer
     retrain and no reassignment, so query answers are bit-identical
-    before and after (pytest-pinned). What it buys at 100 TB is the
+    before and after (pytest-pinned). Works unchanged on an IVFADC
+    index (ivfpq_build_index writes the same cid-partitioned
+    ``invfile`` layout, just with code columns instead of vectors —
+    pytest-pinned there too). What it buys at 100 TB is the
     same thing store compaction buys the dedup pipeline: an N-append
     index holds N files per touched cell, and listing/footer cost for
     every probe grows linearly until a compaction restores O(1) opens
@@ -725,6 +728,49 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     os.replace(tmp, inv)
     shutil.rmtree(f"{path}/_old_invfile", ignore_errors=True)
     return files_before, _nfiles()
+
+
+def compact_pq_index(
+    spark, path: str, target_bytes: int = 128 << 20
+) -> tuple[int, int]:
+    """Code-table maintenance for the two-phase PQ (and OPQ): fold the
+    files that ``pq_append_to_index`` batches accumulate in the FLAT
+    ``<path>/codes`` table into ceil(total_bytes / target_bytes) files
+    (the ~16 B/vec code table is tiny relative to its corpus, but an
+    N-append deployment still pays N file opens per query until the
+    fold). Returns (files_before, files_after); row content is exact —
+    no model retrain, no re-encode — so stored answers are identical
+    before/after (pytest-pinned). Same crash-safe swap as
+    compact_ivf_index via the shared recover_store_slices state machine
+    (``_compact`` staging → ``_old_codes`` rename → promote → delete).
+    Run quiesced: unlike the IVF readers, the PQ/IVFADC stored readers
+    do not (yet) recover at entry — a crashed compaction is healed by
+    the next compaction or any caller invoking recover_store_slices.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    codes = f"{path}/codes"
+    tmp = f"{path}/_compact"
+
+    def _files() -> list[str]:
+        return _glob.glob(f"{codes}/*.parquet")
+
+    before = _files()
+    total = sum(os.path.getsize(f) for f in before)
+    nparts = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(codes).repartition(nparts).write.parquet(tmp)
+    os.replace(codes, f"{path}/_old_codes")
+    os.replace(tmp, codes)
+    shutil.rmtree(f"{path}/_old_codes", ignore_errors=True)
+    return len(before), len(_files())
 
 
 def ivf_range_query_stored(

@@ -1503,6 +1503,67 @@ def test_compact_ivf_index_preserves_answers_and_folds_files(
     ) == rows_before
 
 
+def test_compact_pq_and_ivfadc_indexes_preserve_answers(
+    spark, embeddings, tmp_path
+):
+    """The compactor family covers the whole stored ladder: (a) the
+    FLAT PQ code table folds to the byte-targeted file count with
+    stored answers identical; (b) compact_ivf_index runs unchanged on
+    an IVFADC index (same cid-partitioned invfile layout, code columns
+    instead of vectors) — one file per cell, answers identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    # (a) PQ: build on half, append two batches → fragmented codes dir
+    pq_idx = str(tmp_path / "pq_idx")
+    similarity.pq_build_index(embeddings.filter(F.col("vec_id") % 2 == 0), pq_idx)
+    for m in (1, 3):
+        similarity.pq_append_to_index(
+            embeddings.filter(F.col("vec_id") % 4 == m), pq_idx
+        )
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{pq_idx}/codes").collect())
+    )
+    topk_before = sorted(
+        map(tuple, similarity.pq_query_stored(
+            spark, pq_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    )
+    nb, na = similarity.compact_pq_index(spark, pq_idx)
+    assert nb >= 3 and na == 1  # tiny table folds to the 1-file target
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{pq_idx}/codes").collect())
+    ) == before_rows
+    assert sorted(
+        map(tuple, similarity.pq_query_stored(
+            spark, pq_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    ) == topk_before
+
+    # (b) IVFADC: the SAME compactor as plain IVF
+    adc_idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), adc_idx
+    )
+    similarity.ivfpq_query_stored(  # sanity: index answers pre-append
+        spark, adc_idx, embeddings, query_ids=[0], k=3
+    ).collect()
+    adc_before = sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, adc_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    )
+    nb2, na2 = similarity.compact_ivf_index(spark, adc_idx)
+    assert na2 == len(glob.glob(f"{adc_idx}/invfile/cid=*"))
+    assert nb2 >= na2
+    assert sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, adc_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    ) == adc_before
+
+
 def test_ivf_range_stored_matches_self_contained(spark, embeddings, tmp_path):
     """Range answers from the persisted IVF index must equal the
     self-contained ivf_range_search on the same index parameters — one
