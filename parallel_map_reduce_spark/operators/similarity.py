@@ -730,6 +730,119 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     return files_before, _nfiles()
 
 
+def incremental_semantic_dedup(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Ingest-time SemDeDup: admit a NEW batch of embeddings against a
+    PERSISTED IVF index of the already-deduped kept corpus — the
+    semantic twin of ``incremental_lsh_dedup``, with the same status
+    contract: one row per batch vector, (id, status, dup_of) where
+    status is ``cross_dup`` (rounded cosine ≥ threshold with some
+    STORED vector found in the probed cells; dup_of = the smallest
+    such stored id), ``batch_dup`` (exact within-batch near-dup
+    component among the cross-surviving rows; dup_of = the component's
+    smallest batch id, the survivor), or ``kept`` (dup_of = -1 — the
+    same integral sentinel, same pandas-dtype rationale).
+
+    The cross search is IVF-PRUNED: each batch vector probes its
+    ``nprobe`` nearest stored cells and scores exact cosine only there
+    — per-ingest work is O(batch · corpus · nprobe/k_cells) instead of
+    O(batch · corpus), and only the probed ``cid=N`` partitions of the
+    inverted file are read. Scoring inside probed cells is exact, so a
+    flagged cross_dup is never a false positive; a stored dup in an
+    unprobed cell can be missed (the standard IVF cell-miss bound —
+    nprobe = num_centroids recovers the exact answer row-for-row,
+    pytest-pinned). The within-batch pass is the blocked exact Gram
+    kernel over the batch only — bounded by ingest size, never
+    touching the corpus.
+
+    Composes with the rest of the index lifecycle: admit survivors
+    with ``ivf_append_to_index`` (fixed centroids — add-after-train),
+    fold the accumulated append files with ``compact_ivf_index``, and
+    the entry recovery here heals a crashed compaction before reading.
+    This is the production loop a 100 TB ingestion pipeline runs:
+    nightly index build, per-ingest pruned dedup, append, periodic
+    compaction.
+    """
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+    from parallel_map_reduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    recover_store_slices(index_path)
+    crows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
+    b = batch.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
+    ).localCheckpoint(eager=True)
+    probes = b.select(
+        F.col(id_col).alias("id_n"), "qvec"
+    ).withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
+    inv = spark.read.parquet(f"{index_path}/invfile")
+    cross_dup = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.round(cosine(F.col("qvec"), F.col("vec")), 6) >= threshold)
+        .groupBy("id_n")
+        .agg(F.min(F.col(id_col)).alias("dup_of"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Within-batch components over the cross-surviving rows only (every
+    # edge incident to a cross_dup would be dropped anyway — same
+    # result as the lexical tier's filter-after, one kernel cheaper).
+    survivors = b.join(
+        cross_dup.withColumnRenamed("id_n", id_col), id_col, "left_anti"
+    )
+    intra = embedding_all_pairs_blocked(
+        survivors,
+        threshold=threshold,
+        num_blocks=num_blocks,
+        id_col=id_col,
+        vec_col="qvec",
+    )
+    comps = connected_components(intra.select("id_a", "id_b"))
+
+    return (
+        b.select(id_col)
+        .join(cross_dup.withColumnRenamed("id_n", id_col), id_col, "left")
+        .join(
+            comps.select(
+                F.col("u").cast("long").alias(id_col),
+                F.col("label").alias("_comp"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("cross_dup"))
+            .when(
+                F.col("_comp").isNotNull() & (F.col("_comp") != F.col(id_col)),
+                F.lit("batch_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(
+                F.col("dup_of"),
+                F.when(F.col("_comp") != F.col(id_col), F.col("_comp")),
+                F.lit(-1).cast("long"),
+            ).alias("dup_of"),
+        )
+    )
+
+
 def compact_pq_index(
     spark, path: str, target_bytes: int = 128 << 20
 ) -> tuple[int, int]:

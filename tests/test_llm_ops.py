@@ -1503,6 +1503,128 @@ def test_compact_ivf_index_preserves_answers_and_folds_files(
     ) == rows_before
 
 
+def _ism_reference(batch_rows, kept_rows, threshold):
+    """Driver-side brute-force model of incremental_semantic_dedup:
+    exact cosine everywhere, the same status/dup_of rules."""
+    import numpy as np
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    cross = {}
+    for bid, bv in batch_rows:
+        hits = [kid for kid, kv in kept_rows if cos(bv, kv) >= threshold]
+        if hits:
+            cross[bid] = min(hits)
+    survivors = [(i, v) for i, v in batch_rows if i not in cross]
+    parent = {i: i for i, _ in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, vi in survivors:
+        for j, vj in survivors:
+            if i < j and cos(vi, vj) >= threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    out = {}
+    for bid, _ in batch_rows:
+        if bid in cross:
+            out[bid] = ("cross_dup", cross[bid])
+        else:
+            root = find(bid)
+            out[bid] = (
+                ("batch_dup", root) if root != bid else ("kept", -1)
+            )
+    return out
+
+
+def test_incremental_semantic_dedup_statuses_and_lifecycle(spark, tmp_path):
+    """Ingest-time SemDeDup against the persisted IVF index: (a) with
+    every cell probed the statuses equal the brute-force reference
+    exactly; (b) with pruning, flagged cross_dups are a subset of the
+    exact ones and never false (scoring in probed cells is exact);
+    (c) the full lifecycle composes — survivors appended to the index
+    become cross_dup targets for the NEXT batch, through a compaction."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 16) * 8.0
+    kept_rows = []
+    for i in range(40):
+        v = centers[i % 4] + rng.normal(0, 0.05, 16)
+        kept_rows.append((i, [float(x) for x in v]))
+    kept = spark.createDataFrame(
+        kept_rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "sem_idx")
+    similarity.ivf_build_index(kept, idx, num_centroids=4, max_iter=8)
+
+    batch_rows = [
+        (100, kept_rows[5][1]),                                   # cross dup of 5
+        (101, [float(x) for x in np.array(kept_rows[5][1]) * 1.001]),  # also ~5
+        (102, [float(x) for x in centers[0] + rng.normal(3.0, 0.01, 16)]),
+        (103, [float(x) for x in np.array([7.0] * 16)]),          # novel A
+        (104, [float(x) for x in np.array([7.0] * 16) * 1.0005]), # ~dup of 103
+        (105, [float(x) for x in -centers[2] + 0.1]),             # novel B
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    expected = _ism_reference(batch_rows, kept_rows, 0.95)
+    assert expected[100][0] == "cross_dup"  # the plant actually plants
+    assert expected[104] == ("batch_dup", 103)
+    assert expected[105][0] == "kept"
+
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in similarity.incremental_semantic_dedup(
+            spark, batch, idx, threshold=0.95, nprobe=4
+        ).collect()
+    }
+    assert got == expected  # nprobe = num_centroids: exact recovery
+
+    pruned = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in similarity.incremental_semantic_dedup(
+            spark, batch, idx, threshold=0.95, nprobe=1
+        ).collect()
+    }
+    exact_cross = {i for i, (s, _) in expected.items() if s == "cross_dup"}
+    pruned_cross = {i for i, (s, _) in pruned.items() if s == "cross_dup"}
+    assert pruned_cross <= exact_cross
+    for i in pruned_cross:
+        assert pruned[i] == expected[i]  # found ⇒ identical verdict
+
+    # lifecycle: append the survivors (kept + batch_dup representatives
+    # are the admitted rows = status 'kept'), compact, re-ingest a dup
+    # of an admitted batch vector — it must flag against the NEW id.
+    admitted = batch.join(
+        spark.createDataFrame(
+            [(i,) for i, (s, _) in expected.items() if s == "kept"],
+            "vec_id long",
+        ),
+        "vec_id",
+    )
+    similarity.ivf_append_to_index(admitted, idx)
+    similarity.compact_ivf_index(spark, idx)
+    batch2 = spark.createDataFrame(
+        [(200, batch_rows[3][1])], "vec_id long, embedding array<double>"
+    )
+    (row,) = similarity.incremental_semantic_dedup(
+        spark, batch2, idx, threshold=0.95, nprobe=4
+    ).collect()
+    assert (row["status"], row["dup_of"]) == ("cross_dup", 103)
+
+
 def test_compact_pq_and_ivfadc_indexes_preserve_answers(
     spark, embeddings, tmp_path
 ):
