@@ -468,6 +468,147 @@ def q_semantic_dedup_sharded_miss_audit_sampled(
     return _shard_miss_frame(spark, emb_s)
 
 
+# --- staged for round-10 registration (window full this round) -------------
+#
+# Ingest-time semantic dedup, driver-audit shape: the pruned admission
+# (similarity.incremental_semantic_dedup against a persisted IVF index
+# of the kept half) plus its EXACT twin (the same function probing
+# every cell — provably brute-equal) in one query, emitting the exact
+# side's deterministic status aggregates and two booleans the oracle
+# expects TRUE. Oracle replays the exact side only: brute cross join +
+# recursive-CTE components, the incremental_lsh_dedup oracle's shapes
+# over cosine instead of Jaccard. Registration in round 10 is a
+# @register line + a _PRIORITY slot; parity is already pytest-gated
+# (tests/test_llm_ops.py::test_ism_audit_matches_duckdb_oracle).
+
+_ISM_NPROBE = 4
+_ISM_CELLS = 16
+
+ISM_AUDIT_SQL = f"""
+WITH RECURSIVE
+base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+kept AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+batch AS (SELECT * FROM base WHERE vec_id % 2 = 1),
+cross_dup AS (
+  SELECT b.vec_id, MIN(k.vec_id) AS dup_of
+  FROM batch b JOIN kept k
+    ON ROUND(list_cosine_similarity(b.vec, k.vec), 6)
+       >= {EMBED_DUP_THRESHOLD}
+  GROUP BY b.vec_id
+),
+surv AS (
+  SELECT * FROM batch
+  WHERE vec_id NOT IN (SELECT vec_id FROM cross_dup)
+),
+intra AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM surv a JOIN surv b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
+        >= {EMBED_DUP_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM intra
+        UNION ALL SELECT id_b, id_a FROM intra),
+reach AS (SELECT u, v FROM sym
+          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS label
+         FROM reach GROUP BY u),
+statuses AS (
+  SELECT b.vec_id,
+         CASE WHEN c.dup_of IS NOT NULL THEN 'cross_dup'
+              WHEN p.label IS NOT NULL AND p.label <> b.vec_id
+                THEN 'batch_dup'
+              ELSE 'kept' END AS status,
+         COALESCE(c.dup_of,
+                  CASE WHEN p.label <> b.vec_id THEN p.label END,
+                  -1) AS dup_of
+  FROM batch b
+  LEFT JOIN cross_dup c USING (vec_id)
+  LEFT JOIN comp p USING (vec_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN status = 'cross_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross,
+       CAST(SUM(CASE WHEN status = 'batch_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch_dup,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN status = 'cross_dup' THEN dup_of ELSE 0 END)
+            AS BIGINT) AS sum_cross_dup_of,
+       CAST(SUM(CASE WHEN status = 'batch_dup' THEN dup_of ELSE 0 END)
+            AS BIGINT) AS sum_batch_dup_of,
+       CAST(SUM(CASE WHEN status = 'kept' THEN vec_id ELSE 0 END)
+            AS BIGINT) AS sum_kept_ids,
+       TRUE AS flagged_subset_ok,
+       TRUE AS recall_ok
+FROM statuses
+"""
+
+
+def ism_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 registration body (see the staging note above): build
+    the kept-half IVF index as a scratch artifact, run the PRUNED
+    admission (nprobe 4 of 16 cells) and the EXACT twin (nprobe =
+    every cell — scores the whole store exactly),
+    and emit the exact side's per-status aggregates (value-hashed by
+    the oracle) plus ``flagged_subset_ok`` (every pruned cross_dup id
+    is an exact cross_dup — pruning can only MISS, never false-flag,
+    since scoring inside probed cells is exact) and ``recall_ok`` (the
+    pruned tier found ≥ 50% of the exact cross dups — the standard IVF
+    cell-miss bound, the knn_ivf_ann contract applied to admission)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = _scratch_dir("ism_index", sf_dir)
+    _similarity.ivf_build_index(kept, idx, num_centroids=_ISM_CELLS)
+    pruned = _similarity.incremental_semantic_dedup(
+        spark, batch, idx, threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_NPROBE
+    ).localCheckpoint(eager=True)
+    exact = _similarity.incremental_semantic_dedup(
+        spark, batch, idx, threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_CELLS
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    p_cross = pruned.filter(F.col("status") == "cross_dup").select("vec_id")
+    e_cross = exact.filter(F.col("status") == "cross_dup").select("vec_id")
+    audits = (
+        p_cross.join(e_cross, "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false"))
+        .crossJoin(p_cross.agg(F.count(F.lit(1)).alias("n_p")))
+        .crossJoin(e_cross.agg(F.count(F.lit(1)).alias("n_e")))
+    )
+    agg = exact.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum((F.col("status") == "cross_dup").cast("long")).alias("n_cross"),
+        F.sum((F.col("status") == "batch_dup").cast("long")).alias(
+            "n_batch_dup"
+        ),
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "cross_dup", F.col("dup_of")).otherwise(
+                0
+            )
+        ).alias("sum_cross_dup_of"),
+        F.sum(
+            F.when(F.col("status") == "batch_dup", F.col("dup_of")).otherwise(
+                0
+            )
+        ).alias("sum_batch_dup_of"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.col("vec_id")).otherwise(0)
+        ).alias("sum_kept_ids"),
+    )
+    return agg.crossJoin(audits).select(
+        "n_batch",
+        "n_cross",
+        "n_batch_dup",
+        "n_kept",
+        "sum_cross_dup_of",
+        "sum_batch_dup_of",
+        "sum_kept_ids",
+        (F.col("n_false") == 0).alias("flagged_subset_ok"),
+        (F.col("n_p") * 2 >= F.col("n_e")).alias("recall_ok"),
+    )
+
+
 _TOPIC_MIX_SEED = 11
 
 _TOPIC_MIX_SQL = (

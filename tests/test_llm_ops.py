@@ -1625,6 +1625,53 @@ def test_incremental_semantic_dedup_statuses_and_lifecycle(spark, tmp_path):
     assert (row["status"], row["dup_of"]) == ("cross_dup", 103)
 
 
+def test_ism_audit_matches_duckdb_oracle(spark, sf_dir):
+    """Pre-registration parity gate for the staged round-10 query: run
+    ism_audit_query and its DuckDB oracle exactly as the driver's
+    correctness check would (sorted columns, normalized values, sorted
+    rows) at two sfs — so round 10's registration is a @register line
+    plus a window slot, with zero oracle risk left."""
+    import math
+
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        ISM_AUDIT_SQL,
+        ism_audit_query,
+    )
+
+    def normalize(rows, columns):
+        order = sorted(range(len(columns)), key=lambda i: columns[i])
+        out = []
+        for row in rows:
+            vals = []
+            for i in order:
+                v = row[i]
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else f"{v:.12g}"
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    for sf in (sf_dir, "/root/testdata/sf0.01"):
+        df = ism_audit_query(spark, sf)
+        got = normalize([tuple(r) for r in df.collect()], df.columns)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        cur = con.execute(ISM_AUDIT_SQL)
+        cols = [d[0] for d in cur.description]
+        want = normalize(cur.fetchall(), cols)
+        assert got == want, f"ISM audit oracle mismatch at {sf}"
+        # and the audit booleans really are TRUE (not vacuous schema
+        # agreement): the exact row carries them in both engines
+        (row,) = df.collect()
+        assert row["flagged_subset_ok"] and row["recall_ok"]
+        assert row["n_batch"] == row["n_cross"] + row["n_batch_dup"] + row["n_kept"]
+
+
 def test_compact_pq_and_ivfadc_indexes_preserve_answers(
     spark, embeddings, tmp_path
 ):
