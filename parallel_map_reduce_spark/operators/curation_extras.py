@@ -2758,13 +2758,27 @@ def recover_store_slices(path: str) -> str:
     post-promote recovery deletes ``_old_`` dirs before a new run can
     recreate the name), so that state raises rather than guessing
     which copy to keep.
+
+    Concurrency contract: recovery mutates shared on-disk state
+    (renames slices back, deletes ``_compact``/``_old_`` dirs), and it
+    now runs at EVERY stored-reader and appender entry — so the
+    quiesced-store assumption compact_store_slices documents extends
+    to all of them: no stored query, append, compaction, or second
+    recovery may run concurrently on the same store. Racing an
+    in-flight compaction could rmtree its live staging dir or double-
+    rename a slice; such races fail loud (FileNotFoundError /
+    both-exist RuntimeError), never silently drop rows — the complete-
+    staging-before-rename invariant keeps every row on disk at every
+    crash point. The ``_old_`` listing is taken AFTER the staging-dir
+    check so the branch decision and the slice set reflect one
+    consistent observation of the store.
     """
     import os
     import shutil
 
     tmp = os.path.join(path, "_compact")
-    olds = sorted(s for s in os.listdir(path) if s.startswith("_old_"))
     if os.path.isdir(tmp):
+        olds = sorted(s for s in os.listdir(path) if s.startswith("_old_"))
         for s in olds:
             live = os.path.join(path, s[len("_old_"):])
             if os.path.exists(live):
@@ -2775,6 +2789,7 @@ def recover_store_slices(path: str) -> str:
             os.replace(os.path.join(path, s), live)
         shutil.rmtree(tmp)
         return "rolled_back" if olds else "cleared_staging"
+    olds = sorted(s for s in os.listdir(path) if s.startswith("_old_"))
     for s in olds:
         shutil.rmtree(os.path.join(path, s), ignore_errors=True)
     return "cleared_dead" if olds else "clean"

@@ -468,17 +468,17 @@ def q_semantic_dedup_sharded_miss_audit_sampled(
     return _shard_miss_frame(spark, emb_s)
 
 
-# --- staged for round-10 registration (window full this round) -------------
+# --- ingest-time semantic dedup audit (staged r9, registered r10) ----------
 #
-# Ingest-time semantic dedup, driver-audit shape: the pruned admission
+# Driver-audit shape: the pruned admission
 # (similarity.incremental_semantic_dedup against a persisted IVF index
 # of the kept half) plus its EXACT twin (the same function probing
 # every cell — provably brute-equal) in one query, emitting the exact
 # side's deterministic status aggregates and two booleans the oracle
 # expects TRUE. Oracle replays the exact side only: brute cross join +
 # recursive-CTE components, the incremental_lsh_dedup oracle's shapes
-# over cosine instead of Jaccard. Registration in round 10 is a
-# @register line + a _PRIORITY slot; parity is already pytest-gated
+# over cosine instead of Jaccard. Parity was pytest-gated a round
+# before the first driver row
 # (tests/test_llm_ops.py::test_ism_audit_matches_duckdb_oracle).
 
 _ISM_NPROBE = 4
@@ -544,8 +544,10 @@ FROM statuses
 """
 
 
+@register("ism_audit_query", ISM_AUDIT_SQL)
 def ism_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 registration body (see the staging note above): build
+    """Ingest-time semantic dedup, driver-audited (registered round 10
+    — the staging note above described this round's plan): build
     the kept-half IVF index as a scratch artifact, run the PRUNED
     admission (nprobe 4 of 16 cells) and the EXACT twin (nprobe =
     every cell — scores the whole store exactly),
@@ -1258,6 +1260,101 @@ def q_knn_ivfpq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(idx, ignore_errors=True)
     return _knn_audit_frame(exact, approx)
+
+
+# _KNN_AUDIT_SELECT plus the compaction invariant the lifecycle row
+# certifies: the fold changed the file layout only, never an answer.
+_KNN_AUDIT_COMPACTED_SELECT = """
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS n_exact,
+       CAST(SUM(neighbor_id) AS BIGINT) AS sum_exact_neighbor_ids,
+       CAST(SUM(CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_exact_sim_e6,
+       TRUE AS recall_ok,
+       TRUE AS compaction_unchanged_ok
+FROM topk
+"""
+
+
+@register("knn_ivfadc_compacted", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT)
+def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVFADC index lifecycle in one driver row — build →
+    append → compact → query — mirroring what
+    incremental_lsh_dedup_compacted proved for the signature store,
+    now for the ANN artifact a 100 TB deployment actually ships:
+    phase 1 trains both quantizers on the even-id HALF and persists
+    the index (similarity.ivfpq_build_index); the odd-id half arrives
+    as TWO later batches encoded/assigned against the STORED model +
+    centroids and appended — no retrain, no partition rewritten
+    (similarity.ivfpq_append_to_index, FAISS add-after-train on the
+    composed index); the appends leave multiple data files per touched
+    cell, and compact_ivf_index folds the inverted file back to ONE
+    file per cell (the probe-time listing/footer cost reset). Top-k is
+    answered from the store before AND after the fold;
+    ``compaction_unchanged_ok`` value-hashes that the two answer sets
+    are identical (computed as a symmetric exceptAll count — the
+    oracle expects TRUE), and in-query asserts verify the appends
+    really fragmented the store and the fold really reached one file
+    per cell. Same audit contract as the other ANN rows on the
+    POST-compaction answers: exact-twin aggregates value-hashed,
+    recall_ok >= 0.5 under half-trained quantizer drift.
+    Plan shape is knn_ivfpq_ann_stored's unchanged: only probed cid=N
+    partitions of the code table are read (tests/test_plans.py pins
+    the stored-reader plan), the fold itself is one clustered rewrite
+    (repartition BY cid, one task per cell)."""
+    import glob as _glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivfadc_lifecycle", sf_dir)
+    _similarity.ivfpq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    for mres in (1, 3):
+        _similarity.ivfpq_append_to_index(
+            emb.filter(F.col("vec_id") % 4 == mres), idx
+        )
+    pre = (
+        _similarity.ivfpq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    files_before, files_after = _similarity.compact_ivf_index(spark, idx)
+    n_cells = len(_glob.glob(f"{idx}/invfile/cid=*"))
+    # Loud in-query invariants (driver-side scalars, not data rows):
+    # the two appends fragmented at least one cell, and the fold
+    # restored exactly one file per non-empty cell.
+    assert files_before > n_cells, (files_before, n_cells)
+    assert files_after == n_cells, (files_after, n_cells)
+    post = (
+        _similarity.ivfpq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    diff = (
+        pre.exceptAll(post)
+        .agg(F.count(F.lit(1)).alias("n_d1"))
+        .crossJoin(post.exceptAll(pre).agg(F.count(F.lit(1)).alias("n_d2")))
+    )
+    return (
+        _knn_audit_frame(exact, post)
+        .crossJoin(diff)
+        .select(
+            "n_queries",
+            "n_exact",
+            "sum_exact_neighbor_ids",
+            "sum_exact_sim_e6",
+            "recall_ok",
+            ((F.col("n_d1") + F.col("n_d2")) == 0).alias(
+                "compaction_unchanged_ok"
+            ),
+        )
+    )
 
 
 @register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)

@@ -645,6 +645,10 @@ def ivf_query_stored(
     Query vectors are looked up from the inverted file by id here
     (vec_id predicate pushdown); a production service with external
     query vectors skips that scan entirely.
+
+    Entry runs compaction crash recovery; stored queries must not run
+    concurrently with a compaction (quiesced-store contract — see
+    recover_store_slices).
     """
     if query_ids is None:
         query_ids = list(range(10))
@@ -856,9 +860,10 @@ def compact_pq_index(
     before/after (pytest-pinned). Same crash-safe swap as
     compact_ivf_index via the shared recover_store_slices state machine
     (``_compact`` staging → ``_old_codes`` rename → promote → delete).
-    Run quiesced: unlike the IVF readers, the PQ/IVFADC stored readers
-    do not (yet) recover at entry — a crashed compaction is healed by
-    the next compaction or any caller invoking recover_store_slices.
+    Run quiesced (never concurrently with a stored query or another
+    compaction); the PQ/IVFADC stored readers and appenders run the
+    same recovery at entry, so a crashed compaction heals at the next
+    open — matching the IVF readers' contract.
     """
     import glob as _glob
     import math
@@ -902,7 +907,9 @@ def ivf_range_query_stored(
     ONLY the probed ``cid=N`` partitions, and the radius filter keeps
     every in-range neighbor found there — no top-k window anywhere.
     Output is identical to the self-contained ivf_range_search at the
-    same parameters on the same index (pytest-pinned)."""
+    same parameters on the same index (pytest-pinned). Entry runs
+    compaction crash recovery; stored queries must not run
+    concurrently with a compaction (quiesced-store contract)."""
     from parallel_map_reduce_spark.operators.curation_extras import (
         recover_store_slices,
     )
@@ -1120,8 +1127,20 @@ def ivf_append_to_index(
     Scale shape: one centroid read (k rows), one narrow
     assignment projection over the batch, one partitionBy(cid) append
     — no existing index partition is read or rewritten.
+
+    Entry runs the compaction crash recovery (like the stored
+    readers): appending into a store whose live ``invfile`` a crashed
+    compact_ivf_index renamed to ``_old_invfile`` would otherwise
+    create a fresh invfile beside the only copy of the rows — an
+    unrecoverable both-exist state. Appends must not run concurrently
+    with a compaction (quiesced-store contract).
     """
     spark = embeddings.sparkSession
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
     crows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cid"],
@@ -1133,6 +1152,67 @@ def ivf_append_to_index(
     base.withColumn("cid", nearest_cid(F.col("vec"))).write.mode(
         "append"
     ).partitionBy("cid").parquet(f"{path}/invfile")
+
+
+def ivfpq_append_to_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance for the two-phase IVFADC — the
+    add-after-train contract applied to the composed index, completing
+    the lifecycle matrix (IVF and PQ each already have an appender):
+    a NEW batch is encoded against the STORED PQ model (codebooks +
+    optional rotation, read back from ``<path>/model``), assigned to
+    the EXISTING stored centroids, and its (vec_id, norm, code, cid)
+    rows appended to the cid-partitioned inverted file. NEITHER
+    quantizer retrains — cell boundaries and code words stay fixed so
+    no existing partition is read, reassigned, or re-encoded (FAISS
+    IndexIVFPQ.add after train); distribution drift vs. the training
+    sample is the rebuild-cadence tradeoff, as for the other two
+    appenders.
+
+    Scale shape: one centroid read (k rows) + one model-row read
+    (driver-sized), one Arrow encode/assign pass over the batch, one
+    partitionBy(cid) parquet append. Each nightly append adds one data
+    file per touched cell — compact_ivf_index is the periodic fold
+    that restores one file per cell (answers pytest-pinned identical
+    across append and compaction).
+
+    Entry runs the compaction crash recovery (see ivf_append_to_index
+    — same both-exist hazard); appends must not run concurrently with
+    a compaction (quiesced-store contract).
+    """
+    spark = embeddings.sparkSession
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    rot = (
+        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+        if mrow["rotation"] is not None
+        else None
+    )
+    encode, _ = _pq_udfs(cb, rotation=rot)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        nearest_cid(F.col("vec")).alias("cid"),
+        encode(F.col("vec")).alias("code"),
+    ).write.mode("append").partitionBy("cid").parquet(f"{path}/invfile")
 
 
 def pq_train_codebooks(
@@ -1645,9 +1725,20 @@ def ivfpq_query_stored(
     parquet-partition level, as in ivf_query_stored). Exact-refine
     candidates come from the primary table — the index holds no float
     vectors. Output identical to the self-contained ivfpq_ann at the
-    same parameters on the same trained quantizers (pytest-pinned)."""
+    same parameters on the same trained quantizers (pytest-pinned).
+
+    Like every stored reader, entry runs crash recovery for an
+    interrupted compact_ivf_index (a pre-promote crash leaves the live
+    invfile renamed to ``_old_invfile``); stored queries must not run
+    concurrently with a compaction — the recover/compact state machine
+    assumes a quiesced store (see recover_store_slices)."""
     if query_ids is None:
         query_ids = list(range(10))
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
     crows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cid"],
@@ -1930,8 +2021,18 @@ def pq_append_to_index(
     Scale shape: one driver-sized model read, one Arrow encode pass
     over the batch, one parquet append — no existing code file is read
     or rewritten.
+
+    Entry runs the compaction crash recovery (see ivf_append_to_index
+    — appending beside a crashed compact_pq_index's ``_old_codes``
+    rename would create an unrecoverable both-exist state); appends
+    must not run concurrently with a compaction.
     """
     spark = embeddings.sparkSession
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
     mrow = spark.read.parquet(f"{path}/model").collect()[0]
     m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
     cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
@@ -1969,9 +2070,20 @@ def pq_query_stored(
     itself holds no float vectors. Output is identical to
     pq_ann/opq_ann at the same parameters on the same trained model
     (pytest-pinned): persisting changes the I/O shape, not the answer.
+
+    Like every stored reader, entry runs crash recovery for an
+    interrupted compact_pq_index (a pre-promote crash leaves the live
+    code table renamed to ``_old_codes``); stored queries must not run
+    concurrently with a compaction — the recover/compact state machine
+    assumes a quiesced store (see recover_store_slices).
     """
     if query_ids is None:
         query_ids = list(range(10))
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
     mrow = spark.read.parquet(f"{path}/model").collect()[0]
     m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
     cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)

@@ -32,81 +32,76 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-9 rotation
-# (PLANS.md "Round-9 window plan", re-issued by VERDICT r8 "Next round"
-# #1): queries NEW in round 9 first (every new query must be in-window
-# its first round), then round-9 code-touched queries, then ALL 38
-# remaining r4-latest rows (r4 row order), then the OLDEST r6-latest
-# rows filling the window (the new/touched head displaced 7 of the 12
-# planned r6 fills one-for-one; they roll to round 10) — after this
-# round no query's latest driver row is older than r6.
+# exceeds that or names a query that doesn't exist.  Round-10 rotation
+# (PLANS.md "Round-10 window plan", re-issued by VERDICT r9 "Next round"
+# #1): queries NEW in round 10 first (every new query must be in-window
+# its first round), then round-10 code-touched queries, then the OLDEST
+# r6-latest rows filling the window in r6 row order (the new/touched
+# head displaces the youngest fills one-for-one; the displaced r6 tail
+# and the 4 oldest r7 rows roll to round 11).
 # Names not listed keep registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) queries NEW in round 9 — first driver row this round
-    "semantic_dedup_sharded_miss_audit_sampled",
-    "topic_mixture_resample",
-    # 1b) round-9 code-touched: compact_store_slices gained crash-state
-    # rollback recovery (under incremental_lsh_dedup_compacted); the
-    # range-audit frame + SQL became zero-row-safe; kmeans_train_converged
-    # gained return_assignment and its oracle generator was refactored
-    # into shared unrolled CTEs; the miss audit's body moved into the
-    # shared _shard_miss_frame
-    "incremental_lsh_dedup_compacted",
-    "knn_range_ivf",
-    "knn_range_ivf_stored",
-    "kmeans_train_converged",
-    "semantic_dedup_sharded_miss_audit",
-    # (also touched: the stored-IVF readers gained crash-recovery-at-
-    # entry when compact_ivf_index landed, so both stored-reader
-    # queries not already listed re-window)
+    # 1) queries NEW in round 10 — first driver row this round
+    "ism_audit_query",
+    "knn_ivfadc_compacted",
+    # 1b) round-10 code-touched: recover_store_slices was restructured
+    # (the _old_ listing moved after the staging-dir check) — every
+    # stored reader, appender, and compaction entry runs it, so all
+    # stored/appended/compacted rows re-window; the PQ/IVFADC stored
+    # readers and all three appenders additionally GAINED
+    # recovery-at-entry this round (the r9 deferral closed).
     "knn_ivf_ann_stored",
     "knn_ivf_ann_appended",
-    # 2) ALL 38 remaining r4-latest rows (r4 row order) — with these,
-    # every r4 row re-verifies this round
-    "bm25_search",
-    "bpe_token_stats",
-    "chunk_documents",
-    "dedup_group_assignment",
-    "dedup_keep_corpus",
-    "knn_bruteforce",
-    "knn_lsh_ann",
-    "multimodal_features",
-    "multimodal_frame_samples",
-    "quality_scores",
-    "unigram_lm_doc_scores",
-    "approx_aggregates",
-    "multimodal_pixel_stats",
-    "multimodal_real_decode",
-    "streaming_sliding_means",
-    "streaming_dedup_user_totals",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_counts",
-    "streaming_running_user_totals",
-    "duplicated_span_stats",
-    "substring_dedup_corpus",
-    "ngram_jaccard_pairs_prefix",
-    "pipeline_training_batches",
-    "hybrid_retrieval_rrf",
-    "heavy_hitters_tokens",
-    "domain_mixture_resample",
-    "quality_quantile_filter",
-    "pii_redaction_stats",
-    "line_dedup_stats",
-    "embedding_cluster_assign",
-    "sql_interface_lateral_topn",
-    "embedding_kmeans_refine",
-    "bpe_merge_pairs",
-    "tfidf_top_terms",
-    "event_transition_matrix",
-    "multimodal_resize_stats",
-    "streaming_session_windows",
-    "data_quality_audit",
-    # 3) oldest r6-latest rows (r6 row order) fill the window; the rest
-    # of the r6 batch (from doc_fingerprints on) rolls to round 10
-    "dedup_exact",
-    "token_stats",
-    "lang_id",
+    "knn_range_ivf_stored",
+    "knn_ivfpq_ann_stored",
+    "knn_pq_ann_stored",
+    "knn_pq_ann_appended",
+    "incremental_lsh_dedup_compacted",
+    # 2) oldest r6-latest rows (r6 row order) fill the window; the
+    # displaced r6 tail (wordcount_per_doc on) + the 4 oldest r7 rows
+    # roll to round 11
+    "doc_fingerprints",
+    "bigram_frequencies",
+    "multimodal_metadata_by_kind",
+    "curate_top_docs_per_lang",
+    "wordcount",
+    "wordcount_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "bloom_decontaminate",
+    "sample_exact_n",
+    "stratified_exact_n",
+    "containment_pairs",
+    "cdc_chunks",
+    "incremental_lsh_dedup",
+    "incremental_lsh_dedup_stored",
+    "bigram_lm_doc_scores",
+    "ccnet_perplexity_buckets",
+    "quality_quantile_filter_approx",
+    "publish_dataset_roundtrip",
+    "bpe_train_vocab",
+    "minhash_lsh_dedup_pairs",
+    "dedup_group_assignment_lsh",
+    "dedup_keep_corpus_lsh",
+    "pipeline_training_batches_lsh",
+    "filter_project",
+    "distinct_values",
+    "agg_global",
+    "count_distinct",
+    "percentiles",
+    "join_orders_customer",
+    "tpch_q5_local_supplier_volume",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "outer_join_nation_counts",
+    "scalar_subquery_above_avg",
+    "sort_limit_top_orders",
+    "union_distinct_nations",
+    "intersect_nations",
+    "except_nations",
+    "window_rank_orders_per_customer",
+    "window_rolling_events",
 ]
 
 

@@ -1759,3 +1759,214 @@ def test_ivf_range_stored_matches_self_contained(spark, embeddings, tmp_path):
     }
     assert stored == self_c
     assert stored  # non-empty at every test sf by radius sizing
+
+
+def test_ivfpq_append_matches_stored_model_encoding(spark, embeddings, tmp_path):
+    """r10: ivfpq_append_to_index (add-after-train on the composed
+    index) must write EXACTLY the rows ivfpq_build_index would have
+    written for those vectors under the STORED quantizers — same cid
+    assignment against the fixed centroids, same codes under the fixed
+    codebooks, same true norm — with no existing partition rewritten.
+    Derived independently here via the same public UDF kernels on the
+    read-back model; plus the lifecycle: append → compact_ivf_index →
+    stored answers identical."""
+    import glob
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_QUERY_IDS,
+    )
+    from parallel_map_reduce_spark.operators.similarity import (
+        _ivf_udfs,
+        _pq_udfs,
+        _vec_norm,
+        to_double_array,
+    )
+
+    idx = str(tmp_path / "ivfpq_idx_app")
+    similarity.ivfpq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), idx
+    )
+    pre_even = sorted(
+        (r["vec_id"], r["cid"], r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+    )
+    for m in (1, 3):
+        similarity.ivfpq_append_to_index(
+            embeddings.filter(F.col("vec_id") % 4 == m), idx
+        )
+    got = {
+        r["vec_id"]: (r["cid"], r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+        if r["vec_id"] % 2 == 1
+    }
+    # existing (even-id) rows byte-unchanged by the appends
+    assert sorted(
+        (r["vec_id"], r["cid"], r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{idx}/invfile").collect()
+        if r["vec_id"] % 2 == 0
+    ) == pre_even
+
+    # independent re-derivation from the persisted model + centroids
+    crows = sorted(
+        spark.read.parquet(f"{idx}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+    cb = np.array(mrow["codebook"]).reshape(
+        mrow["m"], mrow["codes"], mrow["sub_dim"]
+    )
+    encode, _ = _pq_udfs(cb)
+    want = {
+        r["vec_id"]: (r["cid"], r["norm"], tuple(r["code"]))
+        for r in embeddings.filter(F.col("vec_id") % 2 == 1)
+        .select(
+            "vec_id", to_double_array(F.col("embedding")).alias("vec")
+        )
+        .select(
+            "vec_id",
+            _vec_norm().alias("norm"),
+            nearest_cid(F.col("vec")).alias("cid"),
+            encode(F.col("vec")).alias("code"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # lifecycle: the appends fragmented cells; the fold restores one
+    # file per cell and leaves stored answers bit-identical
+    topk_before = sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, idx, embeddings, query_ids=KNN_QUERY_IDS, k=5
+        ).collect())
+    )
+    before, after = similarity.compact_ivf_index(spark, idx)
+    ncells = len(glob.glob(f"{idx}/invfile/cid=*"))
+    assert before > ncells and after == ncells
+    assert sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, idx, embeddings, query_ids=KNN_QUERY_IDS, k=5
+        ).collect())
+    ) == topk_before
+
+
+def test_pq_and_ivfadc_stores_recover_at_reader_and_appender_entry(
+    spark, embeddings, tmp_path
+):
+    """r10 closes the r9 deferral: the PQ and IVFADC stored readers —
+    and all appenders — run recover_store_slices at entry, so a
+    compaction that crashed at EITHER crash point heals at the next
+    open instead of failing with a missing-path read (the ADVICE r9
+    availability gap) or creating an unrecoverable both-exist state
+    (an append beside a pre-promote _old_ rename)."""
+    import os
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Row
+
+    # --- PQ flat-codes store ------------------------------------------
+    pq_idx = str(tmp_path / "pq_idx_crash")
+    similarity.pq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), pq_idx
+    )
+    similarity.pq_append_to_index(
+        embeddings.filter(F.col("vec_id") % 2 == 1), pq_idx
+    )
+    topk = sorted(
+        map(tuple, similarity.pq_query_stored(
+            spark, pq_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    )
+    codes_rows = sorted(
+        (r["vec_id"], r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{pq_idx}/codes").collect()
+    )
+
+    def _crash_pre_promote(path, name):
+        # complete staging + live dir renamed away: the instant before
+        # the promote in compact_*_index
+        spark.read.parquet(f"{path}/{name}").write.parquet(
+            f"{path}/_compact"
+        )
+        os.replace(f"{path}/{name}", f"{path}/_old_{name}")
+
+    # pre-promote crash → reader heals and answers identically
+    _crash_pre_promote(pq_idx, "codes")
+    assert sorted(
+        map(tuple, similarity.pq_query_stored(
+            spark, pq_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    ) == topk
+    assert os.path.isdir(f"{pq_idx}/codes")
+    assert not os.path.exists(f"{pq_idx}/_compact")
+    assert not os.path.exists(f"{pq_idx}/_old_codes")
+
+    # post-promote crash (dead _old_codes) → appender heals, then
+    # appends; store holds old rows + the new batch, nothing doubled
+    os.makedirs(f"{pq_idx}/_old_codes")
+    extra = spark.createDataFrame(
+        [Row(vec_id=10**6, embedding=[1.0] * 64)]
+    )
+    similarity.pq_append_to_index(extra, pq_idx)
+    after_rows = sorted(
+        (r["vec_id"], r["norm"], tuple(r["code"]))
+        for r in spark.read.parquet(f"{pq_idx}/codes").collect()
+    )
+    assert not os.path.exists(f"{pq_idx}/_old_codes")
+    assert len(after_rows) == len(codes_rows) + 1
+    assert [t for t in after_rows if t[0] != 10**6] == codes_rows
+
+    # pre-promote crash → appender must ROLL BACK first, not write a
+    # fresh codes dir beside the only copy
+    _crash_pre_promote(pq_idx, "codes")
+    similarity.pq_append_to_index(
+        spark.createDataFrame([Row(vec_id=10**6 + 1, embedding=[2.0] * 64)]),
+        pq_idx,
+    )
+    final_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{pq_idx}/codes").collect()
+    )
+    assert final_ids == sorted(
+        [t[0] for t in after_rows] + [10**6 + 1]
+    )
+
+    # --- IVFADC cid-partitioned store ---------------------------------
+    adc_idx = str(tmp_path / "adc_idx_crash")
+    similarity.ivfpq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), adc_idx
+    )
+    adc_topk = sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, adc_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    )
+    spark.read.parquet(f"{adc_idx}/invfile").repartition(
+        "cid"
+    ).write.partitionBy("cid").parquet(f"{adc_idx}/_compact")
+    os.replace(f"{adc_idx}/invfile", f"{adc_idx}/_old_invfile")
+    # the IVFADC stored reader (which r9 left without recovery) heals
+    assert sorted(
+        map(tuple, similarity.ivfpq_query_stored(
+            spark, adc_idx, embeddings, query_ids=list(range(10)), k=5
+        ).collect())
+    ) == adc_topk
+    assert os.path.isdir(f"{adc_idx}/invfile")
+    assert not os.path.exists(f"{adc_idx}/_old_invfile")
+
+    # pre-promote crash then APPEND: rollback first, rows all present
+    n_rows = spark.read.parquet(f"{adc_idx}/invfile").count()
+    spark.read.parquet(f"{adc_idx}/invfile").repartition(
+        "cid"
+    ).write.partitionBy("cid").parquet(f"{adc_idx}/_compact")
+    os.replace(f"{adc_idx}/invfile", f"{adc_idx}/_old_invfile")
+    similarity.ivfpq_append_to_index(
+        embeddings.filter(F.col("vec_id") % 2 == 1), adc_idx
+    )
+    n_odd = embeddings.filter(F.col("vec_id") % 2 == 1).count()
+    assert (
+        spark.read.parquet(f"{adc_idx}/invfile").count() == n_rows + n_odd
+    )
+    assert not os.path.exists(f"{adc_idx}/_old_invfile")

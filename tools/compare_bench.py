@@ -50,7 +50,13 @@ def main(argv: list[str]) -> int:
     )
     header = f"{'query':40s}" + "".join(f"{n[-12:]:>13s}" for n in names)
     print(header + f"{'last/base':>10s}")
-    median3 = set(rounds[-1][1].get("median3_rows") or [])
+    # The budgeted stdout line (the driver-wrapper 'tail' format)
+    # carries median3_rows as its COUNT, not the name list; only a
+    # real list selects the tight threshold — otherwise every row
+    # falls back to the NOISE_RATIO band (read BENCH_FULL.json for
+    # the names when they matter).
+    m3 = rounds[-1][1].get("median3_rows")
+    median3 = set(m3) if isinstance(m3, list) else set()
     flagged = []
     for q in qnames:
         cells = ""
