@@ -154,10 +154,12 @@ HEADLINE = [
     "semantic_dedup_sharded_miss_audit_sampled",
     "topic_mixture_resample",
     # round-10 breadth: ingest-time semantic dedup (pruned + exact twin
-    # audit row — the *_ship row below times the production path alone)
-    # and the IVFADC build→append→compact→query lifecycle row
+    # audit row — the *_ship row below times the production path
+    # alone), the IVFADC build→append→compact→query lifecycle row, and
+    # the 3-batch semantic admission chain with mid-chain compaction
     "ism_audit_query",
     "knn_ivfadc_compacted",
+    "incremental_semantic_dedup_chain",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -203,6 +205,7 @@ MEDIAN3 = {
     "ism_audit_query",
     "knn_ivfadc_compacted",
     "ivfadc_append_compact_ship",
+    "incremental_semantic_dedup_chain",
 }
 
 

@@ -611,6 +611,225 @@ def ism_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISM_CHAIN_BATCHES = 3
+
+
+def _ism_chain_oracle_sql(n_batches: int = _ISM_CHAIN_BATCHES) -> str:
+    """Unrolled K-batch replay of the ingest-time semantic-dedup CHAIN
+    (exact side): batch k admits against kept_{k-1} = the base kept
+    half plus every earlier batch's kept survivors — the cosine twin
+    of incremental_lsh_dedup_chain_oracle_sql's structure, built from
+    ISM_AUDIT_SQL's cross/surv/components CTEs repeated per batch with
+    a growing kept set. Loop CTEs are AS MATERIALIZED (the BPE-trainer
+    lesson: DuckDB re-inlines non-materialized CTEs per reference,
+    exploding the unrolled chain); the per-batch component CTEs are
+    plain recursive CTEs — one WITH RECURSIVE clause hosts all K."""
+    t = EMBED_DUP_THRESHOLD
+    mod = 2 * n_batches
+    parts = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec"
+        " FROM embeddings)",
+        "kept_0 AS MATERIALIZED (SELECT * FROM base WHERE vec_id % 2 = 0)",
+    ]
+    selects = []
+    for k in range(1, n_batches + 1):
+        parts += [
+            f"b{k} AS MATERIALIZED (SELECT * FROM base"
+            f" WHERE vec_id % {mod} = {2 * k - 1})",
+            f"""cross_{k} AS MATERIALIZED (
+  SELECT b.vec_id, MIN(kv.vec_id) AS dup_of
+  FROM b{k} b JOIN kept_{k - 1} kv
+    ON ROUND(list_cosine_similarity(b.vec, kv.vec), 6) >= {t}
+  GROUP BY b.vec_id)""",
+            f"surv_{k} AS MATERIALIZED (SELECT * FROM b{k}"
+            f" WHERE vec_id NOT IN (SELECT vec_id FROM cross_{k}))",
+            f"""intra_{k} AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM surv_{k} a JOIN surv_{k} b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {t})""",
+            f"sym_{k} AS MATERIALIZED (SELECT id_a AS u, id_b AS v"
+            f" FROM intra_{k}"
+            f" UNION ALL SELECT id_b, id_a FROM intra_{k})",
+            f"reach_{k} AS (SELECT u, v FROM sym_{k}"
+            f" UNION SELECT r.u, s.v FROM reach_{k} r"
+            f" JOIN sym_{k} s ON r.v = s.u)",
+            f"comp_{k} AS MATERIALIZED (SELECT u AS vec_id,"
+            f" LEAST(u, MIN(v)) AS label FROM reach_{k} GROUP BY u)",
+            f"""statuses_{k} AS MATERIALIZED (
+  SELECT b.vec_id,
+         CASE WHEN c.dup_of IS NOT NULL THEN 'cross_dup'
+              WHEN p.label IS NOT NULL AND p.label <> b.vec_id
+                THEN 'batch_dup'
+              ELSE 'kept' END AS status,
+         COALESCE(c.dup_of,
+                  CASE WHEN p.label <> b.vec_id THEN p.label END,
+                  -1) AS dup_of
+  FROM b{k} b
+  LEFT JOIN cross_{k} c USING (vec_id)
+  LEFT JOIN comp_{k} p USING (vec_id))""",
+            f"""kept_{k} AS MATERIALIZED (
+  SELECT * FROM kept_{k - 1}
+  UNION ALL
+  SELECT b.vec_id, b.vec FROM surv_{k} b LEFT JOIN comp_{k} c USING (vec_id)
+  WHERE c.label IS NULL OR c.label = b.vec_id)""",
+        ]
+        selects.append(
+            f"""SELECT CAST({k} AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN status = 'cross_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross,
+       CAST(SUM(CASE WHEN status = 'batch_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch_dup,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN status = 'cross_dup' THEN dup_of ELSE 0 END)
+            AS BIGINT) AS sum_cross_dup_of,
+       CAST(SUM(CASE WHEN status = 'batch_dup' THEN dup_of ELSE 0 END)
+            AS BIGINT) AS sum_batch_dup_of,
+       CAST(SUM(CASE WHEN status = 'kept' THEN vec_id ELSE 0 END)
+            AS BIGINT) AS sum_kept_ids,
+       TRUE AS flagged_subset_ok,
+       TRUE AS recall_ok
+FROM statuses_{k}"""
+        )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "incremental_semantic_dedup_chain",
+    _ism_chain_oracle_sql(_ISM_CHAIN_BATCHES),
+)
+def q_incremental_semantic_dedup_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest-time semantic-dedup CHAIN — VERDICT r9 ask #6's
+    composite, the semantic twin of incremental_lsh_dedup_compacted's
+    3-batch admission chain: K batches admitted in sequence against a
+    persisted IVF index that GROWS between batches (each batch's kept
+    survivors appended by ivf_append_to_index against the fixed
+    centroids — add-after-train), with a compact_ivf_index fold
+    exercised MID-CHAIN after batch 2, so batch 3 admits against the
+    compacted store. Each batch runs the pruned admission (nprobe 4 of
+    16) AND its exact twin (nprobe = every cell — brute-equal) against
+    the SAME store state; the chain advances on the EXACT side's
+    survivors so the oracle can replay it (growing the store by the
+    pruned side's survivors would require DuckDB to reproduce IVF cell
+    probing — not SQL-expressible — and since pruning can only MISS,
+    the exact survivor set is the canonical one). One output row per
+    batch: the exact side's per-status aggregates, value-hashed, plus
+    ``flagged_subset_ok`` (no pruned cross_dup outside the exact set,
+    per batch — provable, scoring inside probed cells is exact) and
+    ``recall_ok`` (the pruned tier found ≥ 50% of the exact cross dups
+    POOLED across the chain — pooling keeps the bound callable when a
+    single small batch has few dups). The oracle unrolls the chain as
+    materialized CTE generations (kept_0 → kept_K), the
+    incremental_lsh_dedup chain oracle's structure over cosine.
+
+    Scale posture: per-ingest work is the pruned cross search (only
+    probed cid=N partitions of a store that grows by survivors, never
+    rescanned) + the blocked in-batch Gram; appends write only new
+    cells' files; the mid-chain fold restores one file per cell. The
+    exact twin is the audit cost, paid to make the driver row
+    value-hashable — the production path is the pruned tier alone
+    (benched as incremental_semantic_dedup_ship)."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = 2 * _ISM_CHAIN_BATCHES
+    idx = _scratch_dir("ism_chain", sf_dir)
+    _similarity.ivf_build_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, num_centroids=_ISM_CELLS
+    )
+    per_batch: list[DataFrame] = []
+    p_crosses: list[DataFrame] = []
+    e_crosses: list[DataFrame] = []
+    for k in range(1, _ISM_CHAIN_BATCHES + 1):
+        batch = emb.filter(F.col("vec_id") % mod == 2 * k - 1)
+        pruned = _similarity.incremental_semantic_dedup(
+            spark, batch, idx,
+            threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_NPROBE,
+        ).localCheckpoint(eager=True)
+        exact = _similarity.incremental_semantic_dedup(
+            spark, batch, idx,
+            threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_CELLS,
+        ).localCheckpoint(eager=True)
+        p_cross = pruned.filter(F.col("status") == "cross_dup").select(
+            "vec_id"
+        )
+        e_cross = exact.filter(F.col("status") == "cross_dup").select(
+            "vec_id"
+        )
+        p_crosses.append(p_cross)
+        e_crosses.append(e_cross)
+        agg = exact.agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((F.col("status") == "cross_dup").cast("long")).alias(
+                "n_cross"
+            ),
+            F.sum((F.col("status") == "batch_dup").cast("long")).alias(
+                "n_batch_dup"
+            ),
+            F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("status") == "cross_dup", F.col("dup_of")
+                ).otherwise(0)
+            ).alias("sum_cross_dup_of"),
+            F.sum(
+                F.when(
+                    F.col("status") == "batch_dup", F.col("dup_of")
+                ).otherwise(0)
+            ).alias("sum_batch_dup_of"),
+            F.sum(
+                F.when(F.col("status") == "kept", F.col("vec_id")).otherwise(
+                    0
+                )
+            ).alias("sum_kept_ids"),
+        ).withColumn("batch", F.lit(k).cast("long"))
+        subset = p_cross.join(e_cross, "vec_id", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_false")
+        )
+        per_batch.append(agg.crossJoin(subset))
+        # The chain advances: the exact side's kept survivors join the
+        # persisted store (their full vectors, assigned against the
+        # FIXED centroids) before the next batch admits.
+        surv_ids = exact.filter(F.col("status") == "kept").select("vec_id")
+        _similarity.ivf_append_to_index(emb.join(surv_ids, "vec_id"), idx)
+        if k == 2:
+            # Mid-chain maintenance: batch 3 admits against the FOLDED
+            # store — compaction provably invisible to admission.
+            _similarity.compact_ivf_index(spark, idx)
+    shutil.rmtree(idx, ignore_errors=True)
+    all_p = reduce(DataFrame.unionAll, p_crosses)
+    all_e = reduce(DataFrame.unionAll, e_crosses)
+    rec = (
+        all_e.join(all_p, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(all_e.agg(F.count(F.lit(1)).alias("n_e_all")))
+    )
+    return (
+        reduce(DataFrame.unionAll, per_batch)
+        .crossJoin(F.broadcast(rec))
+        .select(
+            "batch",
+            "n_batch",
+            "n_cross",
+            "n_batch_dup",
+            "n_kept",
+            "sum_cross_dup_of",
+            "sum_batch_dup_of",
+            "sum_kept_ids",
+            (F.col("n_false") == 0).alias("flagged_subset_ok"),
+            (F.col("n_hit") * 2 >= F.col("n_e_all")).alias("recall_ok"),
+        )
+    )
+
+
 _TOPIC_MIX_SEED = 11
 
 _TOPIC_MIX_SQL = (

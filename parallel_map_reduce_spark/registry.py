@@ -45,6 +45,7 @@ _PRIORITY: list[str] = [
     # 1) queries NEW in round 10 — first driver row this round
     "ism_audit_query",
     "knn_ivfadc_compacted",
+    "incremental_semantic_dedup_chain",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -101,7 +102,6 @@ _PRIORITY: list[str] = [
     "intersect_nations",
     "except_nations",
     "window_rank_orders_per_customer",
-    "window_rolling_events",
 ]
 
 

@@ -1970,3 +1970,56 @@ def test_pq_and_ivfadc_stores_recover_at_reader_and_appender_entry(
         spark.read.parquet(f"{adc_idx}/invfile").count() == n_rows + n_odd
     )
     assert not os.path.exists(f"{adc_idx}/_old_invfile")
+
+
+def test_ism_chain_matches_duckdb_oracle(spark, sf_dir):
+    """Driver-compare mirror for the r10 chain composite: run
+    incremental_semantic_dedup_chain and its unrolled DuckDB oracle
+    exactly as the driver's correctness check would (sorted columns,
+    normalized values, sorted rows) at two sfs, and pin the chain
+    invariants: one row per batch, statuses partition each batch, and
+    the audit booleans are genuinely TRUE."""
+    import math
+
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        _ISM_CHAIN_BATCHES,
+        _ism_chain_oracle_sql,
+        q_incremental_semantic_dedup_chain,
+    )
+
+    def normalize(rows, columns):
+        order = sorted(range(len(columns)), key=lambda i: columns[i])
+        out = []
+        for row in rows:
+            vals = []
+            for i in order:
+                v = row[i]
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else f"{v:.12g}"
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    for sf in (sf_dir, "/root/testdata/sf0.01"):
+        df = q_incremental_semantic_dedup_chain(spark, sf)
+        rows = df.collect()
+        got = normalize([tuple(r) for r in rows], df.columns)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        cur = con.execute(_ism_chain_oracle_sql())
+        cols = [d[0] for d in cur.description]
+        want = normalize(cur.fetchall(), cols)
+        assert got == want, f"ISM chain oracle mismatch at {sf}"
+        assert sorted(r["batch"] for r in rows) == list(
+            range(1, _ISM_CHAIN_BATCHES + 1)
+        )
+        for r in rows:
+            assert r["flagged_subset_ok"] and r["recall_ok"]
+            assert (
+                r["n_batch"] == r["n_cross"] + r["n_batch_dup"] + r["n_kept"]
+            )
