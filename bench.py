@@ -160,6 +160,7 @@ HEADLINE = [
     "ism_audit_query",
     "knn_ivfadc_compacted",
     "incremental_semantic_dedup_chain",
+    "knn_pq_compacted",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -206,6 +207,7 @@ MEDIAN3 = {
     "knn_ivfadc_compacted",
     "ivfadc_append_compact_ship",
     "incremental_semantic_dedup_chain",
+    "knn_pq_compacted",
 }
 
 

@@ -1576,6 +1576,83 @@ def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_pq_compacted", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+)
+def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAT-code-store lifecycle — compact_pq_index's driver row,
+    completing the compactor family's driver evidence (the IVFADC
+    compactor is driven by knn_ivfadc_compacted, the signature store
+    by incremental_lsh_dedup_compacted): phase 1 trains the codebooks
+    on the even-id HALF and persists model + codes
+    (similarity.pq_build_index); the odd-id half arrives as TWO later
+    batches encoded against the STORED model and appended
+    (pq_append_to_index — each append adds one file to the flat
+    ``codes`` table, so an N-append deployment pays N file opens per
+    query); compact_pq_index folds the table to the byte-targeted file
+    count (one file at this scale) with no retrain and no re-encode;
+    top-k is answered from the store before AND after the fold and
+    ``compaction_unchanged_ok`` value-hashes that the answers are
+    identical. In-query asserts pin real fragmentation and the fold's
+    file-count contract. Same audit contract as the other ANN rows on
+    the post-compaction answers: exact-twin aggregates value-hashed,
+    recall_ok >= 0.5 under half-trained codebook drift."""
+    import glob as _glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("pq_lifecycle", sf_dir)
+    _similarity.pq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    for mres in (1, 3):
+        _similarity.pq_append_to_index(
+            emb.filter(F.col("vec_id") % 4 == mres), idx
+        )
+    pre = (
+        _similarity.pq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    files_before, files_after = _similarity.compact_pq_index(spark, idx)
+    # Loud in-query invariants: the appends really fragmented the flat
+    # table (>= 3 files: build + 2 appends) and the fold hit the
+    # byte-targeted count (1 file at every test sf).
+    assert files_before >= 3, files_before
+    assert files_after < files_before, (files_before, files_after)
+    n_files = len(_glob.glob(f"{idx}/codes/*.parquet"))
+    assert files_after == n_files, (files_after, n_files)
+    post = (
+        _similarity.pq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    diff = (
+        pre.exceptAll(post)
+        .agg(F.count(F.lit(1)).alias("n_d1"))
+        .crossJoin(post.exceptAll(pre).agg(F.count(F.lit(1)).alias("n_d2")))
+    )
+    return (
+        _knn_audit_frame(exact, post)
+        .crossJoin(diff)
+        .select(
+            "n_queries",
+            "n_exact",
+            "sum_exact_neighbor_ids",
+            "sum_exact_sim_e6",
+            "recall_ok",
+            ((F.col("n_d1") + F.col("n_d2")) == 0).alias(
+                "compaction_unchanged_ok"
+            ),
+        )
+    )
+
+
 @register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ with INCREMENTAL INDEX MAINTENANCE — the nightly

@@ -46,6 +46,7 @@ _PRIORITY: list[str] = [
     "ism_audit_query",
     "knn_ivfadc_compacted",
     "incremental_semantic_dedup_chain",
+    "knn_pq_compacted",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -101,7 +102,6 @@ _PRIORITY: list[str] = [
     "union_distinct_nations",
     "intersect_nations",
     "except_nations",
-    "window_rank_orders_per_customer",
 ]
 
 
