@@ -164,6 +164,7 @@ HEADLINE = [
     "knn_ivfadc_compacted",
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
+    "knn_opq_ann_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -210,6 +211,7 @@ MEDIAN3 = {
     "ivfadc_append_compact_ship",
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
+    "knn_opq_ann_stored",
 }
 
 

@@ -1576,6 +1576,38 @@ def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_opq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+def q_knn_opq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE OPQ — the ROTATION branch of the persisted code store
+    driver-verified (previously pytest-only): phase 1 trains the OPQ
+    rotation + codebooks and persists the model row WITH the rotation
+    matrix alongside the ~16 B/vec codes
+    (similarity.pq_build_index(rotation=True) — the same store layout
+    as plain PQ, rotation non-NULL); phase 2 answers top-k from the
+    store with pq_query_stored, whose scoring MUST honor the persisted
+    rotation (codes were encoded under it — decode without it would be
+    silently wrong, which is exactly why this branch deserves a driver
+    row, not just the pytest pin against the self-contained opq_ann).
+    Same audit contract as the other ANN rows: brute-force twin
+    aggregates value-hashed, recall_ok >= 0.5 in-query (OPQ measures
+    ~0.98 at sf0.01 — above plain PQ's 0.94)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("opq_index", sf_dir)
+    _similarity.pq_build_index(emb, idx, rotation=True)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.pq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _knn_audit_frame(exact, approx)
+
+
 @register(
     "knn_pq_compacted", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
 )

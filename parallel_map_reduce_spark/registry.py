@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "knn_ivfadc_compacted",
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
+    "knn_opq_ann_stored",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -101,7 +102,6 @@ _PRIORITY: list[str] = [
     "sort_limit_top_orders",
     "union_distinct_nations",
     "intersect_nations",
-    "except_nations",
 ]
 
 
