@@ -721,3 +721,37 @@ def test_topic_mixture_resample_plan_broadcast_only(spark):
             "hashpartitioning(cluster" in l or "SinglePartition" in l
         ), plan
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_ivfpq_stored_query_prunes_partitions_after_lifecycle(spark, tmp_path):
+    """r10 lifecycle plan pin (VERDICT r9 ask #3's done-criterion): after
+    build → append (ivfpq_append_to_index) → compact_ivf_index, the
+    stored IVFADC query must STILL read only probed cells — the code
+    scan carries a dynamic-partition-pruning filter on cid, the probe
+    and ADC joins broadcast, the ADC dot sum map-side combines, and the
+    corpus is never sort-merge shuffled. Compaction rewrites the file
+    layout; this pins that it cannot degrade the read plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_lifecycle_idx")
+    similarity.ivfpq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    similarity.ivfpq_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    similarity.compact_ivf_index(spark, idx)
+    df = similarity.ivfpq_query_stored(
+        spark, idx, emb, query_ids=list(range(10)), k=5
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(cid" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
