@@ -165,6 +165,9 @@ HEADLINE = [
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
     "knn_opq_ann_stored",
+    # the SQ8 store lifecycle (build → 2 appends → compact → query,
+    # audit-carrying like the other lifecycle rows)
+    "knn_sq_ann_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -212,6 +215,8 @@ MEDIAN3 = {
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
     "knn_opq_ann_stored",
+    "knn_sq_ann_stored",
+    "knn_sq_ann_stored_ship",
 }
 
 
@@ -475,6 +480,26 @@ def main() -> int:
         )
     finally:
         _shutil.rmtree(pq_dir, ignore_errors=True)
+
+    # The persisted SQ8 byte-code store: encode once outside the clock,
+    # time only the answer-from-codes path — the ONLY stored read path
+    # in the family with zero Python anywhere (model as plan literals).
+    sq_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_sq_")
+    try:
+        _sim.sq_build_index(_emb(), sq_dir)
+
+        def run_sq_stored():
+            _sim.sq_query_stored(
+                spark, sq_dir, _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_sq_ann_stored_ship"] = _measure(run_sq_stored, "knn_sq_ann_stored_ship")
+        print(
+            f"# knn_sq_ann_stored_ship: {timings['knn_sq_ann_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(sq_dir, ignore_errors=True)
 
     # And the composed index: persisted IVFADC (coarse centroids + PQ
     # model + cid-partitioned codes) — the FAISS billion-scale layout.

@@ -1685,6 +1685,88 @@ def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_sq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+)
+def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SQ8 store's FULL lifecycle in one driver row —
+    completing the persisted-store matrix (IVF / PQ / OPQ / IVFADC /
+    now SQ) AND extending the flat-code compactor's evidence to its
+    third store flavor: phase 1 trains the per-dimension (min, max)
+    quantizer on the even-id HALF and persists model + byte codes
+    (similarity.sq_build_index — ONE byte per dimension, the 8x shrink
+    FAISS IndexScalarQuantizer QT_8bit persists); the odd-id half
+    arrives as TWO later batches encoded against the STORED model and
+    appended (sq_append_to_index, add-after-train: out-of-range dims
+    clip, the quantizer never retrains); compact_pq_index folds the
+    flat code table UNCHANGED (same model+codes layout as PQ — one
+    compactor, one crash state machine, three store flavors); top-k is
+    answered from the store before AND after the fold
+    (similarity.sq_query_stored — the ONLY stored reader in the family
+    with zero Python anywhere in the read path, model as 2·dim plan
+    literals) and ``compaction_unchanged_ok`` value-hashes that the
+    fold changed the file layout only. In-query asserts pin real
+    fragmentation and the fold's file-count contract. Same audit
+    contract as the other ANN rows on the post-compaction answers:
+    brute-force-twin aggregates value-hashed, recall_ok >= 0.5 under
+    half-trained quantizer clipping (8-bit error is far below neighbor
+    gaps — measured 1.0 recall across sfs even half-trained)."""
+    import glob as _glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("sq_lifecycle", sf_dir)
+    _similarity.sq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    for mres in (1, 3):
+        _similarity.sq_append_to_index(
+            emb.filter(F.col("vec_id") % 4 == mres), idx
+        )
+    pre = (
+        _similarity.sq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    files_before, files_after = _similarity.compact_pq_index(spark, idx)
+    # Loud in-query invariants: the appends really fragmented the flat
+    # table (>= 3 files: build + 2 appends) and the fold hit the
+    # byte-targeted count (1 file at every test sf).
+    assert files_before >= 3, files_before
+    assert files_after < files_before, (files_before, files_after)
+    n_files = len(_glob.glob(f"{idx}/codes/*.parquet"))
+    assert files_after == n_files, (files_after, n_files)
+    post = (
+        _similarity.sq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    diff = (
+        pre.exceptAll(post)
+        .agg(F.count(F.lit(1)).alias("n_d1"))
+        .crossJoin(post.exceptAll(pre).agg(F.count(F.lit(1)).alias("n_d2")))
+    )
+    return (
+        _knn_audit_frame(exact, post)
+        .crossJoin(diff)
+        .select(
+            "n_queries",
+            "n_exact",
+            "sum_exact_neighbor_ids",
+            "sum_exact_sim_e6",
+            "recall_ok",
+            ((F.col("n_d1") + F.col("n_d2")) == 0).alias(
+                "compaction_unchanged_ok"
+            ),
+        )
+    )
+
+
 @register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ with INCREMENTAL INDEX MAINTENANCE — the nightly

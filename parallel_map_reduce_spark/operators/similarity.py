@@ -2167,29 +2167,71 @@ def sq_ann(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
     vmin, vmax = sq_train(embeddings, vec_col=vec_col)
-    scale = (vmax - vmin) / 255.0
-    scale[scale == 0.0] = 1.0  # constant dim: code 0, decode == vmin
-    mins = F.array(*[F.lit(float(v)) for v in vmin])
-    scales = F.array(*[F.lit(float(s)) for s in scale])
-    # code_d = clip(round((x_d - mn_d) / sc_d), 0, 255)  [8-bit affine]
-    # deq_d  = mn_d + code_d * sc_d
-    shifted = F.zip_with(
-        F.col("vec"),
-        mins,
-        lambda x, mn: F.struct(mn.alias("mn"), (x - mn).alias("diff")),
-    )
-    deq = F.zip_with(
-        shifted,
-        scales,
-        lambda s, sc: s["mn"]
-        + F.least(
-            F.greatest(F.round(s["diff"] / sc, 0), F.lit(0.0)), F.lit(255.0)
-        )
-        * sc,
-    )
+    mins, scales = _sq_model_arrays(vmin, vmax)
+    # encode → decode fused in one plan: the round-trip through the
+    # 8-bit code is exact (codes are exact integers in double), so this
+    # scores IDENTICALLY to reading the code back from a persisted
+    # store (sq_query_stored) — structurally, because both sides build
+    # the same _sq_encode_expr/_sq_decode_expr pair.
+    deq = _sq_decode_expr(_sq_encode_expr(F.col("vec"), mins, scales), mins, scales)
     enc = base.select(
         id_col, _vec_norm().alias("norm"), deq.alias("deq")
     )
+    return _sq_score_refine(base, enc, query_ids, k, rerank_factor, id_col)
+
+
+def _sq_model_arrays(vmin: np.ndarray, vmax: np.ndarray):
+    """(mins, scales) literal-array columns from a trained SQ model —
+    the zero-scale guard (constant dim: code 0, decode == vmin) applied
+    in ONE place so the self-contained and stored paths cannot drift."""
+    scale = (vmax - vmin) / 255.0
+    scale[scale == 0.0] = 1.0
+    mins = F.array(*[F.lit(float(v)) for v in vmin])
+    scales = F.array(*[F.lit(float(s)) for s in scale])
+    return mins, scales
+
+
+def _sq_encode_expr(vec, mins, scales):
+    """code_d = clip(round((x_d - mn_d) / sc_d), 0, 255) - 128, stored
+    as ONE BYTE per dimension (tinyint; the -128 shift maps the uint8
+    code range onto Spark's signed byte) — all-JVM zip_with folds."""
+    shifted = F.zip_with(vec, mins, lambda x, mn: x - mn)
+    return F.zip_with(
+        shifted,
+        scales,
+        lambda d, sc: (
+            F.least(F.greatest(F.round(d / sc, 0), F.lit(0.0)), F.lit(255.0))
+            - 128.0
+        ).cast("tinyint"),
+    )
+
+
+def _sq_decode_expr(code, mins, scales):
+    """deq_d = mn_d + (code_d + 128) * sc_d — the two-flop affine
+    decode, all-JVM."""
+    withmn = F.zip_with(
+        code, mins, lambda c, mn: F.struct(mn.alias("mn"), c.alias("c"))
+    )
+    return F.zip_with(
+        withmn,
+        scales,
+        lambda s, sc: s["mn"] + (s["c"].cast("double") + 128.0) * sc,
+    )
+
+
+def _sq_score_refine(
+    base: DataFrame,
+    enc: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+) -> DataFrame:
+    """The shared SQ scoring tail (self-contained sq_ann AND
+    sq_query_stored): asymmetric dot of the exact broadcast query
+    against the dequantized corpus with true stored norms, a
+    |Q|-keyed k·rerank_factor shortlist, then exact refine from the
+    primary table. ``enc`` is (id_col, norm, deq)."""
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -2217,3 +2259,143 @@ def sq_ann(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def sq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Phase 1 of the two-phase SQ8: train the per-dimension (min, max)
+    quantizer and persist the BYTE-coded corpus — the persisted form of
+    FAISS IndexScalarQuantizer QT_8bit (write_index after train+add):
+
+      ``<path>/model``  one row: (dim, vmin array, scale array) — the
+                        guarded scales sq encode/decode actually used,
+                        2·dim doubles, the smallest model in the family;
+      ``<path>/codes``  (vec_id, norm, code array<tinyint>) — ONE byte
+                        per dimension plus one true norm per vector.
+
+    Same store layout as pq_build_index (model + flat codes), so
+    compact_pq_index and the recover_store_slices crash state machine
+    apply UNCHANGED. Unlike the PQ stores, both the encode here and the
+    stored read path are entirely JVM-side — no Python worker at build
+    or query time (plan-asserted).
+
+    Scale posture: training is one narrow posexplode agg (2 scalars per
+    dimension); encode is a projection; the write is shuffle-free.
+    """
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    vmin, vmax = sq_train(embeddings, vec_col=vec_col)
+    scale = (vmax - vmin) / 255.0
+    scale[scale == 0.0] = 1.0
+    spark = embeddings.sparkSession
+    model = [
+        (
+            int(len(vmin)),
+            [float(v) for v in vmin],
+            [float(s) for s in scale],
+        )
+    ]
+    spark.createDataFrame(
+        model, "dim int, vmin array<double>, scale array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    # literal arrays built from the EXACT doubles the model row stores
+    # (not re-derived arithmetic — bit-stability is what pins
+    # sq_query_stored == sq_ann)
+    mins = F.array(*[F.lit(float(v)) for v in vmin])
+    scales = F.array(*[F.lit(float(s)) for s in scale])
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        _sq_encode_expr(F.col("vec"), mins, scales).alias("code"),
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def _sq_stored_model_arrays(spark, path: str):
+    """(mins, scales) literal-array columns rebuilt from the persisted
+    model row — scales are stored ALREADY guarded, so they ride back
+    into the plan verbatim."""
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    mins = F.array(*[F.lit(float(v)) for v in mrow["vmin"]])
+    scales = F.array(*[F.lit(float(s)) for s in mrow["scale"]])
+    return mins, scales
+
+
+def sq_append_to_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the SQ8 store: encode a NEW batch
+    against the STORED (min, scale) model and append (vec_id, norm,
+    code) rows — add-after-train; the quantizer is deliberately not
+    retrained (dims that drift outside the trained range clip, exactly
+    as FAISS's trained ScalarQuantizer does), so earlier codes never
+    re-encode. Entry runs compaction crash recovery (appending beside a
+    pre-promote ``_old_codes`` rename would create the unrecoverable
+    both-exist state); appends must not run concurrently with a
+    compaction (quiesced-store contract, see recover_store_slices)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    spark = embeddings.sparkSession
+    mins, scales = _sq_stored_model_arrays(spark, path)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        _sq_encode_expr(F.col("vec"), mins, scales).alias("code"),
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
+def sq_query_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    rerank_factor: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Phase 2 of the two-phase SQ8: answer top-k from the PERSISTED
+    byte-code store — no retrain, no re-encode. The model rebuilds as
+    2·dim literals (never a join), the byte codes decode through the
+    same _sq_decode_expr the self-contained path uses, and exact-refine
+    candidates come from the PRIMARY table — the index holds no float
+    vectors. The ONLY stored reader in the ANN family with zero Python
+    anywhere in the read path (plan-asserted): decode, asymmetric dot,
+    shortlist, and refine are all JVM zip_with/aggregate folds. Output
+    is identical to sq_ann at the same parameters on the same trained
+    model (pytest-pinned): the code round-trip is exact, so persisting
+    changes the I/O shape, not a single similarity.
+
+    Like every stored reader, entry runs crash recovery for an
+    interrupted compact_pq_index; stored queries must not run
+    concurrently with a compaction (quiesced-store contract)."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    mins, scales = _sq_stored_model_arrays(spark, path)
+    enc = spark.read.parquet(f"{path}/codes").select(
+        id_col,
+        "norm",
+        _sq_decode_expr(F.col("code"), mins, scales).alias("deq"),
+    )
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    return _sq_score_refine(base, enc, query_ids, k, rerank_factor, id_col)

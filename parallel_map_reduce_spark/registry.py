@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "incremental_semantic_dedup_chain",
     "knn_pq_compacted",
     "knn_opq_ann_stored",
+    "knn_sq_ann_stored",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -61,6 +62,10 @@ _PRIORITY: list[str] = [
     "knn_pq_ann_stored",
     "knn_pq_ann_appended",
     "incremental_lsh_dedup_compacted",
+    # knn_sq_ann: its sq_ann implementation refactored onto the shared
+    # _sq_encode_expr/_sq_decode_expr/_sq_score_refine helpers the new
+    # persisted store uses (answers pytest-pinned identical)
+    "knn_sq_ann",
     # 2) oldest r6-latest rows (r6 row order) fill the window; the
     # displaced r6 tail (wordcount_per_doc on) + the 4 oldest r7 rows
     # roll to round 11
@@ -100,8 +105,6 @@ _PRIORITY: list[str] = [
     "outer_join_nation_counts",
     "scalar_subquery_above_avg",
     "sort_limit_top_orders",
-    "union_distinct_nations",
-    "intersect_nations",
 ]
 
 

@@ -1049,6 +1049,158 @@ def test_sq_train_bounds_and_constant_dim(spark):
     assert all(len([r for r in got if r["query_id"] == q]) == 3 for q in (0, 1))
 
 
+def test_sq_stored_matches_self_contained_and_stays_jvm(
+    spark, embeddings, tmp_path
+):
+    """The persisted SQ8 store: (a) sq_query_stored on a full-corpus
+    build answers IDENTICALLY to the self-contained sq_ann — the byte
+    round-trip is exact, persisting changes the I/O shape, not a
+    similarity; (b) the codes table really stores ONE BYTE per
+    dimension (array<tinyint>); (c) the stored READ path — decode,
+    asymmetric dot, shortlist, refine — launches no Python worker
+    (the only stored reader in the ANN family with that property: the
+    model rides as plan literals, not through a UDF)."""
+    idx = str(tmp_path / "sq_idx")
+    similarity.sq_build_index(embeddings, idx)
+    stored = similarity.sq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5
+    )
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "SortMergeJoin" not in plan
+    got = sorted(map(tuple, stored.collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.sq_ann(
+                embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+    assert got == want
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert dict(codes.dtypes)["code"] == "array<tinyint>"
+    assert codes.count() == embeddings.count()
+
+
+def test_sq_store_append_then_compact_answers_unchanged(
+    spark, embeddings, tmp_path
+):
+    """SQ add-after-train + the SHARED flat-code compactor: build on
+    the even-id half, append the odd half as two batches against the
+    STORED model (out-of-range dims clip — the quantizer never
+    retrains), fold with compact_pq_index UNCHANGED (same model+codes
+    layout as PQ), and the stored answers are identical before/after
+    the fold. Appended codes are pinned equal to an independent
+    re-encode from the persisted model row — the add-after-train
+    contract, byte-for-byte."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "sq_app")
+    even = embeddings.filter(F.col("vec_id") % 2 == 0)
+    similarity.sq_build_index(even, idx)
+    for mres in (1, 3):
+        similarity.sq_append_to_index(
+            embeddings.filter(F.col("vec_id") % 4 == mres), idx
+        )
+    n = embeddings.count()
+    assert spark.read.parquet(f"{idx}/codes").count() == n
+
+    # independent re-encode of one appended row from the model row
+    mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+    vmin = np.array(mrow["vmin"])
+    scale = np.array(mrow["scale"])
+    vec = np.array(
+        embeddings.filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0],
+        dtype="float64",
+    )
+    want_code = (
+        np.clip(np.round((vec - vmin) / scale), 0, 255) - 128
+    ).astype("int8")
+    got_code = np.array(
+        spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("vec_id") == 1)
+        .collect()[0]["code"],
+        dtype="int8",
+    )
+    assert (got_code == want_code).all()
+
+    pre = sorted(
+        map(
+            tuple,
+            similarity.sq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+    files_before, files_after = similarity.compact_pq_index(spark, idx)
+    assert files_before >= 3 and files_after < files_before
+    post = sorted(
+        map(
+            tuple,
+            similarity.sq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+    assert pre == post
+
+
+def test_sq_store_recovers_at_reader_and_appender_entry(
+    spark, embeddings, tmp_path
+):
+    """The SQ store joins the uniform reader/appender recovery
+    contract: a compaction crashed at EITHER crash point heals at the
+    next sq_query_stored or sq_append_to_index open — same
+    recover_store_slices state machine as the PQ/IVF stores."""
+    import os
+
+    from pyspark.sql import Row
+
+    idx = str(tmp_path / "sq_crash")
+    similarity.sq_build_index(embeddings, idx)
+    topk = sorted(
+        map(
+            tuple,
+            similarity.sq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+
+    # pre-promote crash (complete staging, live dir renamed away) →
+    # reader heals and answers identically
+    spark.read.parquet(f"{idx}/codes").write.parquet(f"{idx}/_compact")
+    os.replace(f"{idx}/codes", f"{idx}/_old_codes")
+    assert (
+        sorted(
+            map(
+                tuple,
+                similarity.sq_query_stored(
+                    spark, idx, embeddings, query_ids=list(range(10)), k=5
+                ).collect(),
+            )
+        )
+        == topk
+    )
+    assert os.path.isdir(f"{idx}/codes")
+    assert not os.path.exists(f"{idx}/_compact")
+    assert not os.path.exists(f"{idx}/_old_codes")
+
+    # post-promote crash (dead _old_codes) → appender heals, appends
+    n_before = spark.read.parquet(f"{idx}/codes").count()
+    os.makedirs(f"{idx}/_old_codes")
+    similarity.sq_append_to_index(
+        spark.createDataFrame([Row(vec_id=10**6, embedding=[1.0] * 64)]),
+        idx,
+    )
+    assert not os.path.exists(f"{idx}/_old_codes")
+    assert spark.read.parquet(f"{idx}/codes").count() == n_before + 1
+
+
 def test_train_cap_noop_bound_and_layout_independence(spark, embeddings):
     """The FAISS-style bounded training set (_cap_train_set): (a) a
     non-binding cap is a true no-op — capped and uncapped codebooks are
