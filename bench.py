@@ -166,8 +166,10 @@ HEADLINE = [
     "knn_pq_compacted",
     "knn_opq_ann_stored",
     # the SQ8 store lifecycle (build → 2 appends → compact → query,
-    # audit-carrying like the other lifecycle rows)
+    # audit-carrying like the other lifecycle rows) and the IVF×SQ
+    # composed-index lifecycle (FAISS IndexIVFScalarQuantizer)
     "knn_sq_ann_stored",
+    "knn_ivfsq_ann_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -217,6 +219,8 @@ MEDIAN3 = {
     "knn_opq_ann_stored",
     "knn_sq_ann_stored",
     "knn_sq_ann_stored_ship",
+    "knn_ivfsq_ann_stored",
+    "knn_ivfsq_ann_stored_ship",
 }
 
 
@@ -500,6 +504,29 @@ def main() -> int:
         )
     finally:
         _shutil.rmtree(sq_dir, ignore_errors=True)
+
+    # The composed IVF×SQ index (FAISS IndexIVFScalarQuantizer): both
+    # pruning axes live — probed cells only (DPP) AND 1 byte/dim — with
+    # an all-JVM corpus side. Build outside the clock, time the answer.
+    ivfsq_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_ivfsq_")
+    try:
+        _sim.ivfsq_build_index(_emb(), ivfsq_dir)
+
+        def run_ivfsq_stored():
+            _sim.ivfsq_query_stored(
+                spark, ivfsq_dir, _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_ivfsq_ann_stored_ship"] = _measure(
+            run_ivfsq_stored, "knn_ivfsq_ann_stored_ship"
+        )
+        print(
+            "# knn_ivfsq_ann_stored_ship: "
+            f"{timings['knn_ivfsq_ann_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(ivfsq_dir, ignore_errors=True)
 
     # And the composed index: persisted IVFADC (coarse centroids + PQ
     # model + cid-partitioned codes) — the FAISS billion-scale layout.

@@ -1686,6 +1686,88 @@ def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivfsq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+)
+def q_knn_ivfsq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF×SQ COMPOSITION the SQ8 docstring promises ("SQ shrinks
+    WHAT is stored, IVF shrinks WHICH vectors are scored; compose with
+    IVF for both") — FAISS IndexIVFScalarQuantizer(QT_8bit) — as a
+    full persisted-index lifecycle: phase 1 trains the coarse k-means
+    AND the per-dimension scalar quantizer on the even-id HALF and
+    persists centroids + SQ model + the byte-coded corpus partitioned
+    BY cid (similarity.ivfsq_build_index — 1 byte/dim + one norm per
+    vector, clustered per cell); the odd-id half arrives as TWO later
+    batches assigned/encoded against the STORED models and appended
+    (ivfsq_append_to_index, add-after-train on both quantizers);
+    compact_ivf_index folds the inverted file back to one file per
+    cell UNCHANGED (its third cid-partitioned flavor); top-k is
+    answered from the store before AND after the fold
+    (similarity.ivfsq_query_stored — probe selection is the shared
+    Arrow centroid UDF over the |Q| query rows only, everything
+    corpus-side is JVM byte decode + asymmetric dot, and only probed
+    cid=N partitions are read: dynamic partition pruning,
+    plan-asserted) and ``compaction_unchanged_ok`` value-hashes that
+    the fold changed the layout only. nprobe=6 of 16 cells — chosen so
+    recall_ok clears with margin under half-trained centroids
+    (measured 0.80/0.82/0.94 at sf0.001/0.01/0.1); with nprobe=16 the
+    answers are pytest-pinned EQUAL to the flat SQ store's, so cell
+    pruning is the only approximation the composition adds. Same audit
+    contract as the other ANN rows on the post-compaction answers."""
+    import glob as _glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivfsq_lifecycle", sf_dir)
+    _similarity.ivfsq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    for mres in (1, 3):
+        _similarity.ivfsq_append_to_index(
+            emb.filter(F.col("vec_id") % 4 == mres), idx
+        )
+    pre = (
+        _similarity.ivfsq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K, nprobe=6
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    files_before, files_after = _similarity.compact_ivf_index(spark, idx)
+    n_cells = len(_glob.glob(f"{idx}/invfile/cid=*"))
+    # Loud in-query invariants: the two appends fragmented at least one
+    # cell, and the fold restored exactly one file per non-empty cell.
+    assert files_before > n_cells, (files_before, n_cells)
+    assert files_after == n_cells, (files_after, n_cells)
+    post = (
+        _similarity.ivfsq_query_stored(
+            spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K, nprobe=6
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    exact = _similarity.knn_bruteforce(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint(eager=True)
+    diff = (
+        pre.exceptAll(post)
+        .agg(F.count(F.lit(1)).alias("n_d1"))
+        .crossJoin(post.exceptAll(pre).agg(F.count(F.lit(1)).alias("n_d2")))
+    )
+    return (
+        _knn_audit_frame(exact, post)
+        .crossJoin(diff)
+        .select(
+            "n_queries",
+            "n_exact",
+            "sum_exact_neighbor_ids",
+            "sum_exact_sim_e6",
+            "recall_ok",
+            ((F.col("n_d1") + F.col("n_d2")) == 0).alias(
+                "compaction_unchanged_ok"
+            ),
+        )
+    )
+
+
+@register(
     "knn_sq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
 )
 def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2399,3 +2399,194 @@ def sq_query_stored(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
     return _sq_score_refine(base, enc, query_ids, k, rerank_factor, id_col)
+
+
+def ivfsq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = DEFAULT_TRAIN_CAP,
+) -> None:
+    """Phase 1 of the two-phase IVF-SQ — the composition the SQ8
+    docstring promises ("SQ shrinks WHAT is stored, IVF shrinks WHICH
+    vectors are scored; compose with IVF for both"), FAISS's
+    IndexIVFScalarQuantizer(QT_8bit): train the coarse quantizer AND
+    the per-dimension scalar quantizer, then persist
+
+      ``<path>/centroids``  the k (cid, center) rows;
+      ``<path>/model``      the SQ model row (dim, vmin, guarded
+                            scale) — same schema as the flat SQ store;
+      ``<path>/invfile``    (vec_id, norm, code array<tinyint>)
+                            partitioned BY cid — ONE byte per
+                            dimension, clustered per cell so a probe
+                            of p cells reads exactly p partition
+                            directories.
+
+    The ``invfile`` name is deliberate: compact_ivf_index and
+    ivf-style crash recovery apply UNCHANGED (third cid-partitioned
+    flavor after raw-vector IVF and IVFADC). Both quantizers train on
+    the same bounded deterministic sample discipline as every other
+    trainer; neither retrains at append or query time.
+
+    Scale posture: k-means on the capped sample; SQ train is one
+    narrow posexplode agg; encode+assign is a single projection (one
+    Arrow crossing for the cid, JVM zip_with for the bytes); the
+    partitionBy(cid) write is the only data movement.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    train = _cap_train_set(base, F.col("vec"), train_cap).select(
+        array_to_vector(F.col("vec")).alias("features")
+    )
+    kmodel = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+    centers = [list(map(float, c)) for c in kmodel.clusterCenters()]
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cid int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    vmin, vmax = sq_train(embeddings, vec_col=vec_col)
+    scale = (vmax - vmin) / 255.0
+    scale[scale == 0.0] = 1.0
+    spark.createDataFrame(
+        [(int(len(vmin)), [float(v) for v in vmin], [float(s) for s in scale])],
+        "dim int, vmin array<double>, scale array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+    mins = F.array(*[F.lit(float(v)) for v in vmin])
+    scales = F.array(*[F.lit(float(s)) for s in scale])
+    nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        _sq_encode_expr(F.col("vec"), mins, scales).alias("code"),
+        nearest_cid(F.col("vec")).alias("cid"),
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/invfile")
+
+
+def ivfsq_append_to_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the IVF-SQ store: assign a NEW batch
+    to the EXISTING centroids and byte-encode it against the STORED SQ
+    model, then append into the cid-partitioned inverted file —
+    add-after-train on BOTH quantizers (cell boundaries stay fixed,
+    out-of-range dims clip; rebuild cadence is the drift knob). Entry
+    runs compaction crash recovery; appends must not run concurrently
+    with a compaction (quiesced-store contract)."""
+    spark = embeddings.sparkSession
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    mins, scales = _sq_stored_model_arrays(spark, path)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    base.select(
+        id_col,
+        _vec_norm().alias("norm"),
+        _sq_encode_expr(F.col("vec"), mins, scales).alias("code"),
+        nearest_cid(F.col("vec")).alias("cid"),
+    ).write.mode("append").partitionBy("cid").parquet(f"{path}/invfile")
+
+
+def ivfsq_query_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Phase 2 of the two-phase IVF-SQ: answer top-k from the persisted
+    index with BOTH pruning axes live — which cells (the broadcast
+    probe join's dynamic partition pruning reads only probed ``cid=N``
+    directories) and how many bytes (1 byte/dim + one norm per scored
+    vector). Probe selection is the shared Arrow centroid-distance UDF
+    over the |Q| query rows ONLY; everything corpus-side is JVM — the
+    affine byte decode (model as 2·dim plan literals), the asymmetric
+    dot against the exact broadcast query, and the k·rerank_factor
+    shortlist. Exact-refine candidates and query vectors come from the
+    PRIMARY table; the index holds no float vectors.
+
+    With nprobe >= num_centroids this degrades gracefully to exactly
+    the flat SQ store's answers (pytest-pinned: the cells partition
+    the corpus, and the SQ model is the same global min/max), so cell
+    pruning is the ONLY approximation added on top of SQ8 — the same
+    recall ladder FAISS documents for IndexIVFScalarQuantizer.
+
+    Entry runs compaction crash recovery; stored queries must not run
+    concurrently with a compaction (quiesced-store contract)."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
+    mins, scales = _sq_stored_model_arrays(spark, path)
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            _vec_norm().alias("qnorm"),
+        )
+        .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
+    )
+    inv = spark.read.parquet(f"{path}/invfile").select(
+        id_col,
+        "norm",
+        _sq_decode_expr(F.col("code"), mins, scales).alias("deq"),
+        "cid",
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qvec"), F.col("deq"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine_topk(base, shortlist, query_ids, k, id_col)

@@ -1201,6 +1201,120 @@ def test_sq_store_recovers_at_reader_and_appender_entry(
     assert spark.read.parquet(f"{idx}/codes").count() == n_before + 1
 
 
+def test_ivfsq_exactness_recovery_and_recall(spark, embeddings, tmp_path):
+    """The IVF×SQ composition: (a) with nprobe >= num_centroids (every
+    cell probed) the stored answers EQUAL the flat SQ store's — the
+    cells partition the corpus and the SQ model is the same global
+    (min, max), so cell pruning is the ONLY approximation the
+    composition adds; (b) at the registered nprobe=6 the mean recall
+    vs brute force clears the 0.5 floor; (c) appended rows are
+    assigned/encoded against the STORED models and the answers before/
+    after a compact_ivf_index fold are identical (its third
+    cid-partitioned store flavor)."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivfsq")
+    similarity.ivfsq_build_index(embeddings, idx)
+    allp = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5,
+                nprobe=16,
+            ).collect(),
+        )
+    )
+    flat = str(tmp_path / "sqflat")
+    similarity.sq_build_index(embeddings, flat)
+    assert allp == sorted(
+        map(
+            tuple,
+            similarity.sq_query_stored(
+                spark, flat, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+
+    exact = similarity.knn_bruteforce(
+        embeddings, query_ids=list(range(10)), k=5
+    ).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = similarity.ivfsq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5, nprobe=6
+    ).collect()
+    a = {}
+    for r in rows:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / 5 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # append-after-train + the shared cid-partitioned compactor
+    similarity.ivfsq_append_to_index(
+        spark.createDataFrame(
+            [(10**6, [1.0] * 64)], "vec_id long, embedding array<double>"
+        ),
+        idx,
+    )
+    assert (
+        spark.read.parquet(f"{idx}/invfile").count()
+        == embeddings.count() + 1
+    )
+    pre = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+    files_before, files_after = similarity.compact_ivf_index(spark, idx)
+    assert files_after <= files_before
+    post = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_query_stored(
+                spark, idx, embeddings, query_ids=list(range(10)), k=5
+            ).collect(),
+        )
+    )
+    assert pre == post
+
+
+def test_ivfsq_stored_query_prunes_partitions_and_stays_jvm_corpus_side(
+    spark, embeddings, tmp_path
+):
+    """IVF×SQ phase 2 keeps BOTH pruning axes visible in the plan: the
+    inverted-file scan carries a dynamic-partition-pruning filter on
+    cid (only probed cells are read), the probe join broadcasts, no
+    SortMergeJoin — and the only Python in the plan is the |Q|-row
+    probe-selection UDF: the corpus-side byte decode and scoring are
+    JVM folds. The formatted plan shows the probe UDF TWICE — once in
+    the main plan and once inside the dynamic-pruning subquery that
+    re-evaluates the probe side to compute the partition filter — both
+    over |Q| rows only; anything beyond that (or any row-at-a-time
+    BatchEvalPython) would mean Python leaked into the corpus side."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    idx = str(tmp_path / "ivfsq_plan")
+    similarity.ivfsq_build_index(embeddings, idx)
+    df = similarity.ivfsq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=5
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(cid" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"ArrowEvalPython", plan)) <= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_train_cap_noop_bound_and_layout_independence(spark, embeddings):
     """The FAISS-style bounded training set (_cap_train_set): (a) a
     non-binding cap is a true no-op — capped and uncapped codebooks are
@@ -1390,6 +1504,51 @@ def test_pq_append_to_index(spark, embeddings, tmp_path):
     assert len(got) == 1
     assert got[0]["neighbor_id"] == dup_id
     assert got[0]["cosine_sim"] == 1.0
+
+
+def test_pq_append_honors_stored_rotation(spark, embeddings, tmp_path):
+    """Add-after-train on an OPQ store: pq_append_to_index must encode
+    the new batch through the PERSISTED rotation (codes were written
+    under it — appending unrotated codes would be silently wrong).
+    Pinned by re-deriving the appended row's sub-codes independently
+    in numpy from the stored model row (rotate, then per-subspace
+    nearest codeword)."""
+    import numpy as np
+
+    idx = str(tmp_path / "opq_append")
+    similarity.pq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), idx, rotation=True
+    )
+    batch = embeddings.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+    batch_rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in batch.collect()
+    }
+    similarity.pq_append_to_index(batch, idx)
+
+    mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    assert mrow["rotation"] is not None
+    rot = np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+    got = {
+        r["vec_id"]: list(r["code"])
+        for r in spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("vec_id").isin(list(batch_rows)))
+        .collect()
+    }
+    assert set(got) == set(batch_rows)
+    for vid, vec in batch_rows.items():
+        xr = vec @ rot
+        want = [
+            int(
+                (
+                    (xr[s * sub_dim : (s + 1) * sub_dim] - cb[s]) ** 2
+                ).sum(axis=1).argmin()
+            )
+            for s in range(m)
+        ]
+        assert got[vid] == want, vid
 
 
 def test_ivfpq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
