@@ -170,6 +170,9 @@ HEADLINE = [
     # composed-index lifecycle (FAISS IndexIVFScalarQuantizer)
     "knn_sq_ann_stored",
     "knn_ivfsq_ann_stored",
+    # the semantic decontamination tier (broadcast eval side, one
+    # training scan, map-side-combined per-id aggregate)
+    "semantic_decontaminate",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -221,6 +224,7 @@ MEDIAN3 = {
     "knn_sq_ann_stored_ship",
     "knn_ivfsq_ann_stored",
     "knn_ivfsq_ann_stored_ship",
+    "semantic_decontaminate",
 }
 
 

@@ -74,6 +74,58 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ce.bloom_decontaminate(docs, eval_mod=_DECON_EVAL_MOD)
 
 
+# Threshold literal must equal queries_llm.EMBED_DUP_THRESHOLD (asserted
+# at query time — the import graph runs the other way at module load).
+_SEM_DECON_T = 0.4
+
+_SEMANTIC_DECON_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+ev AS (SELECT vec AS evec FROM base WHERE vec_id % {_DECON_EVAL_MOD} = 0),
+tr AS (SELECT vec_id, vec FROM base WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+agg AS (
+  SELECT tr.vec_id,
+         CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(vec, evec), 6)
+                         >= {_SEM_DECON_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+         CAST(MAX(CAST(ROUND(
+             ROUND(list_cosine_similarity(vec, evec), 6) * 1000000, 0
+           ) AS BIGINT)) AS BIGINT) AS max_eval_sim_e6
+  FROM tr CROSS JOIN ev
+  GROUP BY tr.vec_id
+)
+SELECT vec_id, n_eval_hits, max_eval_sim_e6,
+       n_eval_hits > 0 AS contaminated
+FROM agg
+"""
+
+
+@register("semantic_decontaminate", _SEMANTIC_DECON_SQL)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the SEMANTIC tier of
+    the decontamination family, completing it (exact shingle overlap +
+    Bloom membership + now paraphrase-robust cosine): every training
+    vector whose similarity to ANY eval vector clears the family's
+    EMBED_DUP_THRESHOLD is flagged, with per-doc hit counts and the
+    max eval similarity as deterministic e6 integers. Same
+    ``id % 50 == 0`` eval split as the text tiers, so all three flag
+    sets are judged against one split. Exact BY DESIGN at 100 TB: eval
+    suites are small, so the eval side broadcasts and the training
+    corpus takes one scan with a map-side-combined per-id aggregate —
+    no LSH recall risk where a miss means an eval leak
+    (plan-asserted: broadcast join + partial agg, no SortMergeJoin)."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        EMBED_DUP_THRESHOLD,
+    )
+
+    assert _SEM_DECON_T == EMBED_DUP_THRESHOLD, (
+        _SEM_DECON_T,
+        EMBED_DUP_THRESHOLD,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _similarity.semantic_decontaminate(
+        emb, eval_mod=_DECON_EVAL_MOD, threshold=EMBED_DUP_THRESHOLD
+    )
+
+
 @register("sample_exact_n", ce.sample_exact_n_oracle_sql(_SAMPLE_N))
 def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-n carve-out: exactly n rows by portable-hash

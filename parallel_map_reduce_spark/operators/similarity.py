@@ -2590,3 +2590,70 @@ def ivfsq_query_stored(
         .select("query_id", "neighbor_id")
     )
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_mod: int = 50,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic tier of
+    the decontamination family (exact shingle overlap:
+    textstats.decontaminate_against_eval; probabilistic membership:
+    curation_extras.bloom_decontaminate): flag every training vector
+    whose cosine to ANY eval vector clears ``threshold``, the
+    paraphrase-robust check n-gram methods miss (a reworded eval
+    question shares no 13-gram but sits next to it in embedding space —
+    the published practice in the Llama / GPT-4-era data reports).
+
+    Split discipline matches the text tiers: ``id % eval_mod == 0`` is
+    the eval suite, the rest is training data — so the three tiers'
+    flag sets are judged against the SAME split.
+
+    Output: one row per TRAINING vector — (vec_id, n_eval_hits,
+    max_eval_sim_e6, contaminated) — deterministic integers (sims
+    rounded to 1e-6 before the e6 cast), value-hashable as-is.
+
+    Scale posture — this is the rare decontamination where EXACT is
+    the 100 TB form: eval benchmark suites are small by nature (the
+    same reason the shingle tier broadcasts), so the eval side
+    broadcasts and the training corpus takes ONE scan with a
+    map-side-combined per-id aggregate — the |train|x|eval| pair
+    stream collapses to one row per training vector inside each
+    partition before the only exchange (plan-asserted: broadcast
+    join, partial aggregation, no SortMergeJoin). No index, no LSH
+    recall risk: a contaminated-set miss is a training-data leak, so
+    approximation budgets belong on dedup, not here.
+    """
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    ev = base.filter(F.col(id_col) % eval_mod == 0).select(
+        F.col("vec").alias("evec")
+    )
+    tr = base.filter(F.col(id_col) % eval_mod != 0)
+    sim = F.round(cosine(F.col("vec"), F.col("evec")), 6)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            id_col,
+            sim.alias("sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("sim") >= threshold, 1).otherwise(0)
+            ).alias("n_eval_hits"),
+            F.max(
+                F.round(F.col("sim") * 1000000, 0).cast("long")
+            ).alias("max_eval_sim_e6"),
+        )
+        .select(
+            id_col,
+            "n_eval_hits",
+            "max_eval_sim_e6",
+            (F.col("n_eval_hits") > 0).alias("contaminated"),
+        )
+    )

@@ -50,6 +50,7 @@ _PRIORITY: list[str] = [
     "knn_opq_ann_stored",
     "knn_sq_ann_stored",
     "knn_ivfsq_ann_stored",
+    "semantic_decontaminate",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
     "outer_join_nation_counts",
-    "scalar_subquery_above_avg",
 ]
 
 

@@ -250,6 +250,20 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_decontaminate_broadcasts_and_combines_map_side(spark):
+    """The semantic decontamination tier: the (tiny) eval-embedding
+    side must broadcast into the training scan, the per-training-id
+    aggregate must combine map-side (partial_sum/partial_max before
+    the only exchange — the |train|x|eval| pair stream never moves),
+    and nothing sort-merges. Corpus-side math is JVM folds — no Python
+    worker anywhere."""
+    plan = plan_of(spark, "semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan and "partial_max" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_stratified_sample_is_single_scan_no_shuffle(spark):
     """Hash-gated sampling is a pure row predicate: one pruned parquet
     scan, a codegen'd Filter, and NO Exchange — any shuffle would mean
