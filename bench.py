@@ -171,8 +171,10 @@ HEADLINE = [
     "knn_sq_ann_stored",
     "knn_ivfsq_ann_stored",
     # the semantic decontamination tier (broadcast eval side, one
-    # training scan, map-side-combined per-id aggregate)
+    # training scan, map-side-combined per-id aggregate) and the
+    # GD-trained quality classifier (8 one-aggregate rounds)
     "semantic_decontaminate",
+    "quality_classifier_train",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -225,6 +227,7 @@ MEDIAN3 = {
     "knn_ivfsq_ann_stored",
     "knn_ivfsq_ann_stored_ship",
     "semantic_decontaminate",
+    "quality_classifier_train",
 }
 
 

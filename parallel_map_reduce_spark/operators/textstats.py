@@ -620,3 +620,153 @@ def line_dedup_stats(
             "kept_chars"
         ),
     )
+
+
+# Fixed feature-centering constants and quantization scale for the
+# trained quality classifier (documented pipeline constants, not
+# corpus-derived — corpus means would add an order-dependent double sum
+# to the reproducibility contract for no modeling benefit at this dim).
+QC_CENTER = {"x1": 0.06, "x2": 0.82, "x3": 0.30}
+QC_GRAD_SCALE = 1e9
+QC_LABEL_MIN_CHARS = 300
+
+
+def _round_half_away(x: float, digits: int) -> float:
+    """Round half AWAY from zero — the semantics of Spark's F.round and
+    DuckDB's ROUND. Python's built-in round() is banker's (half-even),
+    which would silently fork the weight trajectory from the oracle at
+    any exact half-decimal."""
+    import math
+
+    p = 10.0**digits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    rounds: int = 8,
+    lr: float = 3.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a LINEAR document-quality classifier by full-batch
+    gradient descent ON THE CLUSTER — the fasttext-style filter step of
+    the CCNet / LLaMA data pipelines (train a cheap linear model on
+    weak labels, score every document, keep the confident slice),
+    reduced to its Spark-native shape: logistic regression over
+    deterministic surface features, one distributed gradient aggregate
+    per round, weights living driver-side as loop-control scalars.
+
+    Weak label: the Gopher-style length gate (n_chars >=
+    QC_LABEL_MIN_CHARS) — on THIS synthetic corpus the only separable
+    signal is length (the lang column is drawn independently of the
+    tiny shared vocabulary, measured: en-stopword ratio 0.0636 vs
+    0.0600), so the honest demonstration is a label the features CAN
+    learn; on a real corpus the label column swaps for fasttext-style
+    weak labels (wiki-vs-crawl) and the trainer is unchanged. The
+    feature row is (1, stopword_ratio, alpha_ratio, n_chars/1000),
+    each rounded to 4 then centered by the fixed QC_CENTER constants.
+
+    Cross-engine reproducibility (the kmeans_train_converged
+    discipline, hardened): the ONLY transcendentals are sigmoid's exp
+    (rounded to 7 per doc) and nothing else — every other step is IEEE
+    basic ops, which are exactly rounded and therefore identical in
+    any engine. Per-doc gradient contributions quantize to integers
+    (ROUND(g * 1e9) as BIGINT) so the per-round SUM is EXACT and
+    summation-ORDER-INDEPENDENT — the order-dependent double-sum
+    caveat kmeans documents cannot arise here at all. The weight
+    update w += lr * (sum/scale)/n rounds half-away to 9 via the same
+    rule both engines' ROUND applies (Python's banker's round would
+    fork the trajectory). The oracle replays the full loop as unrolled
+    CTE triples (scores -> integer gradient sums -> next weights).
+
+    Output: one audit row per round — (round, n_pos_pred, n_correct,
+    w0_e9..w3_e9), predictions at the 0.5 boundary, weights AFTER the
+    round's update as exact e9 integers.
+
+    Scale posture: the feature frame is computed once (zero-shuffle
+    projection of the corpus scan) and localCheckpointed; each round
+    is ONE map-side-combined 6-scalar aggregate over it — no shuffle
+    of data rows, nothing but scalars to the driver; cost is
+    rounds x one corpus pass, the same shape DistBelief-era batch
+    trainers ran. The 1e9 quantization bounds |sum| by n_docs x 1e9 —
+    raise the scale's headroom (or drop to 1e6 grain) past ~10^9 docs.
+    """
+    spark = docs.sparkSession
+    text = F.col(text_col)
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop, w))
+    ).cast("double")
+    safe = F.when(total > 0, total).otherwise(F.lit(1.0))
+    safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    feat = docs.select(
+        F.when(F.col("n_chars") >= QC_LABEL_MIN_CHARS, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.round(n_stop / safe_tok, 4) - QC_CENTER["x1"]).alias("x1"),
+        (F.round(alpha / safe, 4) - QC_CENTER["x2"]).alias("x2"),
+        (F.round(F.col("n_chars") / 1000.0, 4) - QC_CENTER["x3"]).alias(
+            "x3"
+        ),
+    ).localCheckpoint(eager=True)
+    n = float(feat.count())
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    rows: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)
+        d = feat.select("y", "x1", "x2", "x3", p.alias("p"))
+        aggs = [
+            F.sum(
+                F.round(
+                    (F.col("y") - F.col("p")) * xj * QC_GRAD_SCALE, 0
+                ).cast("long")
+            ).alias(f"q{j}")
+            for j, xj in enumerate(xs)
+        ]
+        stat = d.agg(
+            *aggs,
+            F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(
+                F.when(
+                    (F.col("p") >= 0.5) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        ).collect()[0]
+        # float(q)/scale — NOT q/scale: the oracle casts the exact
+        # integer to DOUBLE first and divides second (two roundings);
+        # Python's int/float true division rounds once, which can
+        # differ past 2^53.
+        w = [
+            _round_half_away(
+                w[j] + lr * ((float(stat[f"q{j}"]) / QC_GRAD_SCALE) / n), 9
+            )
+            for j in range(4)
+        ]
+        rows.append(
+            (
+                rnd,
+                stat["n_pos"],
+                stat["n_correct"],
+                *[int(_round_half_away(x * 1e9, 0)) for x in w],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round int, n_pos_pred long, n_correct long, "
+        "w0_e9 long, w1_e9 long, w2_e9 long, w3_e9 long",
+    )

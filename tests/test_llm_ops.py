@@ -2334,3 +2334,52 @@ def test_ism_chain_matches_duckdb_oracle(spark, sf_dir):
             assert (
                 r["n_batch"] == r["n_cross"] + r["n_batch_dup"] + r["n_kept"]
             )
+
+
+# --- trained quality classifier ------------------------------------------
+
+
+def test_round_half_away_matches_sql_round():
+    """_round_half_away must implement Spark/DuckDB ROUND semantics
+    (half away from zero) — Python's banker's round() would fork the
+    GD weight trajectory from the oracle at any exact half-decimal."""
+    from parallel_map_reduce_spark.operators.textstats import (
+        _round_half_away,
+    )
+
+    assert _round_half_away(0.5, 0) == 1.0
+    assert _round_half_away(-0.5, 0) == -1.0
+    assert _round_half_away(2.5, 0) == 3.0  # round() gives 2.0
+    assert _round_half_away(-2.5, 0) == -3.0
+    assert _round_half_away(0.1234567895, 9) == 0.12345679
+    assert _round_half_away(1.25, 1) == 1.3  # round() gives 1.2
+
+
+def test_quality_classifier_learns_and_concentrates_on_signal(
+    spark, docs
+):
+    """The GD trainer on sf0.01: (a) accuracy strictly improves from
+    the all-ties first round (w=0 => p=0.5 everywhere => n_pos = n) to
+    the final round; (b) the weight mass concentrates on the
+    informative length feature x3 — |w3| ends largest, as it must when
+    the weak label IS a length gate; (c) the trajectory is
+    deterministic (two runs bit-identical), the reproducibility
+    contract the oracle depends on."""
+    from parallel_map_reduce_spark.operators.textstats import (
+        train_quality_classifier,
+    )
+
+    out = sorted(
+        map(tuple, train_quality_classifier(docs).collect())
+    )
+    n = docs.count()
+    first, last = out[0], out[-1]
+    assert first[0] == 1 and first[1] == n  # round 1: w=0, all p=0.5
+    assert last[2] > first[2]  # n_correct improved
+    assert last[2] >= int(0.9 * n)  # and convincingly so
+    w_abs = [abs(last[3]), abs(last[4]), abs(last[5]), abs(last[6])]
+    assert max(w_abs) == abs(last[6])  # x3 (length) dominates
+    again = sorted(
+        map(tuple, train_quality_classifier(docs).collect())
+    )
+    assert out == again
