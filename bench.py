@@ -175,6 +175,7 @@ HEADLINE = [
     # GD-trained quality classifier (8 one-aggregate rounds)
     "semantic_decontaminate",
     "quality_classifier_train",
+    "quality_classifier_filter",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -228,6 +229,7 @@ MEDIAN3 = {
     "knn_ivfsq_ann_stored_ship",
     "semantic_decontaminate",
     "quality_classifier_train",
+    "quality_classifier_filter",
 }
 
 

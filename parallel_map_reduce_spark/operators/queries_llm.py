@@ -692,7 +692,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
-def _quality_classifier_sql(rounds: int, lr: float) -> str:
+def _quality_classifier_sql(
+    rounds: int, lr: float, score_docs: bool = False
+) -> str:
     """Oracle for train_quality_classifier: the full-batch GD loop
     unrolled as CTE triples — s{r} (per-doc sigmoid scores under round
     r-1's weights), g{r} (EXACT integer gradient sums + the round's
@@ -706,9 +708,10 @@ def _quality_classifier_sql(rounds: int, lr: float) -> str:
     c3 = textstats.QC_CENTER["x3"]
     scale = textstats.QC_GRAD_SCALE
     sql = f"""
-WITH toks AS (SELECT n_chars, text, {_TOKS} AS ws FROM documents),
+WITH toks AS (SELECT doc_id, n_chars, text, {_TOKS} AS ws FROM documents),
 feat AS (
-  SELECT CASE WHEN n_chars >= {textstats.QC_LABEL_MIN_CHARS}
+  SELECT doc_id,
+    CASE WHEN n_chars >= {textstats.QC_LABEL_MIN_CHARS}
               THEN 1.0 ELSE 0.0 END AS y,
     ROUND(len(list_filter(ws, w -> list_contains({_stoplist_sql('en')}, w)))::DOUBLE
           / CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END, 4) - {c1} AS x1,
@@ -751,6 +754,18 @@ r{r} AS (SELECT
             f" FROM g{r} CROSS JOIN r{r}"
         )
         prev = f"r{r}"
+    if score_docs:
+        return (
+            sql
+            + f"""
+SELECT doc_id,
+       CAST(ROUND(ROUND(1.0/(1.0+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 7)
+                  * 1000000, 0) AS BIGINT) AS score_e6,
+       ROUND(1.0/(1.0+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 7) >= 0.5
+         AS kept,
+       y = 1.0 AS label
+FROM feat CROSS JOIN {prev}"""
+        )
     return sql + "\n" + " UNION ALL ".join(sel) + " ORDER BY round"
 
 
@@ -783,6 +798,31 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         rounds=_QC_ROUNDS,
         lr=_QC_LR,
+    )
+
+
+@register(
+    "quality_classifier_filter",
+    _quality_classifier_sql(_QC_ROUNDS, _QC_LR, score_docs=True),
+)
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the trained quality filter — train, then
+    score EVERY document with the final weights and keep the confident
+    slice (kmeans_train_converged : embedding_cluster_assign ::
+    quality_classifier_train : this). One row per document: the
+    sigmoid score as an exact e6 integer, the kept/cut decision at the
+    0.5 boundary, and the weak label for offline precision/recall
+    reads. The scoring pass is a zero-shuffle projection with the
+    trained weights as plan literals — at 100 TB this is the cheap
+    full-corpus sweep the expensive trained artifact exists to enable.
+    The oracle replays the identical descent (same unrolled CTE
+    triples) and scores from its r8 weights, so a single weight ulp
+    anywhere in training would hash-mismatch every document."""
+    return textstats.train_quality_classifier(
+        load_table(spark, sf_dir, "documents"),
+        rounds=_QC_ROUNDS,
+        lr=_QC_LR,
+        return_scores=True,
     )
 
 

@@ -647,6 +647,8 @@ def train_quality_classifier(
     rounds: int = 8,
     lr: float = 3.0,
     text_col: str = "text",
+    return_scores: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Train a LINEAR document-quality classifier by full-batch
     gradient descent ON THE CLUSTER — the fasttext-style filter step of
@@ -690,6 +692,13 @@ def train_quality_classifier(
     rounds x one corpus pass, the same shape DistBelief-era batch
     trainers ran. The 1e9 quantization bounds |sum| by n_docs x 1e9 —
     raise the scale's headroom (or drop to 1e6 grain) past ~10^9 docs.
+
+    With ``return_scores=True`` the return value is instead the
+    INFERENCE pass — every document scored by the final trained
+    weights: (id, score_e6, kept, label) — the filter a pipeline
+    actually applies after training (the kmeans
+    ``return_assignment=True`` pattern). Scoring is one zero-shuffle
+    projection with the weights as plan literals.
     """
     spark = docs.sparkSession
     text = F.col(text_col)
@@ -704,6 +713,7 @@ def train_quality_classifier(
     safe = F.when(total > 0, total).otherwise(F.lit(1.0))
     safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
     feat = docs.select(
+        F.col(id_col),
         F.when(F.col("n_chars") >= QC_LABEL_MIN_CHARS, 1.0)
         .otherwise(0.0)
         .alias("y"),
@@ -764,6 +774,20 @@ def train_quality_classifier(
                 stat["n_correct"],
                 *[int(_round_half_away(x * 1e9, 0)) for x in w],
             )
+        )
+    if return_scores:
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)
+        return feat.select(
+            id_col,
+            F.round(p * 1000000, 0).cast("long").alias("score_e6"),
+            (p >= 0.5).alias("kept"),
+            (F.col("y") == 1.0).alias("label"),
         )
     return spark.createDataFrame(
         rows,

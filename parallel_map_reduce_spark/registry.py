@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "knn_ivfsq_ann_stored",
     "semantic_decontaminate",
     "quality_classifier_train",
+    "quality_classifier_filter",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     "percentiles",
     "join_orders_customer",
     "tpch_q5_local_supplier_volume",
-    "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
 ]
 
