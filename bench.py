@@ -176,6 +176,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "quality_classifier_train",
     "quality_classifier_filter",
+    "streaming_quality_filter",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -230,6 +231,9 @@ MEDIAN3 = {
     "semantic_decontaminate",
     "quality_classifier_train",
     "quality_classifier_filter",
+    # streaming_quality_filter stays in the streaming best-of-3 tier
+    # with the rest of the streaming family (scheduler-overhead
+    # dominated), not MEDIAN3.
 }
 
 

@@ -363,3 +363,42 @@ def _run_complete_to_fresh_parquet(stream_df: DataFrame, tag: str) -> DataFrame:
     out = spark.read.parquet(target).localCheckpoint(eager=True)
     shutil.rmtree(run_dir, ignore_errors=True)
     return out
+
+
+from parallel_map_reduce_spark.operators import textstats as _textstats
+from parallel_map_reduce_spark.operators.queries_llm import (
+    _QC_LR,
+    _QC_ROUNDS,
+    _quality_classifier_sql,
+)
+from parallel_map_reduce_spark.sources.tables import load_table
+
+
+@register(
+    "streaming_quality_filter",
+    _quality_classifier_sql(_QC_ROUNDS, _QC_LR, score_docs=True),
+)
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-TRAIN / STREAM-SERVE — the deployment shape of the trained
+    quality filter: the classifier fits on the batch corpus (the
+    nightly model job, textstats.train_quality_classifier with
+    return_weights), then every arriving document is scored by the
+    STREAMING engine — the documents table consumed as a file-source
+    stream (the second table to earn a streaming source), features +
+    sigmoid applied as stateless projections with the trained weights
+    as plan literals, landed through an append parquet sink. Stateless
+    inference is exactly what makes the answer independent of
+    micro-batching, and the driver's value-hash PROVES it: the oracle
+    is the same unrolled-descent-then-score SQL as the batch
+    quality_classifier_filter, so any divergence between the streamed
+    scores and the batch scores (or any training-weight ulp) would
+    hash-mismatch. At 100 TB this is one model fit plus a
+    constant-state stream — no aggregation state at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _textstats.train_quality_classifier(
+        docs, rounds=_QC_ROUNDS, lr=_QC_LR, return_weights=True
+    )
+    scored = _textstats.apply_quality_classifier(
+        windowed.stream_documents(spark, sf_dir), w
+    )
+    return _run_append_to_fresh_parquet(scored, "qfilter")

@@ -649,7 +649,8 @@ def train_quality_classifier(
     text_col: str = "text",
     return_scores: bool = False,
     id_col: str = "doc_id",
-) -> DataFrame:
+    return_weights: bool = False,
+) -> DataFrame | list[float]:
     """Train a LINEAR document-quality classifier by full-batch
     gradient descent ON THE CLUSTER — the fasttext-style filter step of
     the CCNet / LLaMA data pipelines (train a cheap linear model on
@@ -701,28 +702,7 @@ def train_quality_classifier(
     projection with the weights as plan literals.
     """
     spark = docs.sparkSession
-    text = F.col(text_col)
-    total = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
-    n_tokens = F.size(toks).cast("double")
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(
-        F.filter(toks, lambda w: F.array_contains(stop, w))
-    ).cast("double")
-    safe = F.when(total > 0, total).otherwise(F.lit(1.0))
-    safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
-    feat = docs.select(
-        F.col(id_col),
-        F.when(F.col("n_chars") >= QC_LABEL_MIN_CHARS, 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-        (F.round(n_stop / safe_tok, 4) - QC_CENTER["x1"]).alias("x1"),
-        (F.round(alpha / safe, 4) - QC_CENTER["x2"]).alias("x2"),
-        (F.round(F.col("n_chars") / 1000.0, 4) - QC_CENTER["x3"]).alias(
-            "x3"
-        ),
-    ).localCheckpoint(eager=True)
+    feat = _qc_features(docs, text_col, id_col).localCheckpoint(eager=True)
     n = float(feat.count())
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
@@ -776,21 +756,83 @@ def train_quality_classifier(
             )
         )
     if return_scores:
-        z = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)
-        return feat.select(
-            id_col,
-            F.round(p * 1000000, 0).cast("long").alias("score_e6"),
-            (p >= 0.5).alias("kept"),
-            (F.col("y") == 1.0).alias("label"),
-        )
+        return _qc_score_select(feat, w, id_col)
+    if return_weights:
+        return w
     return spark.createDataFrame(
         rows,
         "round int, n_pos_pred long, n_correct long, "
         "w0_e9 long, w1_e9 long, w2_e9 long, w3_e9 long",
+    )
+
+
+def _qc_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The classifier's feature projection — (id, y, x1, x2, x3),
+    rounded then fixed-centered. ONE definition shared by the batch
+    trainer, the batch inference pass, and the STREAMING inference
+    pass (every expression is stateless, so the projection applies to
+    a streaming DataFrame unchanged) — the feature rule cannot drift
+    between train and serve."""
+    text = F.col(text_col)
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop, w))
+    ).cast("double")
+    safe = F.when(total > 0, total).otherwise(F.lit(1.0))
+    safe_tok = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    return docs.select(
+        F.col(id_col),
+        F.when(F.col("n_chars") >= QC_LABEL_MIN_CHARS, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.round(n_stop / safe_tok, 4) - QC_CENTER["x1"]).alias("x1"),
+        (F.round(alpha / safe, 4) - QC_CENTER["x2"]).alias("x2"),
+        (F.round(F.col("n_chars") / 1000.0, 4) - QC_CENTER["x3"]).alias(
+            "x3"
+        ),
+    )
+
+
+def _qc_score_select(
+    feat: DataFrame, w: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Score a feature frame with trained weights — (id, score_e6,
+    kept, label); weights ride as plan literals. Stateless, so it
+    serves batch AND streaming feature frames identically."""
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)
+    return feat.select(
+        id_col,
+        F.round(p * 1000000, 0).cast("long").alias("score_e6"),
+        (p >= 0.5).alias("kept"),
+        (F.col("y") == 1.0).alias("label"),
+    )
+
+
+def apply_quality_classifier(
+    docs: DataFrame,
+    w: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inference with a TRAINED weight vector over a batch OR streaming
+    documents frame — the model-serving half of the batch-train /
+    stream-serve pattern: features and scoring are stateless
+    projections (no aggregate, no state store), so the same call scores
+    a readStream micro-batch source and the answer is independent of
+    how the stream was micro-batched (value-hash-provable against the
+    batch oracle)."""
+    return _qc_score_select(
+        _qc_features(docs, text_col, id_col), w, id_col
     )

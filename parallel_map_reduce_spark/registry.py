@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "semantic_decontaminate",
     "quality_classifier_train",
     "quality_classifier_filter",
+    "streaming_quality_filter",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "percentiles",
     "join_orders_customer",
     "tpch_q5_local_supplier_volume",
-    "anti_join_customers_without_orders",
 ]
 
 

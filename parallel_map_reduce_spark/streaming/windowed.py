@@ -57,15 +57,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = _stage_file_source_dir(src)
+    return stream_events_dir(spark, stage, probe_path=src)
+
+
+def _stage_file_source_dir(src: str) -> str:
+    """Stage a single read-only parquet file as a DIRECTORY for Spark's
+    file source via a /tmp symlink dir (content is never copied).
+    Returns the stage directory path.
+
+    lexists/readlink (not exists): a stale symlink whose target moved
+    reports exists()==False but still blocks os.symlink with
+    FileExistsError; two sessions can also race the check-then-create
+    pair, so creation failure falls back to validate-else-recreate."""
     stage = os.path.join(
         "/tmp", "pmr_spark_stream", src.strip("/").replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    # lexists/readlink (not exists): a stale symlink whose target moved
-    # reports exists()==False but still blocks os.symlink with
-    # FileExistsError; two sessions can also race the check-then-create
-    # pair, so creation failure falls back to validate-else-recreate.
+    link = os.path.join(stage, os.path.basename(src))
     for _ in range(3):
         try:
             os.symlink(src, link)
@@ -86,7 +95,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage dir and every downstream query reads zero rows — an
         # oracle red with nothing pointing at the cause
         raise OSError(f"could not stage {src} as {link} after 3 attempts")
-    return stream_events_dir(spark, stage, probe_path=src)
+    return stage
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (the second table to
+    earn a streaming source, after events) — the input side of the
+    batch-train / stream-serve pattern: a nightly-trained model scores
+    documents as they arrive. Streams need an explicit schema; the
+    documents schema is fixed and timestamp-free, so a one-row batch
+    probe supplies it with no normalization branch."""
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    stage = _stage_file_source_dir(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stage)
 
 
 def stream_events_dir(

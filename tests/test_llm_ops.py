@@ -2383,3 +2383,30 @@ def test_quality_classifier_learns_and_concentrates_on_signal(
         map(tuple, train_quality_classifier(docs).collect())
     )
     assert out == again
+
+
+def test_quality_classifier_apply_matches_train_scores(spark, docs):
+    """The refactor seam: train(return_scores=True) and
+    apply_quality_classifier(docs, train(return_weights=True)) must
+    produce identical per-doc rows — the batch inference pass and the
+    weights-out/serve-elsewhere pass are the same scoring rule (and the
+    streaming serve path reuses exactly this apply)."""
+    from parallel_map_reduce_spark.operators import textstats
+
+    a = sorted(
+        map(
+            tuple,
+            textstats.train_quality_classifier(
+                docs, return_scores=True
+            ).collect(),
+        )
+    )
+    w = textstats.train_quality_classifier(docs, return_weights=True)
+    b = sorted(
+        map(
+            tuple,
+            textstats.apply_quality_classifier(docs, w).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == docs.count()
