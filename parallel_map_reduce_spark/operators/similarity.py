@@ -1638,6 +1638,8 @@ def ivfpq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int | None = DEFAULT_TRAIN_CAP,
+    rotation: bool = False,
+    n_iter: int = 8,
 ) -> None:
     """Phase 1 of the two-phase IVFADC — the on-disk layout FAISS's
     canonical billion-scale index (``IVF16,PQ8``) persists, and the
@@ -1646,7 +1648,8 @@ def ivfpq_build_index(
 
       ``<path>/centroids``  the coarse quantizer's k (cid, center) rows;
       ``<path>/model``      the PQ model row (same layout as
-                            pq_build_index, rotation NULL);
+                            pq_build_index; rotation NULL unless
+                            built with ``rotation=True``);
       ``<path>/invfile``    the corpus as (vec_id, norm, code) rows
                             partitioned BY cid — cell-clustered
                             ~16 B/vec codes, NO float vectors anywhere
@@ -1656,6 +1659,17 @@ def ivfpq_build_index(
     (a few KB), then touch only the probed ``cid=N`` partitions of the
     code table — the two pruning axes (which cells, how many bytes)
     are both baked into the layout.
+
+    With ``rotation=True`` the PQ half trains behind the learned OPQ
+    rotation and the model row persists it — FAISS's full canonical
+    recipe ``OPQ8,IVF16,PQ8``. The rotation is orthogonal, so the
+    coarse quantizer's geometry is unchanged whether cells are
+    assigned in the original or rotated space (dots and norms are
+    preserved); cells here assign on the original vectors and only the
+    byte coding rotates, which keeps the centroids table comparable
+    across the rotation flag. The stored reader and the appender
+    already honor a non-NULL persisted rotation (same branch as
+    pq_query_stored / pq_append_to_index — pytest-pinned).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1674,14 +1688,25 @@ def ivfpq_build_index(
         "cid int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    cb = pq_train_codebooks(
-        embeddings,
-        m=m,
-        codes=codes,
-        shared=shared_codebook,
-        vec_col=vec_col,
-        train_cap=train_cap,
-    )
+    if rotation:
+        rot, cb = opq_train(
+            embeddings,
+            m=m,
+            codes=codes,
+            n_iter=n_iter,
+            vec_col=vec_col,
+            train_cap=train_cap,
+        )
+    else:
+        rot = None
+        cb = pq_train_codebooks(
+            embeddings,
+            m=m,
+            codes=codes,
+            shared=shared_codebook,
+            vec_col=vec_col,
+            train_cap=train_cap,
+        )
     spark.createDataFrame(
         [
             (
@@ -1689,7 +1714,7 @@ def ivfpq_build_index(
                 int(codes),
                 int(cb.shape[2]),
                 [float(x) for x in cb.ravel()],
-                None,
+                [float(x) for x in rot.ravel()] if rot is not None else None,
             )
         ],
         "m int, codes int, sub_dim int, codebook array<double>, "
@@ -1697,7 +1722,7 @@ def ivfpq_build_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
 
     nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
-    encode, _ = _pq_udfs(cb)
+    encode, _ = _pq_udfs(cb, rotation=rot)
     base.select(
         id_col,
         _vec_norm().alias("norm"),

@@ -2410,3 +2410,88 @@ def test_quality_classifier_apply_matches_train_scores(spark, docs):
     )
     assert a == b
     assert len(a) == docs.count()
+
+
+def test_ivfadc_with_opq_rotation(spark, embeddings, tmp_path):
+    """FAISS's full canonical recipe OPQ,IVF,PQ: ivfpq_build_index
+    (rotation=True) persists the learned rotation in the model row,
+    the stored reader scores through it, and (a) with every cell
+    probed AND a corpus-covering shortlist the answers EQUAL brute
+    force exactly (the refine washes quantization once the shortlist
+    is total — holds for ANY quantizer, so a rotation mismatch between
+    encode and score would break it); (b) at default nprobe the recall
+    floor clears; (c) an appended batch is encoded through the stored
+    rotation (model row non-NULL, appended codes match a numpy
+    re-derivation — rotate, then per-subspace nearest codeword)."""
+    import numpy as np
+
+    idx = str(tmp_path / "opq_ivfadc")
+    similarity.ivfpq_build_index(embeddings, idx, rotation=True, n_iter=2)
+    mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+    assert mrow["rotation"] is not None
+    n = embeddings.count()
+    k = 5
+    full = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_query_stored(
+                spark,
+                idx,
+                embeddings,
+                query_ids=list(range(10)),
+                k=k,
+                nprobe=16,
+                rerank_factor=(n // k) + 1,
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            similarity.knn_bruteforce(
+                embeddings, query_ids=list(range(10)), k=k
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+    got = similarity.ivfpq_query_stored(
+        spark, idx, embeddings, query_ids=list(range(10)), k=k
+    ).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r[0], set()).add(r[1])
+    a = {}
+    for r in got:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    batch = embeddings.filter(F.col("vec_id").isin([1, 3]))
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in batch.collect()
+    }
+    similarity.ivfpq_append_to_index(batch, idx)
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    rot = np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+    inv = spark.read.parquet(f"{idx}/invfile")
+    # appended duplicates of existing ids: take the LAST written row
+    # per id (the append); the original row has the same code only if
+    # the encode paths agree — which is exactly what we pin, so just
+    # assert the batch ids now appear twice with the re-derived code
+    # among them.
+    for vid, vec in vecs.items():
+        xr = vec @ rot
+        want = [
+            int(
+                ((xr[s * sub_dim : (s + 1) * sub_dim] - cb[s]) ** 2)
+                .sum(axis=1)
+                .argmin()
+            )
+            for s in range(m)
+        ]
+        rows = inv.filter(F.col("vec_id") == vid).collect()
+        assert len(rows) == 2, vid  # original + appended
+        assert all(list(r["code"]) == want for r in rows), vid

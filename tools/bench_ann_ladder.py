@@ -62,6 +62,10 @@ def main() -> int:
     sim.ivf_build_index(emb, idx)
     pq_idx = tempfile.mkdtemp(prefix="ann_ladder_pq_")
     sim.pq_build_index(emb, pq_idx)
+    sq_idx = tempfile.mkdtemp(prefix="ann_ladder_sq_")
+    sim.sq_build_index(emb, sq_idx)
+    ivfsq_idx = tempfile.mkdtemp(prefix="ann_ladder_ivfsq_")
+    sim.ivfsq_build_index(emb, ivfsq_idx)
 
     # (name, per-vector index bytes, callable) — bytes: what the tier's
     # encoding stores per corpus vector (float64 baseline = dim*8).
@@ -75,6 +79,8 @@ def main() -> int:
         ("opq", 8 * 1 + 8, lambda: sim.opq_ann(emb, query_ids=qids, k=k)),
         ("ivfpq", 8 * 1 + 8 + 4, lambda: sim.ivfpq_ann(emb, query_ids=qids, k=k)),
         ("sq8", dim * 1 + 8, lambda: sim.sq_ann(emb, query_ids=qids, k=k)),
+        ("sq8_stored", dim * 1 + 8, lambda: sim.sq_query_stored(spark, sq_idx, emb, query_ids=qids, k=k)),
+        ("ivfsq", dim * 1 + 8 + 4, lambda: sim.ivfsq_query_stored(spark, ivfsq_idx, emb, query_ids=qids, k=k)),
     ]
     print(f"# sf_dir={sf_dir} n={n} dim={dim} k={k} (float64 flat = {dim * 8} B/vec)")
     print(f"{'tier':<12}{'ship_s':>8}{'recall@k':>10}{'B/vec':>8}{'vs_flat':>9}")
@@ -87,6 +93,8 @@ def main() -> int:
         )
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(pq_idx, ignore_errors=True)
+    shutil.rmtree(sq_idx, ignore_errors=True)
+    shutil.rmtree(ivfsq_idx, ignore_errors=True)
     spark.stop()
     return 0
 
