@@ -473,3 +473,50 @@ def test_checkpoint_restart_recovery_exactly_once(spark, tmp_path):
     stage_half(1, "half_b")
     run_to_completion()
     assert table() == expect(raw)
+
+
+def test_streamed_quality_scores_are_micro_batch_independent(
+    spark, tmp_path
+):
+    """The stream-serve half of the trained quality filter: score the
+    documents through the REAL engine split across MULTIPLE micro-
+    batches (3 files, maxFilesPerTrigger=1) and the result must equal
+    the batch inference pass row-for-row — stateless inference means
+    micro-batching cannot change an answer. (The registered
+    streaming_quality_filter runs the single-file source; this pins
+    the >1-micro-batch case.)"""
+    import os
+
+    from parallel_map_reduce_spark.operators import textstats
+
+    docs = load_table(spark, SF, "documents")
+    w = textstats.train_quality_classifier(docs, return_weights=True)
+    want = sorted(
+        map(tuple, textstats.apply_quality_classifier(docs, w).collect())
+    )
+
+    src_dir = str(tmp_path / "docs_split")
+    docs.repartition(3).write.parquet(src_dir)
+    n_files = len(
+        [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+    assert n_files >= 3
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    scored = textstats.apply_quality_classifier(stream, w)
+    sink = str(tmp_path / "scored")
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert got == want
