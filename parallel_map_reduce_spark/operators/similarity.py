@@ -2655,13 +2655,17 @@ def semantic_decontaminate(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
+    # LEFT join on TRUE, not a cross join: with a non-empty eval side
+    # the two are identical, but an EMPTY eval suite must yield every
+    # training row with zero hits (nothing to decontaminate against),
+    # not an empty frame a caller could misread as everything-filtered.
     ev = base.filter(F.col(id_col) % eval_mod == 0).select(
         F.col("vec").alias("evec")
     )
     tr = base.filter(F.col(id_col) % eval_mod != 0)
     sim = F.round(cosine(F.col("vec"), F.col("evec")), 6)
     return (
-        tr.crossJoin(F.broadcast(ev))
+        tr.join(F.broadcast(ev), F.lit(True), "left")
         .select(
             id_col,
             sim.alias("sim"),
@@ -2677,8 +2681,10 @@ def semantic_decontaminate(
         )
         .select(
             id_col,
-            "n_eval_hits",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
             "max_eval_sim_e6",
-            (F.col("n_eval_hits") > 0).alias("contaminated"),
+            (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
         )
     )

@@ -704,6 +704,11 @@ def train_quality_classifier(
     spark = docs.sparkSession
     feat = _qc_features(docs, text_col, id_col).localCheckpoint(eager=True)
     n = float(feat.count())
+    if n == 0:
+        raise ValueError(
+            "train_quality_classifier: empty corpus (the gradient mean "
+            "divides by n)"
+        )
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     rows: list[tuple] = []

@@ -2495,3 +2495,38 @@ def test_ivfadc_with_opq_rotation(spark, embeddings, tmp_path):
         rows = inv.filter(F.col("vec_id") == vid).collect()
         assert len(rows) == 2, vid  # original + appended
         assert all(list(r["code"]) == want for r in rows), vid
+
+
+def test_semantic_decontaminate_empty_eval_flags_nothing(spark):
+    """Edge contract: a corpus with NO eval rows (no id % eval_mod == 0)
+    must yield EVERY training row with zero hits and contaminated
+    FALSE — nothing to decontaminate against — not an empty frame a
+    caller could misread as everything-filtered (the left-join-on-TRUE
+    shape, vs a cross join that would vanish the rows)."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_decontaminate(df).collect()
+    assert len(out) == 5
+    assert all(
+        r["n_eval_hits"] == 0
+        and not r["contaminated"]
+        and r["max_eval_sim_e6"] is None
+        for r in out
+    )
+
+
+def test_quality_classifier_rejects_empty_corpus(spark):
+    """Loud error, not a ZeroDivisionError three frames deep: the
+    gradient mean divides by n."""
+    import pytest as _pytest
+
+    from parallel_map_reduce_spark.operators import textstats
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    with _pytest.raises(ValueError, match="empty corpus"):
+        textstats.train_quality_classifier(empty)
