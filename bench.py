@@ -177,6 +177,8 @@ HEADLINE = [
     "quality_classifier_train",
     "quality_classifier_filter",
     "streaming_quality_filter",
+    # range search served from the byte store (filter-verify bound)
+    "knn_range_ivfsq_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -231,6 +233,7 @@ MEDIAN3 = {
     "semantic_decontaminate",
     "quality_classifier_train",
     "quality_classifier_filter",
+    "knn_range_ivfsq_stored",
     # streaming_quality_filter stays in the streaming best-of-3 tier
     # with the rest of the streaming family (scheduler-overhead
     # dominated), not MEDIAN3.

@@ -1351,6 +1351,38 @@ def q_knn_range_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _range_audit_frame(exact, approx)
 
 
+@register("knn_range_ivfsq_stored", _RANGE_EXACT_CTE + _RANGE_AUDIT_SELECT)
+def q_knn_range_ivfsq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search from the persisted IVF-SQ BYTE store — the
+    float-free artifact serving both FAISS query modes, via the
+    provable filter-verify (similarity.ivfsq_range_query_stored): the
+    1-byte/dim decode prefilters at radius - C/norm where
+    C = sqrt(sum(scale_d/2)^2) bounds the dequantization error by
+    Cauchy-Schwarz, survivors fetch TRUE vectors from the primary
+    table, and the emitted similarity is the exact rounded cosine —
+    so no false negative can pass the prefilter inside a probed cell
+    and misses come ONLY from unprobed cells, the identical subset
+    contract as knn_range_ivf_stored. With nprobe = every cell the
+    output is pytest-pinned EQUAL to range_search_exact, which also
+    proves the bound (a wrong C would drop in-range rows). Same audit
+    contract: exact-twin aggregates value-hashed, subset_ok provable
+    TRUE, recall_ok ≥ 0.5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("ivfsq_range_index", sf_dir)
+    _similarity.ivfsq_build_index(emb, idx)
+    exact = _similarity.range_search_exact(
+        emb, KNN_QUERY_IDS, RANGE_RADIUS
+    ).localCheckpoint(eager=True)
+    approx = (
+        _similarity.ivfsq_range_query_stored(
+            spark, idx, emb, KNN_QUERY_IDS, RANGE_RADIUS, nprobe=6
+        )
+        .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    return _range_audit_frame(exact, approx)
+
+
 @register("retract_and_readmit", ce.retract_and_readmit_oracle_sql())
 def q_retract_and_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The takedown flow: admit a batch through the signature store,

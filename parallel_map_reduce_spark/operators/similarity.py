@@ -2688,3 +2688,100 @@ def semantic_decontaminate(
             ),
         )
     )
+
+
+def ivfsq_range_query_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    radius: float,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RANGE search from the persisted IVF-SQ byte store — the same
+    float-free artifact ivfsq_query_stored answers top-k from serves
+    FAISS's second query mode, via a provable FILTER-VERIFY: the byte
+    decode prefilters candidates at ``radius - C/norm`` where
+    C = sqrt(sum_d (scale_d/2)^2) bounds the dequantization error
+    (per-dim error <= scale_d/2 for unclipped codes, so the cosine
+    error is <= |Δ|/|x| <= C/norm by Cauchy-Schwarz — NO false
+    negative can pass the prefilter inside a probed cell), then the
+    survivors fetch their TRUE vectors from the primary table and the
+    emitted similarity is the exact rounded cosine with the exact
+    radius test. Misses therefore come ONLY from unprobed cells —
+    identical subset contract to ivf_range_query_stored — and with
+    nprobe >= num_centroids the output EQUALS range_search_exact
+    (pytest-pinned, which also proves the bound: a wrong C would drop
+    in-range rows).
+
+    Bound caveat: codes appended from batches whose values clip
+    against the trained (min, max) can exceed the per-dim error bound;
+    the exact verify still prevents false positives, but a clipped
+    dimension can cost prefilter recall. Rebuild cadence (or a wider
+    trained range) is the knob, as for every add-after-train drift.
+
+    Scale posture: only probed ``cid=N`` partitions of the byte table
+    are read (DPP through the broadcast probe join); the prefilter
+    runs entirely JVM-side on 1 byte/dim; the exact-verify join moves
+    only the prefiltered survivors. Entry runs compaction crash
+    recovery (quiesced-store contract)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+
+    recover_store_slices(path)
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
+    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    mins = F.array(*[F.lit(float(v)) for v in mrow["vmin"]])
+    scales = F.array(*[F.lit(float(s)) for s in mrow["scale"]])
+    c_bound = float(
+        np.sqrt(((np.array(mrow["scale"]) / 2.0) ** 2).sum())
+    )
+    base = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            _vec_norm().alias("qnorm"),
+        )
+        .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
+    )
+    inv = spark.read.parquet(f"{path}/invfile").select(
+        id_col,
+        "norm",
+        _sq_decode_expr(F.col("code"), mins, scales).alias("deq"),
+        "cid",
+    )
+    approx = dot(F.col("qvec"), F.col("deq")) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    cand = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .filter(approx >= radius - F.lit(c_bound) / F.col("norm"))
+        .select(
+            "query_id",
+            "qvec",
+            F.col(id_col).alias("neighbor_id"),
+        )
+    )
+    verified = cand.join(
+        base.select(
+            F.col(id_col).alias("neighbor_id"), F.col("vec")
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"),
+    )
+    return verified.filter(F.col("cosine_sim") >= radius)

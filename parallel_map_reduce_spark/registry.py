@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "quality_classifier_train",
     "quality_classifier_filter",
     "streaming_quality_filter",
+    "knn_range_ivfsq_stored",
     # 1b) round-10 code-touched: recover_store_slices was restructured
     # (the _old_ listing moved after the staging-dir check) — every
     # stored reader, appender, and compaction entry runs it, so all
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "count_distinct",
     "percentiles",
     "join_orders_customer",
-    "tpch_q5_local_supplier_volume",
 ]
 
 

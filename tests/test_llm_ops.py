@@ -2530,3 +2530,43 @@ def test_quality_classifier_rejects_empty_corpus(spark):
     )
     with _pytest.raises(ValueError, match="empty corpus"):
         textstats.train_quality_classifier(empty)
+
+
+def test_ivfsq_range_exactness_recovery_and_filter_bound(
+    spark, embeddings, tmp_path
+):
+    """Byte-store range search: with every cell probed the output
+    EQUALS range_search_exact row-for-row — which simultaneously
+    proves the filter-verify bound C = sqrt(sum(scale_d/2)^2): a wrong
+    C would drop in-range rows at the prefilter. At the registered
+    nprobe the result is a subset of exact (misses only from unprobed
+    cells) clearing the 0.5 recall floor."""
+    idx = str(tmp_path / "ivfsq_range")
+    similarity.ivfsq_build_index(embeddings, idx)
+    qids = list(range(10))
+    R = 0.25
+    exact = sorted(
+        map(
+            tuple,
+            similarity.range_search_exact(embeddings, qids, R).collect(),
+        )
+    )
+    allp = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_range_query_stored(
+                spark, idx, embeddings, qids, R, nprobe=16
+            ).collect(),
+        )
+    )
+    assert allp == exact
+    got = set(
+        map(
+            tuple,
+            similarity.ivfsq_range_query_stored(
+                spark, idx, embeddings, qids, R, nprobe=6
+            ).collect(),
+        )
+    )
+    assert got <= set(exact)
+    assert len(got) * 2 >= len(exact), (len(got), len(exact))
