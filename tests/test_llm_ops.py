@@ -2570,3 +2570,34 @@ def test_ivfsq_range_exactness_recovery_and_filter_bound(
     )
     assert got <= set(exact)
     assert len(got) * 2 >= len(exact), (len(got), len(exact))
+
+
+def test_quality_classifier_is_partitioning_invariant(spark, docs):
+    """The hardened determinism claim, tested directly: per-doc
+    gradient contributions quantize to integers before summing, so the
+    round aggregates — and therefore the entire weight trajectory —
+    must be BIT-IDENTICAL under any partition layout (a plain double
+    SUM would not be: float addition is not associative, and partition
+    count changes the combine order)."""
+    from parallel_map_reduce_spark.operators import textstats
+
+    a = sorted(
+        map(tuple, textstats.train_quality_classifier(docs).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            textstats.train_quality_classifier(
+                docs.repartition(17)
+            ).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            textstats.train_quality_classifier(
+                docs.coalesce(1)
+            ).collect(),
+        )
+    )
+    assert a == b == c
