@@ -699,7 +699,11 @@ def train_quality_classifier(
     weights: (id, score_e6, kept, label) — the filter a pipeline
     actually applies after training (the kmeans
     ``return_assignment=True`` pattern). Scoring is one zero-shuffle
-    projection with the weights as plan literals.
+    projection with the weights as plan literals. With
+    ``return_weights=True`` the final weight list itself is returned
+    (the nightly model artifact) for serving elsewhere — e.g. the
+    streaming inference pass (apply_quality_classifier on a
+    readStream source).
     """
     spark = docs.sparkSession
     feat = _qc_features(docs, text_col, id_col).localCheckpoint(eager=True)
