@@ -2601,3 +2601,41 @@ def test_quality_classifier_is_partitioning_invariant(spark, docs):
         )
     )
     assert a == b == c
+
+
+def test_ivfsq_store_recovers_at_range_reader_entry(
+    spark, embeddings, tmp_path
+):
+    """The byte store's RANGE reader joins the uniform recovery
+    contract too: a compaction crashed pre-promote (complete staging,
+    live invfile renamed away) heals at the next
+    ivfsq_range_query_stored open and answers identically."""
+    import os
+
+    idx = str(tmp_path / "ivfsq_range_crash")
+    similarity.ivfsq_build_index(embeddings, idx)
+    qids = list(range(10))
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_range_query_stored(
+                spark, idx, embeddings, qids, 0.25
+            ).collect(),
+        )
+    )
+    spark.read.parquet(f"{idx}/invfile").repartition("cid").write.partitionBy(
+        "cid"
+    ).parquet(f"{idx}/_compact")
+    os.replace(f"{idx}/invfile", f"{idx}/_old_invfile")
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivfsq_range_query_stored(
+                spark, idx, embeddings, qids, 0.25
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert os.path.isdir(f"{idx}/invfile")
+    assert not os.path.exists(f"{idx}/_old_invfile")
+    assert not os.path.exists(f"{idx}/_compact")
