@@ -2639,3 +2639,99 @@ def test_ivfsq_store_recovers_at_range_reader_entry(
     assert os.path.isdir(f"{idx}/invfile")
     assert not os.path.exists(f"{idx}/_old_invfile")
     assert not os.path.exists(f"{idx}/_compact")
+
+
+def test_quality_classifier_matches_duckdb_oracle(spark, sf_dir):
+    """Driver-compare mirror for the GD trainer AND its inference
+    pass: run both registered queries and their unrolled-descent
+    DuckDB oracles exactly as the driver's correctness check would
+    (sorted columns, normalized values, sorted rows) — so a trainer
+    refactor that forks the trajectory fails HERE, without waiting for
+    a driver round."""
+    import math
+
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        _QC_LR,
+        _QC_ROUNDS,
+        _quality_classifier_sql,
+        q_quality_classifier_filter,
+        q_quality_classifier_train,
+    )
+
+    def normalize(rows, columns):
+        order = sorted(range(len(columns)), key=lambda i: columns[i])
+        out = []
+        for row in rows:
+            vals = []
+            for i in order:
+                v = row[i]
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else f"{v:.12g}"
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    cases = [
+        (q_quality_classifier_train, _quality_classifier_sql(_QC_ROUNDS, _QC_LR)),
+        (
+            q_quality_classifier_filter,
+            _quality_classifier_sql(_QC_ROUNDS, _QC_LR, score_docs=True),
+        ),
+    ]
+    for fn, sql in cases:
+        df = fn(spark, sf_dir)
+        got = normalize([tuple(r) for r in df.collect()], df.columns)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        want = normalize(cur.fetchall(), cols)
+        assert sorted(df.columns) == sorted(cols), fn.__name__
+        assert got == want, fn.__name__
+
+
+def test_ivfsq_append_encodes_against_stored_models(
+    spark, embeddings, tmp_path
+):
+    """ivfsq_append_to_index must assign cells against the STORED
+    centroids and byte-encode against the STORED SQ model — pinned by
+    re-deriving one appended row's cid and code independently in numpy
+    from the persisted artifacts (the add-after-train contract,
+    byte-for-byte, for the composed store)."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivfsq_append_pin")
+    similarity.ivfsq_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), idx
+    )
+    batch = embeddings.filter(F.col("vec_id").isin([1, 3, 5]))
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in batch.collect()
+    }
+    similarity.ivfsq_append_to_index(batch, idx)
+
+    crows = sorted(
+        spark.read.parquet(f"{idx}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["center"] for r in crows])
+    mrow = spark.read.parquet(f"{idx}/model").collect()[0]
+    vmin = np.array(mrow["vmin"])
+    scale = np.array(mrow["scale"])
+    inv = spark.read.parquet(f"{idx}/invfile")
+    for vid, vec in vecs.items():
+        want_cid = int(((vec[None, :] - cmat) ** 2).sum(axis=1).argmin())
+        want_code = (
+            np.clip(np.round((vec - vmin) / scale), 0, 255) - 128
+        ).astype("int8")
+        rows = inv.filter(F.col("vec_id") == vid).collect()
+        assert len(rows) == 1, vid
+        assert rows[0]["cid"] == want_cid, vid
+        got = np.array(rows[0]["code"], dtype="int8")
+        assert (got == want_code).all(), vid
