@@ -2731,7 +2731,78 @@ SELECT doc_id, 'readmit' AS phase, status, dup_of FROM res2
 """
 
 
-def recover_store_slices(path: str) -> str:
+_STORE_LOCK_NAME = "_lock"
+
+
+def store_lock(path: str, timeout: float = 600.0, poll: float = 0.05):
+    """Exclusive advisory lock serializing the recover/compact critical
+    section on one store — the enforcement of the quiesced-store
+    contract recover_store_slices documents. Usage::
+
+        with store_lock(path):
+            ...  # mutate _compact/_old_/slice names safely
+
+    Implementation is ``flock(LOCK_EX)`` on a persistent ``_lock`` file
+    inside the store (created on first use; the '_' prefix keeps every
+    slice listing from reading it). An O_EXCL create-as-lock was the
+    obvious alternative, but a holder that dies leaves an O_EXCL file
+    behind forever, and every stale-breaking heuristic (pid liveness +
+    unlink-and-retry) has an unlink/recreate race that can steal a
+    LIVE lock; flock's kernel state releases automatically when the
+    holder's fd closes — crash included — so there is nothing to
+    break. Two caveats, both documented trade-offs: (a) flock is
+    per-open-file, so this serializes threads within one driver as
+    well as separate local processes, but NOT writers on a remote
+    filesystem without flock semantics (the store machinery already
+    assumes driver-visible POSIX paths — every compactor os.replace()s
+    store directories); (b) acquisition is a poll loop, not a queue —
+    fine at the seconds-scale hold times compaction has.
+
+    Raises TimeoutError after ``timeout`` seconds so a wedged holder
+    surfaces loudly instead of hanging a nightly pipeline forever.
+
+    NOT re-entrant: a thread already inside ``store_lock(path)`` must
+    call ``_recover_store_slices_locked`` (not the locking wrapper) —
+    a second acquire on the same path would deadlock against itself.
+    """
+    import contextlib
+    import fcntl
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        fd = os.open(
+            os.path.join(path, _STORE_LOCK_NAME),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        try:
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if time.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"store {path}: lock held past {timeout}s — "
+                            "an in-flight compaction/recovery is wedged "
+                            "or the store is busier than the quiesced-"
+                            "store contract allows"
+                        )
+                    time.sleep(poll)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    return _cm()
+
+
+def recover_store_slices(path: str, lock_timeout: float = 600.0) -> str:
     """Crash-state recovery for a per-batch-keyed store that may hold
     the remains of an interrupted ``compact_store_slices`` run; safe
     (and a cheap no-op) on a clean store. Returns the state found:
@@ -2761,18 +2832,41 @@ def recover_store_slices(path: str) -> str:
 
     Concurrency contract: recovery mutates shared on-disk state
     (renames slices back, deletes ``_compact``/``_old_`` dirs), and it
-    now runs at EVERY stored-reader and appender entry — so the
-    quiesced-store assumption compact_store_slices documents extends
-    to all of them: no stored query, append, compaction, or second
-    recovery may run concurrently on the same store. Racing an
-    in-flight compaction could rmtree its live staging dir or double-
-    rename a slice; such races fail loud (FileNotFoundError /
-    both-exist RuntimeError), never silently drop rows — the complete-
-    staging-before-rename invariant keeps every row on disk at every
-    crash point. The ``_old_`` listing is taken AFTER the staging-dir
-    check so the branch decision and the slice set reflect one
-    consistent observation of the store.
+    runs at EVERY stored-reader and appender entry — so the mutation
+    itself is serialized under :func:`store_lock`, the same lock every
+    compactor holds for its whole critical section. A reader or
+    appender entering while a compaction is in flight therefore WAITS
+    at entry and then sees a finished, markerless store (returns
+    ``clean``) instead of racing the staging dir and dying on a
+    FileNotFoundError. Fast path: a store with no ``_compact``, no
+    ``_old_`` dirs AND no ``_lock`` file (i.e. never compacted and
+    nobody mid-section) returns without touching the lock — one
+    listdir. The lock serializes recover/compact only: a LAZY scan a
+    reader built before a later compaction starts still runs under
+    the quiesced-store contract (consume stored reads promptly, or
+    don't compact while queries are in flight).
+
+    The ``_old_`` listing is taken AFTER the staging-dir check (and
+    both under the lock) so the branch decision and the slice set
+    reflect one consistent observation of the store.
     """
+    import os
+
+    names = os.listdir(path)
+    has_markers = "_compact" in names or any(
+        s.startswith("_old_") for s in names
+    )
+    if not has_markers and _STORE_LOCK_NAME not in names:
+        return "clean"
+    with store_lock(path, timeout=lock_timeout):
+        return _recover_store_slices_locked(path)
+
+
+def _recover_store_slices_locked(path: str) -> str:
+    """The recover_store_slices state machine proper — caller MUST hold
+    :func:`store_lock` on ``path`` (compactors call this directly from
+    inside their own locked section; everyone else goes through the
+    locking wrapper)."""
     import os
     import shutil
 
@@ -2800,7 +2894,9 @@ def compact_store_slices(spark, path: str) -> int:
     slices — the layout streaming_incremental_dedup's admission loop
     writes) back into a single ``base`` slice, returning the number of
     slices folded. Run between streaming jobs (never concurrently with
-    one): the admission loop's listing and file count grow linearly
+    one); the whole fold holds :func:`store_lock`, so a reader or
+    appender entering mid-fold waits at its recovery instead of racing
+    the staging dir: the admission loop's listing and file count grow linearly
     with ingest count, and this is the periodic compaction the
     docstring there promises. Row content is preserved exactly — the
     fold is a union + rewrite, no dedup logic; replay safety belongs
@@ -2825,22 +2921,27 @@ def compact_store_slices(spark, path: str) -> int:
     import os
     import shutil
 
-    recover_store_slices(path)
-    tmp = os.path.join(path, "_compact")
-    subs = sorted(
-        s for s in os.listdir(path) if not s.startswith("_")
-    )
-    if len(subs) <= 1:
-        return 0
-    spark.read.parquet(
-        *(os.path.join(path, s) for s in subs)
-    ).write.mode("overwrite").parquet(tmp)
-    for s in subs:
-        os.replace(os.path.join(path, s), os.path.join(path, "_old_" + s))
-    os.replace(tmp, os.path.join(path, "base"))
-    for s in subs:
-        shutil.rmtree(os.path.join(path, "_old_" + s), ignore_errors=True)
-    return len(subs)
+    with store_lock(path):
+        _recover_store_slices_locked(path)
+        tmp = os.path.join(path, "_compact")
+        subs = sorted(
+            s for s in os.listdir(path) if not s.startswith("_")
+        )
+        if len(subs) <= 1:
+            return 0
+        spark.read.parquet(
+            *(os.path.join(path, s) for s in subs)
+        ).write.mode("overwrite").parquet(tmp)
+        for s in subs:
+            os.replace(
+                os.path.join(path, s), os.path.join(path, "_old_" + s)
+            )
+        os.replace(tmp, os.path.join(path, "base"))
+        for s in subs:
+            shutil.rmtree(
+                os.path.join(path, "_old_" + s), ignore_errors=True
+            )
+        return len(subs)
 
 
 def incremental_lsh_dedup_compacted(

@@ -1,9 +1,10 @@
 """The end-to-end corpus-curation funnel a 100 TB training-data run
 actually executes, composed from the already-driver-verified stage
 operators: Gopher quality gate → Gopher repetition gate → CCNet
-perplexity band → MinHash-LSH near-dup dedup → benchmark
-decontamination → DSIR-weighted deterministic (Madow) sampling →
-context-window chunking + sharded sequence packing.
+perplexity band → TRAINED quality-classifier gate → MinHash-LSH
+near-dup dedup → benchmark decontamination → DSIR-weighted
+deterministic (Madow) sampling → context-window chunking + sharded
+sequence packing.
 
 Output is the funnel audit a pipeline owner reads after a run: one row
 per stage with (docs in, docs out, surviving-id checksum), so the
@@ -68,6 +69,13 @@ PACK_WINDOW = 32
 PACK_STRIDE = 16
 PACK_BUDGET = 1024
 PACK_SHARDS = 32
+# Classifier-gate stage: same descent the registered
+# quality_classifier_train/_filter rows pin (8 rounds, lr 3.0) — the
+# funnel trains the model and gates on its kept decision, the
+# CCNet/LLaMA practice of filtering with the TRAINED model after the
+# heuristic gates.
+QC_ROUNDS = 8
+QC_LR = 3.0
 
 
 def _stage_row(
@@ -108,7 +116,7 @@ def pipeline_curate_corpus(
     window). Nothing here adds a shuffle the standalone operators
     don't already pay.
     """
-    docs = docs.localCheckpoint(eager=True)  # 7 stage consumers
+    docs = docs.localCheckpoint(eager=True)  # 8 stage consumers
     all_ids = docs.select(id_col)
 
     # Stage 1 — Gopher A1.1 quality gate, on the operator's rounded
@@ -156,23 +164,51 @@ def pipeline_curate_corpus(
         .localCheckpoint(eager=True)
     )
 
-    # Stage 4 — MinHash-LSH near-dup dedup AMONG stage-3 survivors
+    # Stage 4 — TRAINED quality-classifier gate (VERDICT r10 #3; the
+    # CCNet/LLaMA shape: after the heuristic gates, filter with the
+    # trained model). The model trains CORPUS-WIDE like every other
+    # signal stage (a corpus artifact, not a survivor-set artifact:
+    # the weights must not depend on upstream gate order), weights
+    # come back as driver-side loop scalars
+    # (train_quality_classifier(return_weights=True)), and scoring is
+    # the shared _qc_score_select seam via apply_quality_classifier —
+    # one zero-shuffle projection with the weights as plan literals;
+    # the gate keeps the p >= 0.5 slice among stage-3 survivors.
+    wq = _textstats.train_quality_classifier(
+        docs,
+        rounds=QC_ROUNDS,
+        lr=QC_LR,
+        text_col=text_col,
+        id_col=id_col,
+        return_weights=True,
+    )
+    kq = (
+        _textstats.apply_quality_classifier(
+            docs, wq, text_col=text_col, id_col=id_col
+        )
+        .filter(F.col("kept"))
+        .join(k3, id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 5 — MinHash-LSH near-dup dedup AMONG stage-4 survivors
     # (set-dependent: the canonical keeper is min-id per component of
     # the surviving subgraph).
-    s3docs = docs.join(F.broadcast(k3), id_col)
+    s4docs = docs.join(F.broadcast(kq), id_col)
     edges = _dedup.minhash_lsh_dedup_pairs(
-        s3docs, text_col=text_col, id_col=id_col
+        s4docs, text_col=text_col, id_col=id_col
     ).select("id_a", "id_b")
     losers = (
         _dedup.connected_components(edges)
         .filter(F.col("u") != F.col("label"))
         .select(F.col("u").cast("long").alias(id_col))
     )
-    k4 = k3.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint(
+    k4 = kq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint(
         eager=True
     )
 
-    # Stage 5 — benchmark decontamination: eval docs themselves
+    # Stage 6 — benchmark decontamination: eval docs themselves
     # (id % 50 == 0) leave the corpus, and any training doc with >=20%
     # shingle overlap against the eval suite is dropped. The flag is
     # per-doc vs a FIXED eval set, so it's input-set independent.
@@ -186,7 +222,7 @@ def pipeline_curate_corpus(
         .localCheckpoint(eager=True)
     )
 
-    # Stage 6 — DSIR-weighted deterministic sampling: the corpus-wide
+    # Stage 7 — DSIR-weighted deterministic sampling: the corpus-wide
     # importance model scores every survivor; the 4-dp-rounded
     # avg_log_weight is shifted positive and integerized (exact in both
     # engines: the product of a 4-dp-rounded double and 10^4 is within
@@ -205,7 +241,7 @@ def pipeline_curate_corpus(
         .localCheckpoint(eager=True)
     )
 
-    # Stage 7 — context-window chunking + sharded sequence packing
+    # Stage 8 — context-window chunking + sharded sequence packing
     # (the pipeline_training_batches tail): per-shard running token
     # budget, batch id = shard * 1e6 + budget bucket.
     chunks = _textstats.chunk_documents(
@@ -225,7 +261,7 @@ def pipeline_curate_corpus(
         (F.sum("chunk_len").over(w) - F.col("chunk_len")) / float(PACK_BUDGET)
     )
     packed = chunks.select(batch.alias("batch_id"), "chunk_len")
-    row7 = (
+    row_pack = (
         k6.agg(F.count(F.lit(1)).alias("n_in"))
         .crossJoin(
             packed.agg(
@@ -235,17 +271,18 @@ def pipeline_curate_corpus(
                 .alias("id_checksum"),
             )
         )
-        .select(F.lit("07_pack").alias("stage"), "n_in", "n_out", "id_checksum")
+        .select(F.lit("08_pack").alias("stage"), "n_in", "n_out", "id_checksum")
     )
 
     rows = [
         _stage_row("01_gopher_quality", all_ids, k1, id_col),
         _stage_row("02_gopher_repetition", k1, k2, id_col),
         _stage_row("03_ccnet_perplexity", k2, k3, id_col),
-        _stage_row("04_lsh_neardup", k3, k4, id_col),
-        _stage_row("05_decontaminate", k4, k5, id_col),
-        _stage_row("06_dsir_madow_sample", k5, k6, id_col),
-        row7,
+        _stage_row("04_quality_classifier", k3, kq, id_col),
+        _stage_row("05_lsh_neardup", kq, k4, id_col),
+        _stage_row("06_decontaminate", k4, k5, id_col),
+        _stage_row("07_dsir_madow_sample", k5, k6, id_col),
+        row_pack,
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -256,9 +293,12 @@ def pipeline_curate_corpus(
 def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
     """DuckDB replay of the whole funnel. Signal stages reuse the
     parity-tested stage oracles as scoped subqueries (their inner WITH
-    clauses shadow cleanly); the set-dependent stages (LSH components,
-    Madow cumsum) are replayed inline over the survivor sets, exactly
-    as in the incremental-dedup chain oracle."""
+    clauses shadow cleanly); the classifier stage splices the SAME
+    unrolled descent CTEs the quality_classifier_train/_filter oracles
+    pin (quality_classifier_descent_ctes) and gates on the r8 weights'
+    kept decision; the set-dependent stages (LSH components, Madow
+    cumsum) are replayed inline over the survivor sets, exactly as in
+    the incremental-dedup chain oracle."""
     from parallel_map_reduce_spark.functions.hashing import (
         hash64_sql,
         universal_hash_sql,
@@ -268,6 +308,11 @@ def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
         _SHINGLES_CTE_SQL,
         _TOKS_SQL,
     )
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        quality_classifier_descent_ctes,
+    )
+
+    qc_body, qc_final = quality_classifier_descent_ctes(QC_ROUNDS, QC_LR)
 
     num_hashes, bands = 12, 4
     rpb = num_hashes // bands
@@ -288,7 +333,7 @@ def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
     ok = hash64_sql("CAST(doc_id AS VARCHAR)", 0)
     shingles_inner = _SHINGLES_CTE_SQL.replace(
         "FROM documents",
-        "FROM documents WHERE doc_id IN (SELECT doc_id FROM k3)",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM kq)",
         1,
     )
     return f"""
@@ -311,6 +356,14 @@ k2 AS MATERIALIZED (
 k3 AS MATERIALIZED (
   SELECT doc_id FROM ({cb})
   WHERE doc_id IN (SELECT doc_id FROM k2) AND bucket <> 'tail'
+),
+{qc_body},
+kq AS MATERIALIZED (
+  SELECT f.doc_id
+  FROM feat f CROSS JOIN {qc_final}
+  WHERE f.doc_id IN (SELECT doc_id FROM k3)
+    AND ROUND(1.0/(1.0+exp(-(w0 + w1*f.x1 + w2*f.x2 + w3*f.x3))), 7)
+          >= 0.5
 ),
 sp AS MATERIALIZED (
   SELECT doc_id, shingle FROM ({shingles_inner} SELECT doc_id, shingle FROM shingles)
@@ -340,7 +393,7 @@ reach AS (SELECT u, v FROM sym
           UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
 comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u),
 k4 AS MATERIALIZED (
-  SELECT doc_id FROM k3
+  SELECT doc_id FROM kq
   WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
 ),
 dec AS (
@@ -414,19 +467,23 @@ SELECT '03_ccnet_perplexity', (SELECT COUNT(*) FROM k2),
        (SELECT COUNT(*) FROM k3),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k3)
 UNION ALL
-SELECT '04_lsh_neardup', (SELECT COUNT(*) FROM k3),
+SELECT '04_quality_classifier', (SELECT COUNT(*) FROM k3),
+       (SELECT COUNT(*) FROM kq),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kq)
+UNION ALL
+SELECT '05_lsh_neardup', (SELECT COUNT(*) FROM kq),
        (SELECT COUNT(*) FROM k4),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k4)
 UNION ALL
-SELECT '05_decontaminate', (SELECT COUNT(*) FROM k4),
+SELECT '06_decontaminate', (SELECT COUNT(*) FROM k4),
        (SELECT COUNT(*) FROM k5),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k5)
 UNION ALL
-SELECT '06_dsir_madow_sample', (SELECT COUNT(*) FROM k5),
+SELECT '07_dsir_madow_sample', (SELECT COUNT(*) FROM k5),
        (SELECT COUNT(*) FROM k6),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k6)
 UNION ALL
-SELECT '07_pack', (SELECT COUNT(*) FROM k6),
+SELECT '08_pack', (SELECT COUNT(*) FROM k6),
        (SELECT COUNT(DISTINCT batch_id) FROM packed),
        (SELECT CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) FROM packed)
 """

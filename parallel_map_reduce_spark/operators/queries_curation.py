@@ -82,6 +82,9 @@ _SEMANTIC_DECON_SQL = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 ev AS (SELECT vec AS evec FROM base WHERE vec_id % {_DECON_EVAL_MOD} = 0),
 tr AS (SELECT vec_id, vec FROM base WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+-- LEFT JOIN ON TRUE, not CROSS JOIN, mirroring the Spark side: an
+-- EMPTY eval suite must yield every training row with 0 hits and the
+-- -2000000 max-sim sentinel, not an empty frame.
 agg AS (
   SELECT tr.vec_id,
          CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(vec, evec), 6)
@@ -89,11 +92,13 @@ agg AS (
          CAST(MAX(CAST(ROUND(
              ROUND(list_cosine_similarity(vec, evec), 6) * 1000000, 0
            ) AS BIGINT)) AS BIGINT) AS max_eval_sim_e6
-  FROM tr CROSS JOIN ev
+  FROM tr LEFT JOIN ev ON TRUE
   GROUP BY tr.vec_id
 )
-SELECT vec_id, n_eval_hits, max_eval_sim_e6,
-       n_eval_hits > 0 AS contaminated
+SELECT vec_id,
+       COALESCE(n_eval_hits, 0) AS n_eval_hits,
+       COALESCE(max_eval_sim_e6, CAST(-2000000 AS BIGINT)) AS max_eval_sim_e6,
+       COALESCE(n_eval_hits, 0) > 0 AS contaminated
 FROM agg
 """
 
@@ -1250,7 +1255,11 @@ from parallel_map_reduce_spark.operators import curation_pipeline as cp
 def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel a 100 TB run executes — Gopher
     quality gate → Gopher repetition gate → CCNet perplexity band →
-    LSH near-dup dedup → benchmark decontamination → DSIR-weighted
+    TRAINED quality-classifier gate (the CCNet/LLaMA practice: after
+    the heuristics, filter with the trained model — weights from the
+    full-batch GD trainer, scoring through the shared _qc_score_select
+    seam, oracle replaying the identical unrolled descent) → LSH
+    near-dup dedup → benchmark decontamination → DSIR-weighted
     Madow sampling → chunk + pack — audited as one row per stage
     (n_in, n_out, surviving-id checksum), so the driver value-hashes
     every drop decision in the composition, not just the final corpus.

@@ -692,23 +692,20 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
-def _quality_classifier_sql(
-    rounds: int, lr: float, score_docs: bool = False
-) -> str:
-    """Oracle for train_quality_classifier: the full-batch GD loop
-    unrolled as CTE triples — s{r} (per-doc sigmoid scores under round
-    r-1's weights), g{r} (EXACT integer gradient sums + the round's
-    prediction counts), r{r} (the updated weights) — one audit row per
-    round UNION ALL'd. Bit-identical to the Spark trajectory because
-    every non-transcendental step is exactly-rounded IEEE arithmetic,
-    sigmoid rounds to 7 before use, gradient sums are integer-exact,
-    and both engines' ROUND is half-away-from-zero."""
+def quality_classifier_descent_ctes(rounds: int, lr: float) -> tuple[str, str]:
+    """CTE body replaying the train_quality_classifier descent — the
+    building block both classifier oracles AND the curation funnel's
+    classifier stage embed. Returns (body, final_weights_cte): ``body``
+    is ``toks AS (...), feat AS (...), nn AS (...), r0 AS (...),
+    s1 ... r{rounds} AS (...)`` ready to splice into an outer WITH
+    list (caller guarantees the names toks/feat/nn/r0/s*/g*/r* are
+    free at that scope), and the second element names the CTE holding
+    the final trained weights (w0..w3)."""
     c1 = textstats.QC_CENTER["x1"]
     c2 = textstats.QC_CENTER["x2"]
     c3 = textstats.QC_CENTER["x3"]
     scale = textstats.QC_GRAD_SCALE
-    sql = f"""
-WITH toks AS (SELECT doc_id, n_chars, text, {_TOKS} AS ws FROM documents),
+    body = f"""toks AS (SELECT doc_id, n_chars, text, {_TOKS} AS ws FROM documents),
 feat AS (
   SELECT doc_id,
     CASE WHEN n_chars >= {textstats.QC_LABEL_MIN_CHARS}
@@ -723,9 +720,8 @@ nn AS (SELECT COUNT(*)::DOUBLE AS n FROM feat),
 r0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
               0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)"""
     prev = "r0"
-    sel = []
     for r in range(1, rounds + 1):
-        sql += f""",
+        body += f""",
 s{r} AS (SELECT y, x1, x2, x3,
   ROUND(1.0/(1.0+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 7) AS p
   FROM feat CROSS JOIN {prev}),
@@ -744,16 +740,33 @@ r{r} AS (SELECT
   ROUND(w2 + {lr!r} * ((q2::DOUBLE / {scale!r}) / n), 9) AS w2,
   ROUND(w3 + {lr!r} * ((q3::DOUBLE / {scale!r}) / n), 9) AS w3
   FROM {prev} CROSS JOIN g{r} CROSS JOIN nn)"""
-        sel.append(
-            f"SELECT {r} AS round, g{r}.n_pos AS n_pos_pred,"
-            f" g{r}.n_correct,"
-            f" CAST(ROUND(r{r}.w0*1e9,0) AS BIGINT) AS w0_e9,"
-            f" CAST(ROUND(r{r}.w1*1e9,0) AS BIGINT) AS w1_e9,"
-            f" CAST(ROUND(r{r}.w2*1e9,0) AS BIGINT) AS w2_e9,"
-            f" CAST(ROUND(r{r}.w3*1e9,0) AS BIGINT) AS w3_e9"
-            f" FROM g{r} CROSS JOIN r{r}"
-        )
         prev = f"r{r}"
+    return body, prev
+
+
+def _quality_classifier_sql(
+    rounds: int, lr: float, score_docs: bool = False
+) -> str:
+    """Oracle for train_quality_classifier: the full-batch GD loop
+    unrolled as CTE triples — s{r} (per-doc sigmoid scores under round
+    r-1's weights), g{r} (EXACT integer gradient sums + the round's
+    prediction counts), r{r} (the updated weights) — one audit row per
+    round UNION ALL'd. Bit-identical to the Spark trajectory because
+    every non-transcendental step is exactly-rounded IEEE arithmetic,
+    sigmoid rounds to 7 before use, gradient sums are integer-exact,
+    and both engines' ROUND is half-away-from-zero."""
+    body, prev = quality_classifier_descent_ctes(rounds, lr)
+    sql = "\nWITH " + body
+    sel = [
+        f"SELECT {r} AS round, g{r}.n_pos AS n_pos_pred,"
+        f" g{r}.n_correct,"
+        f" CAST(ROUND(r{r}.w0*1e9,0) AS BIGINT) AS w0_e9,"
+        f" CAST(ROUND(r{r}.w1*1e9,0) AS BIGINT) AS w1_e9,"
+        f" CAST(ROUND(r{r}.w2*1e9,0) AS BIGINT) AS w2_e9,"
+        f" CAST(ROUND(r{r}.w3*1e9,0) AS BIGINT) AS w3_e9"
+        f" FROM g{r} CROSS JOIN r{r}"
+        for r in range(1, rounds + 1)
+    ]
     if score_docs:
         return (
             sql

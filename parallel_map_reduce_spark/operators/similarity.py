@@ -695,7 +695,10 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     only because its add() rewrites a single memory-mapped file; the
     parquet inverted file trades that for cheap appends plus THIS
     periodic fold. Run quiesced (between query jobs), like
-    compact_store_slices.
+    compact_store_slices; the whole critical section holds
+    curation_extras.store_lock, so a stored reader or appender
+    ENTERING mid-fold waits at its recovery instead of racing the
+    staging dir.
 
     Crash safety reuses the store-compaction state machine
     (curation_extras.recover_store_slices, same `_compact`/`_old_`
@@ -712,26 +715,29 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     import shutil
 
     from parallel_map_reduce_spark.operators.curation_extras import (
-        recover_store_slices,
+        _recover_store_slices_locked,
+        store_lock,
     )
 
-    recover_store_slices(path)
-    inv = f"{path}/invfile"
-    tmp = f"{path}/_compact"
+    with store_lock(path):
+        _recover_store_slices_locked(path)
+        inv = f"{path}/invfile"
+        tmp = f"{path}/_compact"
 
-    def _nfiles() -> int:
-        return len(_glob.glob(f"{inv}/cid=*/*.parquet"))
+        def _nfiles() -> int:
+            return len(_glob.glob(f"{inv}/cid=*/*.parquet"))
 
-    files_before = _nfiles()
-    # repartition BY cid: every cell's rows land in one task, so the
-    # partitionBy write emits exactly one file per non-empty cell.
-    spark.read.parquet(inv).repartition("cid").write.partitionBy(
-        "cid"
-    ).parquet(tmp)
-    os.replace(inv, f"{path}/_old_invfile")
-    os.replace(tmp, inv)
-    shutil.rmtree(f"{path}/_old_invfile", ignore_errors=True)
-    return files_before, _nfiles()
+        files_before = _nfiles()
+        # repartition BY cid: every cell's rows land in one task, so
+        # the partitionBy write emits exactly one file per non-empty
+        # cell.
+        spark.read.parquet(inv).repartition("cid").write.partitionBy(
+            "cid"
+        ).parquet(tmp)
+        os.replace(inv, f"{path}/_old_invfile")
+        os.replace(tmp, inv)
+        shutil.rmtree(f"{path}/_old_invfile", ignore_errors=True)
+        return files_before, _nfiles()
 
 
 def incremental_semantic_dedup(
@@ -863,7 +869,9 @@ def compact_pq_index(
     Run quiesced (never concurrently with a stored query or another
     compaction); the PQ/IVFADC stored readers and appenders run the
     same recovery at entry, so a crashed compaction heals at the next
-    open — matching the IVF readers' contract.
+    open — matching the IVF readers' contract. The critical section
+    holds curation_extras.store_lock, so such an entry during the
+    fold waits instead of raising.
     """
     import glob as _glob
     import math
@@ -871,24 +879,26 @@ def compact_pq_index(
     import shutil
 
     from parallel_map_reduce_spark.operators.curation_extras import (
-        recover_store_slices,
+        _recover_store_slices_locked,
+        store_lock,
     )
 
-    recover_store_slices(path)
-    codes = f"{path}/codes"
-    tmp = f"{path}/_compact"
+    with store_lock(path):
+        _recover_store_slices_locked(path)
+        codes = f"{path}/codes"
+        tmp = f"{path}/_compact"
 
-    def _files() -> list[str]:
-        return _glob.glob(f"{codes}/*.parquet")
+        def _files() -> list[str]:
+            return _glob.glob(f"{codes}/*.parquet")
 
-    before = _files()
-    total = sum(os.path.getsize(f) for f in before)
-    nparts = max(1, math.ceil(total / target_bytes))
-    spark.read.parquet(codes).repartition(nparts).write.parquet(tmp)
-    os.replace(codes, f"{path}/_old_codes")
-    os.replace(tmp, codes)
-    shutil.rmtree(f"{path}/_old_codes", ignore_errors=True)
-    return len(before), len(_files())
+        before = _files()
+        total = sum(os.path.getsize(f) for f in before)
+        nparts = max(1, math.ceil(total / target_bytes))
+        spark.read.parquet(codes).repartition(nparts).write.parquet(tmp)
+        os.replace(codes, f"{path}/_old_codes")
+        os.replace(tmp, codes)
+        shutil.rmtree(f"{path}/_old_codes", ignore_errors=True)
+        return len(before), len(_files())
 
 
 def ivf_range_query_stored(
@@ -1627,13 +1637,34 @@ def _ivfpq_score_refine(
     return _exact_refine_topk(base, shortlist, query_ids, k, id_col)
 
 
+def _resolve_shared_codebook(
+    shared_codebook: bool | None, rotation: bool
+) -> bool:
+    """Resolve the PQ/IVFADC builders' ``shared_codebook=None`` default
+    and reject the one unsupported combination LOUDLY: ``opq_train``
+    fits per-subspace codebooks (the inner step of Ge et al.'s
+    alternating minimization — each book chases its own rotated
+    slice), so ``rotation=True`` cannot honor ``shared_codebook=True``;
+    silently ignoring the flag (the pre-fix behavior) handed the
+    caller a per-subspace book they didn't ask for."""
+    if shared_codebook is None:
+        return not rotation
+    if shared_codebook and rotation:
+        raise ValueError(
+            "shared_codebook=True is not supported with rotation=True: "
+            "the OPQ trainer fits per-subspace codebooks; pass "
+            "shared_codebook=None (auto) or False"
+        )
+    return shared_codebook
+
+
 def ivfpq_build_index(
     embeddings: DataFrame,
     path: str,
     num_centroids: int = 16,
     m: int = 8,
     codes: int = 32,
-    shared_codebook: bool = True,
+    shared_codebook: bool | None = None,
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1670,7 +1701,15 @@ def ivfpq_build_index(
     across the rotation flag. The stored reader and the appender
     already honor a non-NULL persisted rotation (same branch as
     pq_query_stored / pq_append_to_index — pytest-pinned).
+
+    ``shared_codebook=None`` (the default) resolves per tier: shared
+    for plain PQ (the train-time-cheap default this builder has always
+    shipped), per-subspace for ``rotation=True`` (OPQ's alternation
+    fits each subspace against its rotated slice — a shared book has
+    no analogue in Ge et al.'s minimization, so asking for one is a
+    contract error, raised loudly instead of silently ignored).
     """
+    shared_codebook = _resolve_shared_codebook(shared_codebook, rotation)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1953,7 +1992,7 @@ def pq_build_index(
     path: str,
     m: int = 8,
     codes: int = 32,
-    shared_codebook: bool = True,
+    shared_codebook: bool | None = None,
     rotation: bool = False,
     n_iter: int = 8,
     id_col: str = "vec_id",
@@ -1983,7 +2022,12 @@ def pq_build_index(
     Scale posture: training is the bounded-sample fit (train_cap);
     encode is the corpus's single Arrow crossing; the write is a narrow
     projection — no shuffle anywhere.
+
+    ``shared_codebook=None`` resolves shared for plain PQ, per-subspace
+    for ``rotation=True``; shared+rotation raises (see
+    _resolve_shared_codebook).
     """
+    shared_codebook = _resolve_shared_codebook(shared_codebook, rotation)
     if rotation:
         rot, cb = opq_train(
             embeddings,
@@ -2639,7 +2683,11 @@ def semantic_decontaminate(
 
     Output: one row per TRAINING vector — (vec_id, n_eval_hits,
     max_eval_sim_e6, contaminated) — deterministic integers (sims
-    rounded to 1e-6 before the e6 cast), value-hashable as-is.
+    rounded to 1e-6 before the e6 cast), value-hashable as-is. With
+    an EMPTY eval suite max_eval_sim_e6 has no max to take, so it is
+    coalesced to the sentinel -2000000 (below any real cosine's e6
+    range of [-1000000, 1000000]) — keeping the deterministic-
+    integers contract instead of leaking a NULL.
 
     Scale posture — this is the rare decontamination where EXACT is
     the 100 TB form: eval benchmark suites are small by nature (the
@@ -2682,7 +2730,9 @@ def semantic_decontaminate(
         .select(
             id_col,
             F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
-            "max_eval_sim_e6",
+            F.coalesce(
+                F.col("max_eval_sim_e6"), F.lit(-2000000).cast("long")
+            ).alias("max_eval_sim_e6"),
             (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias(
                 "contaminated"
             ),
@@ -2703,11 +2753,15 @@ def ivfsq_range_query_stored(
     """RANGE search from the persisted IVF-SQ byte store — the same
     float-free artifact ivfsq_query_stored answers top-k from serves
     FAISS's second query mode, via a provable FILTER-VERIFY: the byte
-    decode prefilters candidates at ``radius - C/norm`` where
+    decode prefilters candidates at ``radius - C/norm - 1e-6`` where
     C = sqrt(sum_d (scale_d/2)^2) bounds the dequantization error
     (per-dim error <= scale_d/2 for unclipped codes, so the cosine
-    error is <= |Δ|/|x| <= C/norm by Cauchy-Schwarz — NO false
-    negative can pass the prefilter inside a probed cell), then the
+    error is <= |Δ|/|x| <= C/norm by Cauchy-Schwarz) and the extra
+    1e-6 covers the verify step's ROUNDING band: the exact side
+    admits by ROUND(cos, 6) >= radius, i.e. true cosines down to
+    radius - 5e-7, which the unrounded-approx bound alone would not
+    guarantee to pass — with the slack, NO false negative can pass
+    the prefilter inside a probed cell. Then the
     survivors fetch their TRUE vectors from the primary table and the
     emitted similarity is the exact rounded cosine with the exact
     radius test. Misses therefore come ONLY from unprobed cells —
@@ -2767,7 +2821,10 @@ def ivfsq_range_query_stored(
     cand = (
         inv.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
-        .filter(approx >= radius - F.lit(c_bound) / F.col("norm"))
+        .filter(
+            approx
+            >= radius - F.lit(c_bound) / F.col("norm") - F.lit(1e-6)
+        )
         .select(
             "query_id",
             "qvec",

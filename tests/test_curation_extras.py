@@ -1280,7 +1280,7 @@ def test_compact_store_slices_roundtrip(spark, sf_dir, tmp_path):
     assert ce.compact_store_slices(spark, store) == 3
     import os
 
-    assert sorted(os.listdir(store)) == ["base"]
+    assert sorted(n for n in os.listdir(store) if n != "_lock") == ["base"]
     after = sorted(tuple(r) for r in spark.read.parquet(f"{store}/base").collect())
     assert after == before
     assert ce.compact_store_slices(spark, store) == 0  # idempotent
@@ -1383,7 +1383,9 @@ def test_compact_recovery_pre_promote_mid_rename(spark, sf_dir, tmp_path):
     ).write.parquet(f"{store}/_compact")
     os.replace(f"{store}/base", f"{store}/_old_base")
     assert ce.recover_store_slices(store) == "rolled_back"
-    assert sorted(os.listdir(store)) == ["base", "batch_1", "batch_2"]
+    assert sorted(
+        n for n in os.listdir(store) if n != "_lock"
+    ) == ["base", "batch_1", "batch_2"]
     assert _read_store(spark, store) == rows
     # And the whole flow through a rerun compaction preserves content.
     os.replace(f"{store}/batch_2", f"{store}/_old_batch_2")
@@ -1407,7 +1409,9 @@ def test_compact_recovery_pre_promote_all_renamed(spark, sf_dir, tmp_path):
     for s in ("base", "batch_1", "batch_2"):
         os.replace(f"{store}/{s}", f"{store}/_old_{s}")
     assert ce.recover_store_slices(store) == "rolled_back"
-    assert sorted(os.listdir(store)) == ["base", "batch_1", "batch_2"]
+    assert sorted(
+        n for n in os.listdir(store) if n != "_lock"
+    ) == ["base", "batch_1", "batch_2"]
     assert _read_store(spark, store) == rows
 
 
@@ -1428,7 +1432,9 @@ def test_compact_recovery_post_promote(spark, sf_dir, tmp_path):
         os.replace(f"{store}/{s}", f"{store}/_old_{s}")
     os.replace(f"{store}/_compact", f"{store}/base")  # the promote
     assert ce.recover_store_slices(store) == "cleared_dead"
-    assert sorted(os.listdir(store)) == ["base"]
+    assert sorted(
+        n for n in os.listdir(store) if n != "_lock"
+    ) == ["base"]
     assert _read_store(spark, store) == rows
     shutil.rmtree(store)
 
@@ -1498,6 +1504,87 @@ def test_compact_recovery_partial_staging_and_clean(spark, sf_dir, tmp_path):
     os.makedirs(f"{store}/_old_batch_1")
     with pytest.raises(RuntimeError, match="both exist"):
         ce.recover_store_slices(store)
+
+
+def test_store_lock_reader_waits_for_inflight_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The quiesced-store contract, ENFORCED (VERDICT r10 #4): a reader
+    whose entry recovery hits a store mid-compaction must BLOCK on the
+    store lock until the fold finishes and then see a clean store —
+    not race the staging dir (pre-lock behavior: a loud
+    FileNotFoundError at best; at worst an unlocked recovery 'rolling
+    back' a live fold it mistook for a crash). The compactor thread
+    here holds store_lock across the exact dangerous window (staging
+    written, one slice renamed away) the mid-rename crash test pins."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store, rows = _make_store(spark, sf_dir, tmp_path)
+    hold = 0.8
+    in_window = threading.Event()
+
+    def compactor():
+        with ce.store_lock(store):
+            ce._recover_store_slices_locked(store)
+            spark.read.parquet(
+                f"{store}/base", f"{store}/batch_1", f"{store}/batch_2"
+            ).write.parquet(f"{store}/_compact")
+            os.replace(f"{store}/base", f"{store}/_old_base")
+            in_window.set()
+            time.sleep(hold)
+            os.replace(f"{store}/batch_1", f"{store}/_old_batch_1")
+            os.replace(f"{store}/batch_2", f"{store}/_old_batch_2")
+            os.replace(f"{store}/_compact", f"{store}/base")
+            for s in ("base", "batch_1", "batch_2"):
+                shutil.rmtree(f"{store}/_old_{s}")
+
+    th = threading.Thread(target=compactor)
+    th.start()
+    try:
+        assert in_window.wait(60)
+        t0 = time.monotonic()
+        state = ce.recover_store_slices(store)
+        waited = time.monotonic() - t0
+    finally:
+        th.join()
+    # Blocked through the window instead of acting on the mid-fold
+    # state, then observed the finished store.
+    assert state == "clean", state
+    assert waited >= hold * 0.5, waited
+    assert _read_store(spark, store) == rows
+
+
+def test_store_lock_timeout_and_fastpath(tmp_path):
+    """A wedged holder surfaces as TimeoutError (not an infinite hang);
+    a never-compacted store (no markers, no _lock file) takes the
+    lock-free fast path; and the same THREAD cannot re-enter — flock
+    treats a second fd's acquire as contended, which is exactly the
+    not-reentrant contract store_lock documents."""
+    import os
+
+    import pytest
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    store = str(tmp_path / "locked_store")
+    os.makedirs(store)
+    # Fast path: nothing in the listing at all → "clean", and no _lock
+    # file is created by the probe.
+    assert ce.recover_store_slices(store) == "clean"
+    assert os.listdir(store) == []
+    with ce.store_lock(store):
+        # _lock now exists → recovery must go through the lock, find
+        # it held, and time out loudly.
+        with pytest.raises(TimeoutError, match="lock held"):
+            ce.recover_store_slices(store, lock_timeout=0.3)
+    # Released: recovery proceeds (the persistent _lock file alone is
+    # not an in-flight section, just a past one).
+    assert ce.recover_store_slices(store) == "clean"
 
 
 def test_ivf_append_assigns_to_stored_centroids(spark, sf_dir, tmp_path):

@@ -1440,6 +1440,30 @@ def test_opq_training_descends(spark, embeddings):
     assert err <= err0 * 1.001, (err, err0)
 
 
+def test_shared_codebook_with_rotation_raises():
+    """The OPQ trainer fits per-subspace codebooks, so the builders
+    must REJECT shared_codebook=True combined with rotation=True loudly
+    (pre-fix they silently ignored the flag); the None default resolves
+    shared for plain PQ and per-subspace under rotation — i.e. exactly
+    the pre-fix behavior for every caller who never passed the flag."""
+    import pytest as _pytest
+
+    assert similarity._resolve_shared_codebook(None, False) is True
+    assert similarity._resolve_shared_codebook(None, True) is False
+    assert similarity._resolve_shared_codebook(False, True) is False
+    assert similarity._resolve_shared_codebook(True, False) is True
+    with _pytest.raises(ValueError, match="shared_codebook"):
+        similarity._resolve_shared_codebook(True, True)
+    with _pytest.raises(ValueError, match="shared_codebook"):
+        similarity.pq_build_index(
+            None, "/nonexistent", shared_codebook=True, rotation=True
+        )
+    with _pytest.raises(ValueError, match="shared_codebook"):
+        similarity.ivfpq_build_index(
+            None, "/nonexistent", shared_codebook=True, rotation=True
+        )
+
+
 def test_pq_stored_index_matches_self_contained(spark, embeddings, tmp_path):
     """The persisted PQ code store answers IDENTICALLY to the
     self-contained pq_ann on the same trained model (persisting changes
@@ -2502,7 +2526,11 @@ def test_semantic_decontaminate_empty_eval_flags_nothing(spark):
     must yield EVERY training row with zero hits and contaminated
     FALSE — nothing to decontaminate against — not an empty frame a
     caller could misread as everything-filtered (the left-join-on-TRUE
-    shape, vs a cross join that would vanish the rows)."""
+    shape, vs a cross join that would vanish the rows), and
+    max_eval_sim_e6 must carry the -2000000 no-eval sentinel, not a
+    NULL (the deterministic-integers contract). The registered DuckDB
+    oracle replays the same shape (LEFT JOIN ON TRUE + COALESCE) and
+    must agree row-for-row on the same no-eval corpus."""
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(1, 6)],
         "vec_id long, embedding array<double>",
@@ -2512,7 +2540,29 @@ def test_semantic_decontaminate_empty_eval_flags_nothing(spark):
     assert all(
         r["n_eval_hits"] == 0
         and not r["contaminated"]
-        and r["max_eval_sim_e6"] is None
+        and r["max_eval_sim_e6"] == -2000000
+        for r in out
+    )
+
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_curation import (
+        _SEMANTIC_DECON_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [{float(i)}, 1.0]::DOUBLE[])" for i in range(1, 6)
+        )
+        + ") t(vec_id, embedding)"
+    )
+    orows = con.execute(
+        _SEMANTIC_DECON_SQL + " ORDER BY vec_id"
+    ).fetchall()
+    assert orows == sorted(
+        (r["vec_id"], r["n_eval_hits"], r["max_eval_sim_e6"], r["contaminated"])
         for r in out
     )
 
