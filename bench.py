@@ -179,6 +179,10 @@ HEADLINE = [
     "streaming_quality_filter",
     # range search served from the byte store (filter-verify bound)
     "knn_range_ivfsq_stored",
+    # round-11 breadth: the composed OPQ rotation × cid-partitioned
+    # byte store (FAISS OPQ8,IVF16,PQ8 persisted) — the last
+    # quantizer-matrix cell, now driver-rowed
+    "knn_opq_ivfadc_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -234,6 +238,8 @@ MEDIAN3 = {
     "quality_classifier_train",
     "quality_classifier_filter",
     "knn_range_ivfsq_stored",
+    # r11-new expensive row: first-round m3 per protocol
+    "knn_opq_ivfadc_stored",
     # streaming_quality_filter stays in the streaming best-of-3 tier
     # with the rest of the streaming family (scheduler-overhead
     # dominated), not MEDIAN3.

@@ -32,79 +32,84 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-10 rotation
-# (PLANS.md "Round-10 window plan", re-issued by VERDICT r9 "Next round"
-# #1): queries NEW in round 10 first (every new query must be in-window
-# its first round), then round-10 code-touched queries, then the OLDEST
-# r6-latest rows filling the window in r6 row order (the new/touched
-# head displaces the youngest fills one-for-one; the displaced r6 tail
-# and the 4 oldest r7 rows roll to round 11).
-# Names not listed keep registration order after these.
+# exceeds that or names a query that doesn't exist.  Round-11 rotation
+# (VERDICT r10 "Next round" #1, fill queue recomputed by
+# tools/window_plan.py --assume-next 11): queries NEW in round 11
+# first, then round-11 code-touched queries, then the OLDEST r6-latest
+# rows (all 16, r6 row order), then the oldest r7 rows filling the
+# remaining slots in r7 row order. Names not listed keep registration
+# order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) queries NEW in round 10 — first driver row this round
-    "ism_audit_query",
-    "knn_ivfadc_compacted",
-    "incremental_semantic_dedup_chain",
-    "knn_pq_compacted",
-    "knn_opq_ann_stored",
-    "knn_sq_ann_stored",
-    "knn_ivfsq_ann_stored",
-    "semantic_decontaminate",
-    "quality_classifier_train",
-    "quality_classifier_filter",
-    "streaming_quality_filter",
-    "knn_range_ivfsq_stored",
-    # 1b) round-10 code-touched: recover_store_slices was restructured
-    # (the _old_ listing moved after the staging-dir check) — every
-    # stored reader, appender, and compaction entry runs it, so all
-    # stored/appended/compacted rows re-window; the PQ/IVFADC stored
-    # readers and all three appenders additionally GAINED
-    # recovery-at-entry this round (the r9 deferral closed).
+    # 1) NEW in round 11 — first driver row this round
+    "knn_opq_ivfadc_stored",
+    # 1b) round-11 code-touched. The store recover/compact critical
+    # section gained the flock-based store_lock (recovery fast path +
+    # locked compactors), so every registered row that opens, appends
+    # to, or compacts a persisted store re-windows; the PQ/IVFADC
+    # builders additionally gained the shared_codebook×rotation
+    # resolver. knn_range_ivfsq_stored also carries the prefilter
+    # rounding-slack fix; semantic_decontaminate the empty-eval
+    # sentinel + oracle mirror; pipeline_curate_corpus the new trained
+    # quality-classifier stage (stage 04, stages renumbered).
     "knn_ivf_ann_stored",
     "knn_ivf_ann_appended",
     "knn_range_ivf_stored",
     "knn_ivfpq_ann_stored",
     "knn_pq_ann_stored",
     "knn_pq_ann_appended",
+    "knn_pq_compacted",
+    "knn_ivfadc_compacted",
+    "knn_opq_ann_stored",
+    "knn_sq_ann_stored",
+    "knn_ivfsq_ann_stored",
+    "knn_range_ivfsq_stored",
     "incremental_lsh_dedup_compacted",
-    # knn_sq_ann: its sq_ann implementation refactored onto the shared
-    # _sq_encode_expr/_sq_decode_expr/_sq_score_refine helpers the new
-    # persisted store uses (answers pytest-pinned identical)
-    "knn_sq_ann",
-    # 2) oldest r6-latest rows (r6 row order) fill the window; the
-    # displaced r6 tail (wordcount_per_doc on) + the 4 oldest r7 rows
-    # roll to round 11
-    "doc_fingerprints",
-    "bigram_frequencies",
-    "multimodal_metadata_by_kind",
-    "curate_top_docs_per_lang",
-    "wordcount",
-    "wordcount_topk",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "bloom_decontaminate",
-    "sample_exact_n",
-    "stratified_exact_n",
-    "containment_pairs",
-    "cdc_chunks",
-    "incremental_lsh_dedup",
-    "incremental_lsh_dedup_stored",
-    "bigram_lm_doc_scores",
-    "ccnet_perplexity_buckets",
-    "quality_quantile_filter_approx",
-    "publish_dataset_roundtrip",
-    "bpe_train_vocab",
-    "minhash_lsh_dedup_pairs",
-    "dedup_group_assignment_lsh",
-    "dedup_keep_corpus_lsh",
-    "pipeline_training_batches_lsh",
-    "filter_project",
-    "distinct_values",
-    "agg_global",
-    "count_distinct",
-    "percentiles",
-    "join_orders_customer",
+    "ism_audit_query",
+    "incremental_semantic_dedup_chain",
+    "semantic_decontaminate",
+    "pipeline_curate_corpus",
+    # (quality_classifier_train/_filter NOT re-windowed: the oracle
+    # builder refactor is proven byte-identical — see PLANS.md r11 —
+    # and their Spark callables are untouched.)
+    # 2) the 16 r6-latest rows (r6 row order) — the freshness-debt
+    # paydown VERDICT r10 #1 prescribes; after this round no query's
+    # latest green predates r7.
+    "tpch_q5_local_supplier_volume",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "outer_join_nation_counts",
+    "scalar_subquery_above_avg",
+    "sort_limit_top_orders",
+    "union_distinct_nations",
+    "intersect_nations",
+    "except_nations",
+    "window_rank_orders_per_customer",
+    "window_rolling_events",
+    "wordcount_per_doc",
+    "word_totals",
+    "wordcount_rdd",
+    "window_lag_lead",
+    "rollup_region_nation",
+    # 3) oldest r7 rows (r7 row order; pipeline_curate_corpus already
+    # holds a touched slot above) fill the remaining 15; the r7 tail
+    # rolls to round 12.
+    "gopher_repetition_stats",
+    "bpe_encode_stats",
+    "gopher_quality_stats",
+    "dsir_importance_weights",
+    "soft_dedup_weights",
+    "weighted_systematic_sample",
+    "snapshot_diff",
+    "streaming_incremental_dedup",
+    "retract_and_readmit",
+    "knn_pq_ann",
+    "knn_ivfpq_ann",
+    "knn_opq_ann",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_keep_corpus",
+    "semantic_dedup_keep_corpus_ann",
 ]
 
 
