@@ -204,17 +204,18 @@ def test_pipeline_curate_corpus_funnel_monotone(spark, sf_dir):
         "01_gopher_quality",
         "02_gopher_repetition",
         "03_ccnet_perplexity",
-        "04_lsh_neardup",
-        "05_decontaminate",
-        "06_dsir_madow_sample",
-        "07_pack",
+        "04_quality_classifier",
+        "05_lsh_neardup",
+        "06_decontaminate",
+        "07_dsir_madow_sample",
+        "08_pack",
     ]
     assert set(rows) == set(order)
     for prev, nxt in zip(order, order[1:]):
         assert rows[nxt]["n_in"] == rows[prev]["n_out"]
     for s in order[:-1]:  # pack emits batches, not docs
         assert rows[s]["n_out"] <= rows[s]["n_in"]
-    assert rows["06_dsir_madow_sample"]["n_out"] == cp.SAMPLE_N
+    assert rows["07_dsir_madow_sample"]["n_out"] == cp.SAMPLE_N
 
 
 def test_store_slices_replay_isolation():
