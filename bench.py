@@ -246,6 +246,53 @@ MEDIAN3 = {
 }
 
 
+def _host_probe_work(_arg) -> int:
+    """Module-level so ProcessPoolExecutor can pickle it (a closure
+    cannot cross the fork/spawn boundary): ~0.5 GB of md5 per unit —
+    a pure-CPU, memory-light work quantum."""
+    import hashlib
+
+    h = hashlib.md5()
+    b = b"x" * 65536
+    for _i in range(8000):
+        h.update(b)
+    return 1
+
+
+def _host_probe() -> dict:
+    """Host fingerprint (r11 addition, motivated by a sweep where every
+    bandwidth-heavy row moved 1.6-5x on BYTE-IDENTICAL code while the
+    tiny noise probe stayed flat — memory-bandwidth contention from a
+    VM co-tenant that per-query timings alone cannot attribute):
+    single-core CPU time, 32-way parallel scaling, and steal% sampled
+    UNDER that load. Spark-free, a few seconds once per run; lets a
+    round-over-round comparison separate "the host degraded" from
+    "the code regressed" without re-running old commits."""
+    import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def _cpu_snap() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    t0 = _time.monotonic()
+    _host_probe_work(0)
+    single = _time.monotonic() - t0
+    s0 = _cpu_snap()
+    t0 = _time.monotonic()
+    with ProcessPoolExecutor(32) as ex:
+        list(ex.map(_host_probe_work, range(64)))
+    par = _time.monotonic() - t0
+    s1 = _cpu_snap()
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d) or 1
+    return {
+        "md5_single_s": round(single, 3),
+        "md5_scaling_x": round(64 * single / par, 1),
+        "steal_pct_under_load": round(100.0 * d[7] / tot, 1),
+    }
+
+
 def _measure(run, name: str) -> float:
     """Row timing dispatch: MEDIAN3 rows run 3x → median; streaming
     rows best-of-3 (scheduler-overhead dominated, 3-5x load-sensitive);
@@ -339,6 +386,12 @@ def main() -> int:
     # with a constant artifact instead of actual host-load drift.
     _probe()
     noise_probe: list[float] = [_probe()]
+
+    # Host fingerprint — see _host_probe.
+    try:
+        host_probe = _host_probe()
+    except Exception:  # /proc/stat shape, pool limits — never fail bench
+        host_probe = {}
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -605,6 +658,7 @@ def main() -> int:
         },
         "headline_timing": "median3",
         "median3_rows": sorted(MEDIAN3 & set(timings)),
+        "host_probe": host_probe,
     }
 
     # Apples-to-apples vs BASELINE.md: the reference's own 13.25 MB corpus
