@@ -84,6 +84,17 @@ def main(argv: list[str]) -> int:
         rc = d.get("reference_corpus_wordcount")
         if rc:
             print(f"reference corpus: {rc['seconds']}s / {rc['mb_per_s']} MB/s")
+    # Host fingerprint per artifact (recorded since r11): if the later
+    # round's scaling dropped / steal rose, a uniform row shift is the
+    # HOST, not the code — see the PLANS.md r11 worktree control.
+    for p, d in rounds:
+        hp = d.get("host_probe")
+        if hp:
+            print(
+                f"host ({p}): md5 {hp.get('md5_single_s')}s, "
+                f"scaling {hp.get('md5_scaling_x')}x, "
+                f"steal {hp.get('steal_pct_under_load')}%"
+            )
     print(f"regressions >{REGRESSION_RATIO}x: {flagged or 'none'}")
     return 0
 
