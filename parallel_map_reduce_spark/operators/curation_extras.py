@@ -2889,7 +2889,9 @@ def _recover_store_slices_locked(path: str) -> str:
     return "cleared_dead" if olds else "clean"
 
 
-def compact_store_slices(spark, path: str) -> int:
+def compact_store_slices(
+    spark, path: str, lock_timeout: float = 600.0
+) -> int:
     """Fold a per-batch-keyed store (``base`` + ``batch_<bid>`` parquet
     slices — the layout streaming_incremental_dedup's admission loop
     writes) back into a single ``base`` slice, returning the number of
@@ -2906,7 +2908,10 @@ def compact_store_slices(spark, path: str) -> int:
     ``_compact`` dir first; the old slices are then RENAMED to
     ``_old_<name>`` (underscore-prefixed, so the reader's listing —
     which unions every subdirectory except names starting with '_' —
-    never sees them); ``_compact`` is promoted to ``base``; and only
+    never sees them); ``lock_timeout`` bounds the wait on a wedged
+    holder, same contract as :func:`recover_store_slices` (ADVICE
+    r11: pipelines could tune the readers' deadline but not the
+    compactors'); ``_compact`` is promoted to ``base``; and only
     then are the ``_old_`` dirs deleted. Every row therefore exists
     on disk at every crash point: before the promote, the complete
     old generation (plain and/or ``_old_``-renamed) plus the staging
@@ -2921,7 +2926,7 @@ def compact_store_slices(spark, path: str) -> int:
     import os
     import shutil
 
-    with store_lock(path):
+    with store_lock(path, timeout=lock_timeout):
         _recover_store_slices_locked(path)
         tmp = os.path.join(path, "_compact")
         subs = sorted(

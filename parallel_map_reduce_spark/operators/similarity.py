@@ -677,7 +677,9 @@ def ivf_query_stored(
     return _ivf_score_probes(inv, probes, k, id_col)
 
 
-def compact_ivf_index(spark, path: str) -> tuple[int, int]:
+def compact_ivf_index(
+    spark, path: str, lock_timeout: float = 600.0
+) -> tuple[int, int]:
     """Inverted-file maintenance for the two-phase IVF: fold the data
     files that nightly ``ivf_append_to_index`` batches accumulate
     inside each ``cid=N`` partition back to ONE file per cell,
@@ -698,7 +700,8 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     compact_store_slices; the whole critical section holds
     curation_extras.store_lock, so a stored reader or appender
     ENTERING mid-fold waits at its recovery instead of racing the
-    staging dir.
+    staging dir; ``lock_timeout`` bounds that wait on a wedged holder,
+    the same tunable recover_store_slices exposes (ADVICE r11).
 
     Crash safety reuses the store-compaction state machine
     (curation_extras.recover_store_slices, same `_compact`/`_old_`
@@ -719,7 +722,7 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
         store_lock,
     )
 
-    with store_lock(path):
+    with store_lock(path, timeout=lock_timeout):
         _recover_store_slices_locked(path)
         inv = f"{path}/invfile"
         tmp = f"{path}/_compact"
@@ -854,7 +857,10 @@ def incremental_semantic_dedup(
 
 
 def compact_pq_index(
-    spark, path: str, target_bytes: int = 128 << 20
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    lock_timeout: float = 600.0,
 ) -> tuple[int, int]:
     """Code-table maintenance for the two-phase PQ (and OPQ): fold the
     files that ``pq_append_to_index`` batches accumulate in the FLAT
@@ -871,7 +877,8 @@ def compact_pq_index(
     same recovery at entry, so a crashed compaction heals at the next
     open — matching the IVF readers' contract. The critical section
     holds curation_extras.store_lock, so such an entry during the
-    fold waits instead of raising.
+    fold waits instead of raising; ``lock_timeout`` bounds that wait,
+    matching recover_store_slices (ADVICE r11).
     """
     import glob as _glob
     import math
@@ -883,7 +890,7 @@ def compact_pq_index(
         store_lock,
     )
 
-    with store_lock(path):
+    with store_lock(path, timeout=lock_timeout):
         _recover_store_slices_locked(path)
         codes = f"{path}/codes"
         tmp = f"{path}/_compact"

@@ -92,7 +92,7 @@ _PRIORITY: list[str] = [
     "window_lag_lead",
     "rollup_region_nation",
     # 3) oldest r7 rows (r7 row order; pipeline_curate_corpus already
-    # holds a touched slot above) fill the remaining 15; the r7 tail
+    # holds a touched slot above) fill the remaining 16; the r7 tail
     # rolls to round 12.
     "gopher_repetition_stats",
     "bpe_encode_stats",

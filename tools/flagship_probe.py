@@ -21,11 +21,20 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# Resolve the repo root from this file's location, NOT a hardcoded
+# path: the control-experiment protocol runs this script from scratch
+# worktrees of old commits, and a hardcoded /root/repo would silently
+# measure the wrong checkout — the exact confound the tool exists to
+# remove (ADVICE r11).
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+DEFAULT_CORPUS = "/root/reference/files"
 
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    corpus_dir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_CORPUS
 
     import bench
 
@@ -37,7 +46,7 @@ def main() -> None:
 
     ref_paths = sorted(
         p
-        for p in glob.glob("/root/reference/files/*.txt")
+        for p in glob.glob(os.path.join(corpus_dir, "*.txt"))
         if "small" not in p
     )
     if not ref_paths:

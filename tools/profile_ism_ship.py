@@ -27,12 +27,18 @@ Usage: python tools/profile_ism_ship.py [sf_dir] [reps]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+# Repo root from this file's location, not hardcoded: a checkout
+# elsewhere (scratch worktree controls) must profile ITS OWN code
+# (ADVICE r11).
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> None:
