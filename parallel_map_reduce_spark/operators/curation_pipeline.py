@@ -2,7 +2,8 @@
 actually executes, composed from the already-driver-verified stage
 operators: Gopher quality gate → Gopher repetition gate → CCNet
 perplexity band → TRAINED quality-classifier gate → MinHash-LSH
-near-dup dedup → benchmark decontamination → DSIR-weighted
+near-dup dedup → cluster-sharded SemDeDup (embedding-level near-dup,
+Abbas et al. 2023) → benchmark decontamination → DSIR-weighted
 deterministic (Madow) sampling → context-window chunking + sharded
 sequence packing.
 
@@ -36,7 +37,11 @@ from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.operators import curation_extras as ce
 from parallel_map_reduce_spark.operators import dedup as _dedup
+from parallel_map_reduce_spark.operators import similarity as _similarity
 from parallel_map_reduce_spark.operators import textstats as _textstats
+from parallel_map_reduce_spark.operators.queries_llm import (
+    EMBED_DUP_THRESHOLD,
+)
 from pyspark.sql.window import Window
 
 # Funnel parameterization (documented knobs; every production funnel
@@ -49,6 +54,11 @@ from pyspark.sql.window import Window
 #     dup_line<=0.3 (Gopher Table A1 family);
 #   perplexity band — CCNet head+middle terciles per language;
 #   dedup — MinHash(12)/4-band LSH candidates verified at jaccard>=0.5;
+#   semantic dedup — cluster-sharded SemDeDup among LSH survivors at
+#     cosine >= EMBED_DUP_THRESHOLD (the corpus-wide constant every
+#     embedding near-dup tier shares); docs WITHOUT an embedding row
+#     pass through untouched (at sf0.1 embeddings cover doc_ids
+#     0..1999 of 5000 — production corpora also embed lazily);
 #   decontamination — every 50th doc is the eval suite, >=20% shingle
 #     overlap contaminates (the decontaminate_corpus contract);
 #   sampling — Madow exactly-n PPS with weight = DSIR shifted-log
@@ -76,6 +86,11 @@ PACK_SHARDS = 32
 # heuristic gates.
 QC_ROUNDS = 8
 QC_LR = 3.0
+# SemDeDup-stage sharding knobs: same values the registered
+# semantic_dedup_cluster_sharded row drives, so the funnel exercises
+# the identical hot-cluster block-pair decomposition at the driver sfs.
+SEMDEDUP_BLOCK_ABOVE = 40
+SEMDEDUP_NUM_BLOCKS = 4
 
 
 def _stage_row(
@@ -100,9 +115,11 @@ def _stage_row(
 def pipeline_curate_corpus(
     spark: SparkSession,
     docs: DataFrame,
+    embeddings: DataFrame,
     sample_n: int = SAMPLE_N,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
 ) -> DataFrame:
     """(stage, n_in, n_out, id_checksum) — one row per funnel stage
     plus a final pack row (n_in = sampled docs, n_out = packed batch
@@ -116,7 +133,7 @@ def pipeline_curate_corpus(
     window). Nothing here adds a shuffle the standalone operators
     don't already pay.
     """
-    docs = docs.localCheckpoint(eager=True)  # 8 stage consumers
+    docs = docs.localCheckpoint(eager=True)  # 9 stage consumers
     all_ids = docs.select(id_col)
 
     # Stage 1 — Gopher A1.1 quality gate, on the operator's rounded
@@ -208,7 +225,45 @@ def pipeline_curate_corpus(
         eager=True
     )
 
-    # Stage 6 — benchmark decontamination: eval docs themselves
+    # Stage 6 — cluster-sharded SemDeDup AMONG stage-5 survivors
+    # (Abbas et al. 2023; real pipelines dedup lexically AND
+    # semantically — MinHash catches shared n-grams, the embedding
+    # tier catches paraphrases with disjoint surface forms). The
+    # kmeans ASSIGNMENT is corpus-wide like every other corpus-model
+    # artifact (clusters must not depend on upstream gate order); the
+    # cosine kernel runs only within clusters and only among
+    # survivors, with the hot-cluster block-pair decomposition
+    # bounding any one task's Gram tile (the registered
+    # semantic_dedup_cluster_sharded machinery, same knobs). Docs
+    # WITHOUT an embedding row cannot lose (anti-join against losers,
+    # who by construction have embeddings) — at sf0.1 embeddings
+    # cover 2000 of 5000 doc ids, and a 100 TB corpus likewise embeds
+    # a rolling subset.
+    assigned_all = (
+        _similarity.nearest_centroid_assign(embeddings)
+        .select(F.col(vec_id_col), "cluster")
+        .localCheckpoint(eager=True)
+    )
+    surv_ids = k4.select(F.col(id_col).alias(vec_id_col))
+    emb_surv = embeddings.join(F.broadcast(surv_ids), vec_id_col)
+    assigned_surv = assigned_all.join(F.broadcast(surv_ids), vec_id_col)
+    sem_edges = ce.cluster_sharded_pairs(
+        emb_surv,
+        assigned_surv,
+        EMBED_DUP_THRESHOLD,
+        block_above=SEMDEDUP_BLOCK_ABOVE,
+        num_blocks=SEMDEDUP_NUM_BLOCKS,
+    ).select("id_a", "id_b")
+    sem_losers = (
+        _dedup.connected_components(sem_edges)
+        .filter(F.col("u") != F.col("label"))
+        .select(F.col("u").cast("long").alias(id_col))
+    )
+    ksem = k4.join(F.broadcast(sem_losers), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    # Stage 7 — benchmark decontamination: eval docs themselves
     # (id % 50 == 0) leave the corpus, and any training doc with >=20%
     # shingle overlap against the eval suite is dropped. The flag is
     # per-doc vs a FIXED eval set, so it's input-set independent.
@@ -217,12 +272,12 @@ def pipeline_curate_corpus(
     )
     k5 = (
         dec.filter(~F.col("contaminated"))
-        .join(k4, id_col)
+        .join(ksem, id_col)
         .select(id_col)
         .localCheckpoint(eager=True)
     )
 
-    # Stage 7 — DSIR-weighted deterministic sampling: the corpus-wide
+    # Stage 8 — DSIR-weighted deterministic sampling: the corpus-wide
     # importance model scores every survivor; the 4-dp-rounded
     # avg_log_weight is shifted positive and integerized (exact in both
     # engines: the product of a 4-dp-rounded double and 10^4 is within
@@ -241,7 +296,7 @@ def pipeline_curate_corpus(
         .localCheckpoint(eager=True)
     )
 
-    # Stage 8 — context-window chunking + sharded sequence packing
+    # Stage 9 — context-window chunking + sharded sequence packing
     # (the pipeline_training_batches tail): per-shard running token
     # budget, batch id = shard * 1e6 + budget bucket.
     chunks = _textstats.chunk_documents(
@@ -271,7 +326,7 @@ def pipeline_curate_corpus(
                 .alias("id_checksum"),
             )
         )
-        .select(F.lit("08_pack").alias("stage"), "n_in", "n_out", "id_checksum")
+        .select(F.lit("09_pack").alias("stage"), "n_in", "n_out", "id_checksum")
     )
 
     rows = [
@@ -280,8 +335,9 @@ def pipeline_curate_corpus(
         _stage_row("03_ccnet_perplexity", k2, k3, id_col),
         _stage_row("04_quality_classifier", k3, kq, id_col),
         _stage_row("05_lsh_neardup", kq, k4, id_col),
-        _stage_row("06_decontaminate", k4, k5, id_col),
-        _stage_row("07_dsir_madow_sample", k5, k6, id_col),
+        _stage_row("06_semantic_dedup", k4, ksem, id_col),
+        _stage_row("07_decontaminate", ksem, k5, id_col),
+        _stage_row("08_dsir_madow_sample", k5, k6, id_col),
         row_pack,
     ]
     out = rows[0]
@@ -298,7 +354,16 @@ def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
     pin (quality_classifier_descent_ctes) and gates on the r8 weights'
     kept decision; the set-dependent stages (LSH components, Madow
     cumsum) are replayed inline over the survivor sets, exactly as in
-    the incremental-dedup chain oracle."""
+    the incremental-dedup chain oracle. The SemDeDup stage splices the
+    SAME seed-centroid assignment CTE the registered
+    embedding_cluster_assign / semantic_dedup_cluster_sharded oracles
+    pin (queries_llm._CLUSTER_ASSIGNED_CTE), word-boundary-renamed to
+    an sd_ prefix so its CTE names cannot collide with the funnel's —
+    a mechanical rename of the shared text, not a re-derivation, so
+    the assignment rule cannot drift between the standalone row and
+    the funnel."""
+    import re
+
     from parallel_map_reduce_spark.functions.hashing import (
         hash64_sql,
         universal_hash_sql,
@@ -309,8 +374,15 @@ def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
         _TOKS_SQL,
     )
     from parallel_map_reduce_spark.operators.queries_llm import (
+        _CLUSTER_ASSIGNED_CTE,
         quality_classifier_descent_ctes,
     )
+
+    sd_assign = _CLUSTER_ASSIGNED_CTE.strip()
+    assert sd_assign.startswith("WITH ")
+    sd_assign = sd_assign[len("WITH ") :]
+    for _name in ("base", "seed_ids", "seeds", "scored", "assigned"):
+        sd_assign = re.sub(rf"\b{_name}\b", f"sd_{_name}", sd_assign)
 
     qc_body, qc_final = quality_classifier_descent_ctes(QC_ROUNDS, QC_LR)
 
@@ -396,6 +468,31 @@ k4 AS MATERIALIZED (
   SELECT doc_id FROM kq
   WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> group_id)
 ),
+{sd_assign},
+sd_surv AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, b.vec
+  FROM sd_assigned a JOIN sd_base b USING (vec_id)
+  WHERE a.vec_id IN (SELECT doc_id FROM k4)
+),
+sd_thr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sd_surv a JOIN sd_surv b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6)
+        >= {EMBED_DUP_THRESHOLD}
+),
+sd_sym AS (SELECT id_a AS u, id_b AS v FROM sd_thr
+           UNION ALL SELECT id_b, id_a FROM sd_thr),
+sd_reach AS (SELECT u, v FROM sd_sym
+             UNION SELECT r.u, s.v
+             FROM sd_reach r JOIN sd_sym s ON r.v = s.u),
+sd_comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS group_id
+            FROM sd_reach GROUP BY u),
+k4s AS MATERIALIZED (
+  SELECT doc_id FROM k4
+  WHERE doc_id NOT IN
+    (SELECT vec_id FROM sd_comp WHERE vec_id <> group_id)
+),
 dec AS (
   SELECT doc_id, contaminated FROM (
     {_SHINGLES_CTE_SQL},
@@ -414,7 +511,7 @@ dec AS (
 ),
 k5 AS MATERIALIZED (
   SELECT doc_id FROM dec
-  WHERE doc_id IN (SELECT doc_id FROM k4) AND NOT contaminated
+  WHERE doc_id IN (SELECT doc_id FROM k4s) AND NOT contaminated
 ),
 dw AS (
   SELECT doc_id,
@@ -475,15 +572,19 @@ SELECT '05_lsh_neardup', (SELECT COUNT(*) FROM kq),
        (SELECT COUNT(*) FROM k4),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k4)
 UNION ALL
-SELECT '06_decontaminate', (SELECT COUNT(*) FROM k4),
+SELECT '06_semantic_dedup', (SELECT COUNT(*) FROM k4),
+       (SELECT COUNT(*) FROM k4s),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k4s)
+UNION ALL
+SELECT '07_decontaminate', (SELECT COUNT(*) FROM k4s),
        (SELECT COUNT(*) FROM k5),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k5)
 UNION ALL
-SELECT '07_dsir_madow_sample', (SELECT COUNT(*) FROM k5),
+SELECT '08_dsir_madow_sample', (SELECT COUNT(*) FROM k5),
        (SELECT COUNT(*) FROM k6),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM k6)
 UNION ALL
-SELECT '08_pack', (SELECT COUNT(*) FROM k6),
+SELECT '09_pack', (SELECT COUNT(*) FROM k6),
        (SELECT COUNT(DISTINCT batch_id) FROM packed),
        (SELECT CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) FROM packed)
 """

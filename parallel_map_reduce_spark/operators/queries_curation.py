@@ -1259,14 +1259,19 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heuristics, filter with the trained model — weights from the
     full-batch GD trainer, scoring through the shared _qc_score_select
     seam, oracle replaying the identical unrolled descent) → LSH
-    near-dup dedup → benchmark decontamination → DSIR-weighted
+    near-dup dedup → cluster-sharded SemDeDup (r12: the embedding-level
+    near-dup gate real pipelines run AFTER the lexical one — Abbas et
+    al. 2023; corpus-wide seed-centroid assignment, within-cluster
+    cosine kernel among survivors only, docs without an embedding row
+    pass through) → benchmark decontamination → DSIR-weighted
     Madow sampling → chunk + pack — audited as one row per stage
     (n_in, n_out, surviving-id checksum), so the driver value-hashes
     every drop decision in the composition, not just the final corpus.
     See operators/curation_pipeline.py for stage semantics and the
     corpus-wide-signal vs set-dependent-stage design rule."""
     docs = load_table(spark, sf_dir, "documents")
-    return cp.pipeline_curate_corpus(spark, docs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cp.pipeline_curate_corpus(spark, docs, emb)
 
 
 from parallel_map_reduce_spark.operators.queries_llm import (

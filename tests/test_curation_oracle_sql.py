@@ -182,8 +182,9 @@ def test_pipeline_curate_corpus_oracle(spark, sf_dir, duck):
     from parallel_map_reduce_spark.operators import curation_pipeline as cp
 
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     _assert_matches(
-        cp.pipeline_curate_corpus(spark, docs),
+        cp.pipeline_curate_corpus(spark, docs, emb),
         duck,
         cp.pipeline_curate_corpus_oracle_sql(),
     )
@@ -196,9 +197,10 @@ def test_pipeline_curate_corpus_funnel_monotone(spark, sf_dir):
     from parallel_map_reduce_spark.operators import curation_pipeline as cp
 
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     rows = {
         r["stage"]: r
-        for r in cp.pipeline_curate_corpus(spark, docs).collect()
+        for r in cp.pipeline_curate_corpus(spark, docs, emb).collect()
     }
     order = [
         "01_gopher_quality",
@@ -206,16 +208,17 @@ def test_pipeline_curate_corpus_funnel_monotone(spark, sf_dir):
         "03_ccnet_perplexity",
         "04_quality_classifier",
         "05_lsh_neardup",
-        "06_decontaminate",
-        "07_dsir_madow_sample",
-        "08_pack",
+        "06_semantic_dedup",
+        "07_decontaminate",
+        "08_dsir_madow_sample",
+        "09_pack",
     ]
     assert set(rows) == set(order)
     for prev, nxt in zip(order, order[1:]):
         assert rows[nxt]["n_in"] == rows[prev]["n_out"]
     for s in order[:-1]:  # pack emits batches, not docs
         assert rows[s]["n_out"] <= rows[s]["n_in"]
-    assert rows["07_dsir_madow_sample"]["n_out"] == cp.SAMPLE_N
+    assert rows["08_dsir_madow_sample"]["n_out"] == cp.SAMPLE_N
 
 
 def test_store_slices_replay_isolation():
