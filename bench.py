@@ -240,6 +240,9 @@ MEDIAN3 = {
     "knn_range_ivfsq_stored",
     # r11-new expensive row: first-round m3 per protocol
     "knn_opq_ivfadc_stored",
+    # r12: the composed store's isolated read path (VERDICT r11 ask #4 —
+    # without it a read-path regression would hide inside build noise)
+    "knn_opq_ivfadc_stored_ship",
     # streaming_quality_filter stays in the streaming best-of-3 tier
     # with the rest of the streaming family (scheduler-overhead
     # dominated), not MEDIAN3.
@@ -257,6 +260,21 @@ def _host_probe_work(_arg) -> int:
     for _i in range(8000):
         h.update(b)
     return 1
+
+
+def _bandwidth_probe_work(_arg) -> int:
+    """Memory-BANDWIDTH quantum (r12 addition): 16 copies of a 64 MB
+    buffer — far beyond L3, so the timing is DRAM-bound, the dimension
+    the md5 quantum (64 KB, cache-resident) cannot see. Motivation: the
+    r12 host measured steal 0% / md5 scaling 26x — "healthy" on the r11
+    fingerprint — while byte-identical r10 code still ran 1.9x slow on
+    bandwidth-bound rows; this probe makes that state distinguishable
+    from an actually-healthy host. Returns bytes moved."""
+    src = bytearray(64 * 1024 * 1024)
+    dst = bytearray(len(src))
+    for _i in range(16):
+        dst[:] = src
+    return 16 * len(src)
 
 
 def _host_probe() -> dict:
@@ -286,10 +304,23 @@ def _host_probe() -> dict:
     s1 = _cpu_snap()
     d = [b - a for a, b in zip(s0, s1)]
     tot = sum(d) or 1
+    # Copy bandwidth, single then 16-way (not 32: the copy quantum
+    # allocates 128 MB/worker, and 16 streams already saturate a socket's
+    # memory controllers — more workers measure allocator contention,
+    # not DRAM). GB/s, aggregate for the parallel figure.
+    t0 = _time.monotonic()
+    moved = _bandwidth_probe_work(0)
+    bw_single = moved / (_time.monotonic() - t0) / 1e9
+    t0 = _time.monotonic()
+    with ProcessPoolExecutor(16) as ex:
+        total_moved = sum(ex.map(_bandwidth_probe_work, range(16)))
+    bw_par = total_moved / (_time.monotonic() - t0) / 1e9
     return {
         "md5_single_s": round(single, 3),
         "md5_scaling_x": round(64 * single / par, 1),
         "steal_pct_under_load": round(100.0 * d[7] / tot, 1),
+        "copy_gbps_single": round(bw_single, 2),
+        "copy_gbps_16x": round(bw_par, 2),
     }
 
 
@@ -643,6 +674,36 @@ def main() -> int:
     finally:
         _shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
+    # The COMPOSED rotation × cell-partitioned store (FAISS
+    # ``OPQ8,IVF16,PQ8``): same persisted layout as the ivfpq store
+    # above plus the learned OPQ rotation in the model row. Build once
+    # outside the clock, time only the stored read path — the driver
+    # row knn_opq_ivfadc_stored carries the audit-laden build+query
+    # shape (17-25 s), so without this m3 row a regression in the read
+    # path alone would hide inside build noise (VERDICT r11 ask #4).
+    # Compare against knn_ivfpq_ann_stored_ship to read off what the
+    # rotation costs at query time (expected: ~nothing — it rides into
+    # the ADC pandas UDF as one extra d×d matmul per batch).
+    opq_ivfadc_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_opqivfadc_")
+    try:
+        _sim.ivfpq_build_index(_emb(), opq_ivfadc_dir, rotation=True)
+
+        def run_opq_ivfadc_stored():
+            _sim.ivfpq_query_stored(
+                spark, opq_ivfadc_dir, _emb(), query_ids=KNN_QUERY_IDS, k=KNN_K
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_opq_ivfadc_stored_ship"] = _measure(
+            run_opq_ivfadc_stored, "knn_opq_ivfadc_stored_ship"
+        )
+        print(
+            "# knn_opq_ivfadc_stored_ship: "
+            f"{timings['knn_opq_ivfadc_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(opq_ivfadc_dir, ignore_errors=True)
+
     noise_probe.append(_probe())
 
     total = round(sum(timings.values()), 3)
@@ -718,8 +779,25 @@ def main() -> int:
     #      with queries_omitted + queries_file recording the cut.
     full_line = json.dumps(out, separators=(",", ":"))
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+    # Stamped artifact ALWAYS; BENCH_FULL.json only on explicit promote
+    # (VERDICT r11 ask #3): the driver's own bench runs — and ad-hoc
+    # smoke runs at other sfs — used to overwrite the committed
+    # quiet-close BENCH_FULL.json in the working tree, which rode into
+    # a commit once (4d0565c) and dirtied the tree at judging time
+    # twice. Runs now land in the gitignored bench_out/ stamped by
+    # sf + wall time; the round's chosen quiet close is promoted with
+    #   SPARK_GRAFT_BENCH_PROMOTE=1 python bench.py
+    # (or by copying a stamped artifact over BENCH_FULL.json by hand).
+    out_dir = os.path.join(repo_root, "bench_out")
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    stamped_name = f"BENCH_sf{sf}_{stamp}.json"
+    with open(os.path.join(out_dir, stamped_name), "w") as f:
         f.write(full_line + "\n")
+    print(f"# artifact: bench_out/{stamped_name}", flush=True)
+    if os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1":
+        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+            f.write(full_line + "\n")
     print("# full: " + full_line, flush=True)
 
     budget = 1800
@@ -731,7 +809,7 @@ def main() -> int:
     compact["queries"] = q2
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > budget:
-        compact["queries_file"] = "BENCH_FULL.json"
+        compact["queries_file"] = f"bench_out/{stamped_name}"
         # Worst-case-width placeholder so the measured length never
         # undercounts the final line (the real count is <= len(q2), so
         # its digit width is <= this placeholder's).
