@@ -1192,6 +1192,157 @@ def bigram_lm_doc_scores(
     )
 
 
+def kn_trigram_lm_doc_scores(
+    docs: DataFrame,
+    d: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_trigrams, avg_logprob): interpolated Kneser-Ney trigram
+    LM (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18 — the KenLM
+    default the CCNet pipeline scores with), trained on the corpus and
+    scoring each document by its mean position log-probability. The
+    order-3 step of the perplexity family whose order-2 rung is
+    :func:`bigram_lm_doc_scores`:
+
+        P(w|u,v) = max(c(uvw)-d, 0)/c(uv·) + d·N1+(uv·)/c(uv·) · P(w|v)
+        P(w|v)   = max(N1+(·vw)-d, 0)/N1+(·v·)
+                   + d·N1+(v·)/N1+(·v·) · Pcont(w)
+        Pcont(w) = N1+(·w)/N1+(··)
+
+    with the LOWER orders built from continuation (type) counts — KN's
+    signature: "York" is frequent but only ever follows "New", so its
+    unigram backoff weight is its distinct-context count, not its raw
+    frequency. Every statistic derives from the ONE trigram count
+    table (N1+(·vw) = distinct u per (v,w), etc.), so the model is
+    self-consistent and the scored corpus is the training corpus —
+    every position's counts exist and every denominator is positive.
+    Docs with fewer than 3 tokens carry no trigram position and are
+    excluded (the bigram scorer's <2-token convention).
+
+    Cross-engine determinism (the counts-ratio discipline
+    quality_classifier_train hardened): every per-position probability
+    is ONE closed-form expression over BIGINT counts cast to double —
+    identical expression tree in Spark and DuckDB, and the count
+    aggregates themselves are exact in double (integer partial sums
+    below 2^53 commute) — so only the final AVG(LN(p)) is rounded (4
+    dp), exactly like the bigram row.
+
+    Scale shape: the model is a chain of partial+final hash aggs over
+    n-gram TYPES (trigram counts → context/type rollups), never over
+    corpus positions; scoring joins each position to the model on
+    (u,v,w)/(v,w)/(v)/(w) — Zipf-skewed joins, the skew.py salting
+    recipes' target at 100 TB. The position frame and each count frame
+    feed 2+ plan branches, so they localCheckpoint (the "model is a
+    stored table" design; a production run persists the counts once
+    and scores many corpora)."""
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    tdf = tokens_df(docs, text_col, id_col)
+    n = F.size("tk")
+    s1 = F.slice(F.col("tk"), 1, n - 2)
+    s2 = F.slice(F.col("tk"), 2, n - 2)
+    s3 = F.slice(F.col("tk"), 3, n - 2)
+    tg = (
+        tdf.filter(n >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.zip_with(
+                        s1,
+                        s2,
+                        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+                    ),
+                    s3,
+                    lambda uv, c: F.struct(
+                        uv["u"].alias("u"), uv["v"].alias("v"), c.alias("w")
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select(id_col, "t.u", "t.v", "t.w")
+        .localCheckpoint(eager=True)
+    )
+    c3 = (
+        tg.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_uvw"))
+        .localCheckpoint(eager=True)
+    )
+    ctx3 = c3.groupBy("u", "v").agg(
+        F.sum("c_uvw").alias("c_uv"),
+        F.count(F.lit(1)).cast("double").alias("n1p_uv"),
+    )
+    m2 = (
+        c3.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n1p_dvw"))
+        .localCheckpoint(eager=True)
+    )
+    mv = m2.groupBy("v").agg(
+        F.sum("n1p_dvw").alias("n1p_dvd"),
+        F.count(F.lit(1)).cast("double").alias("n1p_vd"),
+    )
+    wt = m2.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_dw")
+    )
+    tot = wt.agg(F.sum("n1p_dw").alias("n1p_tot"))
+    p_cont = F.col("n1p_dw") / F.col("n1p_tot")
+    p_mid = F.greatest(F.col("n1p_dvw") - F.lit(d), F.lit(0.0)) / F.col(
+        "n1p_dvd"
+    ) + (F.lit(d) * F.col("n1p_vd") / F.col("n1p_dvd")) * p_cont
+    p_tri = F.greatest(F.col("c_uvw") - F.lit(d), F.lit(0.0)) / F.col(
+        "c_uv"
+    ) + (F.lit(d) * F.col("n1p_uv") / F.col("c_uv")) * p_mid
+    return (
+        tg.join(c3, ["u", "v", "w"])
+        .join(ctx3, ["u", "v"])
+        .join(m2, ["v", "w"])
+        .join(mv, "v")
+        .join(wt, "w")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(p_tri)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def kn_trigram_lm_doc_scores_oracle_sql(d: float = 0.75) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+tg AS (
+  SELECT doc_id, ws[i] AS u, ws[i+1] AS v, ws[i+2] AS w
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+c3 AS (SELECT u, v, w, count(*)::DOUBLE AS c_uvw FROM tg GROUP BY u, v, w),
+ctx3 AS (SELECT u, v, sum(c_uvw) AS c_uv, count(*)::DOUBLE AS n1p_uv
+         FROM c3 GROUP BY u, v),
+m2 AS (SELECT v, w, count(*)::DOUBLE AS n1p_dvw FROM c3 GROUP BY v, w),
+mv AS (SELECT v, sum(n1p_dvw) AS n1p_dvd, count(*)::DOUBLE AS n1p_vd
+       FROM m2 GROUP BY v),
+wt AS (SELECT w, count(*)::DOUBLE AS n1p_dw FROM m2 GROUP BY w),
+tot AS (SELECT sum(n1p_dw) AS n1p_tot FROM wt)
+SELECT t.doc_id, count(*) AS n_trigrams,
+       ROUND(AVG(LN(
+         GREATEST(c_uvw - {d}, 0.0) / c_uv
+         + ({d} * n1p_uv / c_uv) * (
+             GREATEST(n1p_dvw - {d}, 0.0) / n1p_dvd
+             + ({d} * n1p_vd / n1p_dvd) * (n1p_dw / n1p_tot)
+         )
+       )), 4) AS avg_logprob
+FROM tg t
+JOIN c3 USING (u, v, w)
+JOIN ctx3 USING (u, v)
+JOIN m2 USING (v, w)
+JOIN mv USING (v)
+JOIN wt ON wt.w = t.w
+CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 def bigram_lm_doc_scores_oracle_sql(lam: float = 0.8) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),

@@ -1026,6 +1026,25 @@ def q_bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ce.bigram_lm_doc_scores(docs)
 
 
+@register(
+    "kn_trigram_lm_doc_scores", ce.kn_trigram_lm_doc_scores_oracle_sql()
+)
+def q_kn_trigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM scoring (r12) — the order-3
+    step of the CCNet/KenLM perplexity family (unigram → bigram →
+    THIS), with KN's signature continuation counts for the lower
+    orders: a word's backoff mass is its distinct-context type count,
+    not its raw frequency, all derived from the one trigram count
+    table. Same determinism contract as the bigram rung: every
+    per-position probability is a closed-form counts-ratio expression,
+    bit-identical across engines; only the per-doc mean log-prob is
+    rounded (4 dp). See curation_extras.kn_trigram_lm_doc_scores for
+    the formula and the 100 TB scale shape (type-table aggs + skewed
+    position joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.kn_trigram_lm_doc_scores(docs)
+
+
 from parallel_map_reduce_spark.operators import textstats as _textstats
 
 # The SAME composite quality score as quality_quantile_filter's oracle

@@ -32,84 +32,78 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-11 rotation
-# (VERDICT r10 "Next round" #1, fill queue recomputed by
-# tools/window_plan.py --assume-next 11): queries NEW in round 11
-# first, then round-11 code-touched queries, then the OLDEST r6-latest
-# rows (all 16, r6 row order), then the oldest r7 rows filling the
-# remaining slots in r7 row order. Names not listed keep registration
-# order after these.
+# exceeds that or names a query that doesn't exist.  Round-12 rotation
+# (VERDICT r11 "Next round" #1, fill queue recomputed by
+# tools/window_plan.py --assume-next 12): queries NEW in round 12
+# first, then round-12 code-touched queries, then the 25 remaining
+# r7-latest rows (all of them, r7 row order — after this round no
+# query's latest green predates r8), then the oldest r8 rows filling
+# the remaining slots in r8 row order. Names not listed keep
+# registration order after these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) NEW in round 11 — first driver row this round
-    "knn_opq_ivfadc_stored",
-    # 1b) round-11 code-touched. The store recover/compact critical
-    # section gained the flock-based store_lock (recovery fast path +
-    # locked compactors), so every registered row that opens, appends
-    # to, or compacts a persisted store re-windows; the PQ/IVFADC
-    # builders additionally gained the shared_codebook×rotation
-    # resolver. knn_range_ivfsq_stored also carries the prefilter
-    # rounding-slack fix; semantic_decontaminate the empty-eval
-    # sentinel + oracle mirror; pipeline_curate_corpus the new trained
-    # quality-classifier stage (stage 04, stages renumbered).
-    "knn_ivf_ann_stored",
-    "knn_ivf_ann_appended",
-    "knn_range_ivf_stored",
-    "knn_ivfpq_ann_stored",
-    "knn_pq_ann_stored",
-    "knn_pq_ann_appended",
+    # 1) NEW in round 12 — first driver row this round
+    "kn_trigram_lm_doc_scores",
+    # 1b) round-12 code-touched. pipeline_curate_corpus gained the
+    # cluster-sharded SemDeDup stage (stage 06, later stages
+    # renumbered). The three store compactors (compact_store_slices,
+    # compact_ivf_index, compact_pq_index) gained the lock_timeout
+    # pass-through (ADVICE r11) — default-identical behavior, but the
+    # invariant re-windows every registered row whose code path runs a
+    # touched function rather than arguing equivalence.
+    "pipeline_curate_corpus",
     "knn_pq_compacted",
     "knn_ivfadc_compacted",
-    "knn_opq_ann_stored",
     "knn_sq_ann_stored",
     "knn_ivfsq_ann_stored",
-    "knn_range_ivfsq_stored",
-    "incremental_lsh_dedup_compacted",
-    "ism_audit_query",
     "incremental_semantic_dedup_chain",
-    "semantic_decontaminate",
-    "pipeline_curate_corpus",
-    # (quality_classifier_train/_filter NOT re-windowed: the oracle
-    # builder refactor is proven byte-identical — see PLANS.md r11 —
-    # and their Spark callables are untouched.)
-    # 2) the 16 r6-latest rows (r6 row order) — the freshness-debt
-    # paydown VERDICT r10 #1 prescribes; after this round no query's
-    # latest green predates r7.
-    "tpch_q5_local_supplier_volume",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "outer_join_nation_counts",
-    "scalar_subquery_above_avg",
-    "sort_limit_top_orders",
-    "union_distinct_nations",
-    "intersect_nations",
-    "except_nations",
-    "window_rank_orders_per_customer",
-    "window_rolling_events",
-    "wordcount_per_doc",
-    "word_totals",
-    "wordcount_rdd",
-    "window_lag_lead",
-    "rollup_region_nation",
-    # 3) oldest r7 rows (r7 row order; pipeline_curate_corpus already
-    # holds a touched slot above) fill the remaining 16; the r7 tail
-    # rolls to round 12.
-    "gopher_repetition_stats",
-    "bpe_encode_stats",
-    "gopher_quality_stats",
-    "dsir_importance_weights",
-    "soft_dedup_weights",
-    "weighted_systematic_sample",
-    "snapshot_diff",
-    "streaming_incremental_dedup",
-    "retract_and_readmit",
-    "knn_pq_ann",
-    "knn_ivfpq_ann",
-    "knn_opq_ann",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_lsh",
-    "semantic_dedup_keep_corpus",
-    "semantic_dedup_keep_corpus_ann",
+    "incremental_lsh_dedup_compacted",
+    # 2) the 25 remaining r7-latest rows (r7 row order) — the final
+    # freshness-debt paydown VERDICT r11 #1 prescribes.
+    "knn_ivf_ann",
+    "cube_flag_status",
+    "pivot_status_revenue",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "conditional_bucketing",
+    "events_by_type",
+    "events_json_props",
+    "events_tumbling_window",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "grouping_sets_revenue",
+    "salted_count_distinct_users",
+    "skew_salted_join_top_words",
+    "unpivot_lineitem_measures",
+    "tpch_q14_promo_revenue",
+    "tpch_q7_nation_volume",
+    "array_map_functions",
+    "tpch_q13_order_distribution",
+    "map_functions_events",
+    "array_agg_priorities",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    # 3) oldest r8 rows (r8 row order) fill the remaining 17; the r8
+    # tail rolls to round 13.
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_suppliers",
+    "semantic_dedup_cluster_sharded",
+    "ngram_jaccard_pairs_capped",
+    "decontaminate_corpus",
+    "pipeline_clean_corpus",
+    "doc_repetition_stats",
+    "asof_join_purchase_to_view",
+    "interval_join_event_pairs",
+    "hll_mergeable_daily_users",
+    "stats_aggregates",
+    "simhash_block_near_pairs",
+    "cohort_retention",
+    "simhash_near_pairs",
+    "funnel_conversion",
+    "events_sessionization",
+    "events_session_windows",
 ]
 
 
