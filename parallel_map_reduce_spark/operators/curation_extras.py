@@ -1431,6 +1431,61 @@ FROM (
 """
 
 
+def kn_trigram_perplexity_buckets(
+    docs: DataFrame,
+    d: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, lang, avg_logprob, bucket): the CCNet tercile cut driven by
+    the ORDER-3 Kneser-Ney LM — what the CCNet/KenLM pipeline actually
+    ships (Wenzek et al. 2020 use a 5-gram KenLM; order 3 is the same
+    estimator family at the testdata's vocabulary scale). Identical
+    bucketing contract to :func:`ccnet_perplexity_buckets` — NTILE(3)
+    per language over the ROUNDED score with id tie-break, so
+    membership is deterministic and boundary-exact in both engines —
+    only the scorer underneath changes. Docs with fewer than 3 tokens
+    carry no trigram score and are excluded (the scorer's convention).
+
+    Scale shape: the KN scoring plan (see kn_trigram_lm_doc_scores)
+    plus one window sort per language over (score, id); the 100 TB
+    swap-in for the exact NTILE is approx_percentile tercile
+    thresholds, as in the bigram bucket row."""
+    scores = kn_trigram_lm_doc_scores(docs, d, text_col, id_col)
+    langs = docs.select(F.col(id_col), F.col("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.join(langs, id_col)
+        .withColumn("_tile", F.ntile(3).over(w))
+        .select(
+            id_col,
+            "lang",
+            "avg_logprob",
+            F.when(F.col("_tile") == 1, F.lit("head"))
+            .when(F.col("_tile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def kn_trigram_perplexity_buckets_oracle_sql(d: float = 0.75) -> str:
+    scorer = kn_trigram_lm_doc_scores_oracle_sql(d).strip()
+    return f"""
+WITH scores AS ({scorer})
+SELECT doc_id, lang, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT s.doc_id, d.lang, s.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS nt
+  FROM scores s JOIN documents d USING (doc_id)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Draft DuckDB oracles for the r5 registrations
 # ---------------------------------------------------------------------------

@@ -1045,6 +1045,23 @@ def q_kn_trigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ce.kn_trigram_lm_doc_scores(docs)
 
 
+@register(
+    "kn_trigram_perplexity_buckets",
+    ce.kn_trigram_perplexity_buckets_oracle_sql(),
+)
+def q_kn_trigram_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail terciles under the ORDER-3 Kneser-Ney LM
+    (r12) — the bucket rule of ccnet_perplexity_buckets composed with
+    the kn_trigram_lm_doc_scores estimator, i.e. the order the
+    CCNet/KenLM pipeline actually ships. NTILE over the rounded score
+    with id tie-break: deterministic, boundary-exact, fully
+    value-hashed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ce.kn_trigram_perplexity_buckets(docs)
+
+
 from parallel_map_reduce_spark.operators import textstats as _textstats
 
 # The SAME composite quality score as quality_quantile_filter's oracle

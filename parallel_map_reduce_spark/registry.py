@@ -44,6 +44,7 @@ _WINDOW = 50
 _PRIORITY: list[str] = [
     # 1) NEW in round 12 — first driver row this round
     "kn_trigram_lm_doc_scores",
+    "kn_trigram_perplexity_buckets",
     # 1b) round-12 code-touched. pipeline_curate_corpus gained the
     # cluster-sharded SemDeDup stage (stage 06, later stages
     # renumbered). The three store compactors (compact_store_slices,
@@ -85,7 +86,7 @@ _PRIORITY: list[str] = [
     "array_agg_priorities",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
-    # 3) oldest r8 rows (r8 row order) fill the remaining 17; the r8
+    # 3) oldest r8 rows (r8 row order) fill the remaining 16; the r8
     # tail rolls to round 13.
     "tpch_q12_shipmode_priority",
     "tpch_q21_waiting_suppliers",
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     "simhash_near_pairs",
     "funnel_conversion",
     "events_sessionization",
-    "events_session_windows",
 ]
 
 
