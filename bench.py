@@ -120,6 +120,10 @@ HEADLINE = [
     "incremental_lsh_dedup",
     "incremental_lsh_dedup_stored",
     "bigram_lm_doc_scores",
+    # r12: the order-3 KN rung + its CCNet bucket composition (warm
+    # ~2.3-2.8 s at sf0.1 — best-of-2 tier like the bigram rows)
+    "kn_trigram_lm_doc_scores",
+    "kn_trigram_perplexity_buckets",
     "quality_quantile_filter_approx",
     "ccnet_perplexity_buckets",
     "publish_dataset_roundtrip",
