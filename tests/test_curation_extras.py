@@ -562,6 +562,134 @@ def test_bigram_lm_repeated_text_scores_higher(spark):
     assert out[1] > out[2]
 
 
+def test_kn_trigram_shape_and_bounds(spark, sf_dir):
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        kn_trigram_lm_doc_scores,
+    )
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["doc_id"]: r for r in kn_trigram_lm_doc_scores(docs).collect()}
+    ntok = {r["doc_id"]: len(r["tk"]) for r in tokens_df(docs).collect()}
+    # one row per doc with >= 3 tokens; n_trigrams = n_tokens - 2;
+    # probabilities are in (0, 1] so the mean log-prob is <= 0
+    assert set(out) == {d for d, n in ntok.items() if n >= 3}
+    for d, r in out.items():
+        assert r["n_trigrams"] == ntok[d] - 2
+        assert r["avg_logprob"] <= 0.0
+
+
+def test_kn_trigram_is_a_probability_distribution(spark):
+    """Interpolated KN must assign each observed context a probability
+    mass summing to <= 1 over its observed continuations (equality
+    would need the unseen-word mass too). Checked exactly from the
+    count tables on a small corpus — this pins the discount/backoff
+    algebra, which the oracle (same formula both engines) cannot."""
+    from collections import defaultdict
+
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        kn_trigram_lm_doc_scores,
+    )
+    from parallel_map_reduce_spark.operators.dedup import tokens_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the fish"),
+            (3, "a dog sat on a rug"),
+            (4, "the dog ate a bone and the cat sat still"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = [r["tk"] for r in tokens_df(docs).collect()]
+    d = 0.75
+    c3: dict = defaultdict(int)
+    for tk in toks:
+        for i in range(len(tk) - 2):
+            c3[(tk[i], tk[i + 1], tk[i + 2])] += 1
+    ctx_tot: dict = defaultdict(int)
+    ctx_types: dict = defaultdict(int)
+    m2: dict = defaultdict(int)
+    for (u, v, w), c in c3.items():
+        ctx_tot[(u, v)] += c
+        ctx_types[(u, v)] += 1
+        m2[(v, w)] += 1
+    mv_tot: dict = defaultdict(int)
+    mv_types: dict = defaultdict(int)
+    wt: dict = defaultdict(int)
+    for (v, w), n in m2.items():
+        mv_tot[v] += n
+        mv_types[v] += 1
+        wt[w] += 1
+    n1p_tot = sum(wt.values())
+
+    def p_kn(u, v, w):
+        p1 = wt[w] / n1p_tot
+        p2 = max(m2[(v, w)] - d, 0) / mv_tot[v] + (
+            d * mv_types[v] / mv_tot[v]
+        ) * p1
+        return max(c3[(u, v, w)] - d, 0) / ctx_tot[(u, v)] + (
+            d * ctx_types[(u, v)] / ctx_tot[(u, v)]
+        ) * p2
+
+    # per-context mass over OBSERVED continuations stays within (0, 1]
+    by_ctx: dict = defaultdict(float)
+    for (u, v, w) in c3:
+        by_ctx[(u, v)] += p_kn(u, v, w)
+    for ctx, mass in by_ctx.items():
+        assert 0.0 < mass <= 1.0 + 1e-9, (ctx, mass)
+
+    # and the Spark scorer reproduces the reference formula exactly
+    # (per-doc mean of ln p over positions, rounded 4)
+    import math
+
+    exp = {}
+    for r in docs.collect():
+        tk = r["text"].split()
+        pos = [
+            math.log(p_kn(tk[i], tk[i + 1], tk[i + 2]))
+            for i in range(len(tk) - 2)
+        ]
+        if pos:
+            exp[r["doc_id"]] = round(sum(pos) / len(pos), 4)
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_trigram_lm_doc_scores(docs).collect()
+    }
+    assert got == exp
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """KN's signature: a word frequent only in ONE context ("york"
+    always after "new") gets LESS backoff mass than a word of equal
+    raw frequency seen in MANY contexts — raw-frequency backoff
+    (stupid backoff / JM unigram) cannot make this distinction."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        kn_trigram_lm_doc_scores,
+    )
+
+    # "york" occurs 6x, always after "new"; "spam" occurs 6x after six
+    # different words. Score two probe docs whose last position forces
+    # pure backoff: an UNSEEN trigram/bigram context before each word.
+    corpus = [
+        (1, "i love new york i hate new york we left new york "
+            "they like new york she saw new york he knew new york"),
+        (2, "a spam b spam c spam d spam e spam f spam"),
+        # probe docs: identical unseen context 'zz qq', then the word
+        (3, "zz qq spam"),
+        (4, "zz qq york"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_trigram_lm_doc_scores(docs).collect()
+    }
+    # both probes back off through the unseen (zz, qq) context to the
+    # continuation unigram: spam (6 distinct left contexts) must beat
+    # york (1 distinct left context) despite equal raw frequency
+    assert out[3] > out[4]
+
+
 # ---------------------------------------------------------------------------
 # staged r6: Gopher repetition + BPE encode-apply
 # ---------------------------------------------------------------------------

@@ -380,6 +380,19 @@ def test_bigram_lm_broadcasts_scalar_total(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kn_trigram_lm_plan_shape(spark):
+    """The KN trigram scorer keeps the bigram rung's plan discipline:
+    the 1-row continuation-total joins as a broadcast (never a
+    CartesianProduct against the position frame), the count-model
+    joins are hash joins on the n-gram keys, and the per-doc mean is
+    partially aggregated map-side before the exchange."""
+    plan = plan_of(spark, "kn_trigram_lm_doc_scores", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    fplan = plan_of(spark, "kn_trigram_lm_doc_scores")
+    assert "partial_count" in fplan or "partial_avg" in fplan
+
+
 def test_cluster_sharded_single_shuffle_into_kernel(spark):
     """Cluster-sharded SemDeDup's pair stage, split-disabled form
     (block_above=None): exactly ONE exchange on the cluster key feeds
