@@ -1313,9 +1313,11 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 from parallel_map_reduce_spark.operators.queries_llm import (
     _KNN_AUDIT_SELECT,
     _KNN_EXACT_CTE,
+    _KNN_EXACT_SAMPLED_CTE,
     _RANGE_AUDIT_SELECT,
     _RANGE_EXACT_CTE,
     _range_audit_frame,
+    knn_audit_sample,
     KNN_K,
     KNN_QUERY_IDS,
     RANGE_RADIUS,
@@ -1327,7 +1329,13 @@ def _knn_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     quantized ANN row, so the audit rule cannot drift between them):
     value-hash the brute-force twin's deterministic aggregates and
     certify mean recall@k >= 0.5 over the approximate hits in-query —
-    the contract _KNN_AUDIT_SELECT's oracle expects."""
+    the contract _KNN_AUDIT_SELECT's oracle expects. Since r13 every
+    caller feeds BOTH sides from the deterministic residue sample
+    (queries_llm.knn_audit_sample, oracle twin _KNN_EXACT_SAMPLED_CTE
+    — VERDICT r12 #2): the exact twin costs O(|Q| * cap) at any
+    corpus size, a no-op at driver sfs <= cap, so the registered rows
+    are themselves 100 TB-safe plans; full-corpus serving stays
+    covered by the auditless _ship twins."""
     hit = approx.distinct().withColumn("hit", F.lit(1))
     flagged = exact.join(hit, ["query_id", "neighbor_id"], "left")
     return flagged.agg(
@@ -1343,7 +1351,7 @@ def _knn_audit_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
-@register("knn_ivf_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_ivf_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-PHASE IVF ANN with a PERSISTED index — the production shape
     of knn_ivf_ann: phase 1 (the nightly index job) trains the coarse
@@ -1356,7 +1364,7 @@ def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, recall_ok certifies mean recall@k >= 0.5 in-query.
     Output of the stored phase-2 operator is pytest-pinned identical
     to the self-contained ivf_ann on the same index parameters."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivf_index", sf_dir)
     _similarity.ivf_build_index(emb, idx)
     exact = _similarity.knn_bruteforce(
@@ -1467,7 +1475,7 @@ def q_incremental_lsh_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataF
     return ce.incremental_lsh_dedup_compacted(spark, docs)
 
 
-@register("knn_ivf_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_ivf_ann_appended", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase IVF with INCREMENTAL INDEX MAINTENANCE — the nightly
     delta job between full rebuilds: phase 1 trains the coarse
@@ -1482,7 +1490,7 @@ def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic aggregates, and recall_ok certifies the
     half-trained quantizer still clears mean recall@k >= 0.5 — the
     drift-vs-rebuild tradeoff made driver-visible."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivf_index_app", sf_dir)
     _similarity.ivf_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     _similarity.ivf_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
@@ -1500,7 +1508,7 @@ def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_pq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_pq_ann", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (Jégou et al.
     2011 + the FAISS refine step) — the MEMORY-FOOTPRINT tier of the
@@ -1515,7 +1523,7 @@ def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force twin's deterministic aggregates and recall_ok
     certifies mean recall@k >= 0.5 in-query (measured 0.84-0.96
     across sf0.001-0.1)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
     ).localCheckpoint(eager=True)
@@ -1527,7 +1535,7 @@ def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_ivfpq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_ivfpq_ann", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV) — IVF × PQ composed, the
     canonical billion-scale ANN architecture FAISS ships: the coarse
@@ -1540,7 +1548,7 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.64-0.74 on these near-uniform embeddings — the IVF cell-miss
     floor, same as knn_ivf_ann's; clustered real embeddings prune far
     better)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
     ).localCheckpoint(eager=True)
@@ -1552,7 +1560,7 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_pq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_pq_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-PHASE PQ ANN with a PERSISTED code store — the production
     shape of knn_pq_ann: phase 1 (the nightly encode job) trains the
@@ -1566,7 +1574,7 @@ def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit contract as the other ANN rows; the stored phase-2 output is
     pytest-pinned identical to the self-contained pq_ann (and, built
     with rotation=True, to opq_ann) on the same trained model."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("pq_index", sf_dir)
     _similarity.pq_build_index(emb, idx)
     exact = _similarity.knn_bruteforce(
@@ -1583,7 +1591,7 @@ def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_ivfpq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_ivfpq_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_ivfpq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-PHASE IVFADC with a PERSISTED index — the on-disk layout
     FAISS's canonical billion-scale index persists and the artifact an
@@ -1598,7 +1606,7 @@ def q_knn_ivfpq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the other ANN rows; the stored phase-2 output is pytest-pinned
     identical to the self-contained ivfpq_ann on the same trained
     quantizers."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivfpq_index", sf_dir)
     _similarity.ivfpq_build_index(emb, idx)
     exact = _similarity.knn_bruteforce(
@@ -1629,7 +1637,7 @@ FROM topk
 """
 
 
-@register("knn_ivfadc_compacted", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT)
+@register("knn_ivfadc_compacted", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_COMPACTED_SELECT)
 def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL IVFADC index lifecycle in one driver row — build →
     append → compact → query — mirroring what
@@ -1657,7 +1665,7 @@ def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repartition BY cid, one task per cell)."""
     import glob as _glob
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivfadc_lifecycle", sf_dir)
     _similarity.ivfpq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     for mres in (1, 3):
@@ -1710,7 +1718,7 @@ def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_opq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_opq_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_opq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-PHASE OPQ — the ROTATION branch of the persisted code store
     driver-verified (previously pytest-only): phase 1 trains the OPQ
@@ -1725,7 +1733,7 @@ def q_knn_opq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same audit contract as the other ANN rows: brute-force twin
     aggregates value-hashed, recall_ok >= 0.5 in-query (OPQ measures
     ~0.98 at sf0.01 — above plain PQ's 0.94)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("opq_index", sf_dir)
     _similarity.pq_build_index(emb, idx, rotation=True)
     exact = _similarity.knn_bruteforce(
@@ -1742,7 +1750,7 @@ def q_knn_opq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_opq_ivfadc_stored", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_opq_ivfadc_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_opq_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED rotation × cell-partitioned store — FAISS's full
     canonical recipe ``OPQ8,IVF16,PQ8`` as one persisted artifact
@@ -1761,7 +1769,7 @@ def q_knn_opq_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5 in-query. Plan shape is knn_ivfpq_ann_stored's: only probed
     cid=N partitions of the byte-code table are read; the rotation
     rides into the encode/ADC pandas UDFs as one batch matmul."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("opq_ivfadc_index", sf_dir)
     _similarity.ivfpq_build_index(emb, idx, rotation=True)
     exact = _similarity.knn_bruteforce(
@@ -1779,7 +1787,7 @@ def q_knn_opq_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "knn_pq_compacted", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+    "knn_pq_compacted", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_COMPACTED_SELECT
 )
 def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAT-code-store lifecycle — compact_pq_index's driver row,
@@ -1801,7 +1809,7 @@ def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_ok >= 0.5 under half-trained codebook drift."""
     import glob as _glob
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("pq_lifecycle", sf_dir)
     _similarity.pq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     for mres in (1, 3):
@@ -1856,7 +1864,7 @@ def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "knn_ivfsq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+    "knn_ivfsq_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_COMPACTED_SELECT
 )
 def q_knn_ivfsq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF×SQ COMPOSITION the SQ8 docstring promises ("SQ shrinks
@@ -1885,7 +1893,7 @@ def q_knn_ivfsq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the other ANN rows on the post-compaction answers."""
     import glob as _glob
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivfsq_lifecycle", sf_dir)
     _similarity.ivfsq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     for mres in (1, 3):
@@ -1938,7 +1946,7 @@ def q_knn_ivfsq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "knn_sq_ann_stored", _KNN_EXACT_CTE + _KNN_AUDIT_COMPACTED_SELECT
+    "knn_sq_ann_stored", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_COMPACTED_SELECT
 )
 def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted SQ8 store's FULL lifecycle in one driver row —
@@ -1965,7 +1973,7 @@ def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps — measured 1.0 recall across sfs even half-trained)."""
     import glob as _glob
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("sq_lifecycle", sf_dir)
     _similarity.sq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     for mres in (1, 3):
@@ -2019,7 +2027,7 @@ def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_pq_ann_appended", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_pq_ann_appended", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ with INCREMENTAL INDEX MAINTENANCE — the nightly
     delta job for the compression tier, mirroring
@@ -2032,7 +2040,7 @@ def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     grown store. The brute-force twin over the FULL corpus runs in the
     same query and recall_ok certifies the half-trained codebooks
     still clear mean recall@k >= 0.5 under quantizer drift."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("pq_index_app", sf_dir)
     _similarity.pq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     _similarity.pq_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
@@ -2050,7 +2058,7 @@ def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_opq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_opq_ann", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN with exact re-ranking (Ge et al. 2013; FAISS's
     ``OPQ8,PQ8``) — product quantization behind a LEARNED orthogonal
@@ -2066,7 +2074,7 @@ def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same audit contract as the other ANN rows: the oracle value-hashes
     the brute-force twin's deterministic aggregates and recall_ok
     certifies mean recall@k >= 0.5 in-query."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
     ).localCheckpoint(eager=True)
@@ -2078,7 +2086,7 @@ def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_audit_frame(exact, approx)
 
 
-@register("knn_sq_ann", _KNN_EXACT_CTE + _KNN_AUDIT_SELECT)
+@register("knn_sq_ann", _KNN_EXACT_SAMPLED_CTE + _KNN_AUDIT_SELECT)
 def q_knn_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8) ANN with exact re-ranking — the STORAGE
     tier of the ANN family (FAISS ScalarQuantizer QT_8bit + refine):
@@ -2091,7 +2099,7 @@ def q_knn_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates and recall_ok certifies mean recall@k >= 0.5 in-query
     (8-bit error is far below neighbor gaps: measured 1.0 across
     sf0.001-0.1)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
     ).localCheckpoint(eager=True)

@@ -2785,3 +2785,57 @@ def test_ivfsq_append_encodes_against_stored_models(
         assert rows[0]["cid"] == want_cid, vid
         got = np.array(rows[0]["code"], dtype="int8")
         assert (got == want_code).all(), vid
+
+
+# --- ANN audit residue sample (VERDICT r12 #2) ---------------------------
+
+
+def test_knn_audit_sample_noop_at_driver_sfs(spark):
+    """cap=512 makes the audit sample STRUCTURALLY a no-op at
+    sf0.001/sf0.01 (500 vectors): knn_audit_sample returns the input
+    frame itself, so the sampled audit rows are bit-identical to their
+    unsampled r12 forms at the driver's correctness sfs."""
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        knn_audit_sample,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        assert knn_audit_sample(emb) is emb
+
+
+def test_knn_audit_sample_engages_and_matches_oracle(spark):
+    """At sf0.1 (2000 vectors, d=4) the sample really cuts the corpus,
+    keeps every fixed query id, is deterministic, and draws the
+    IDENTICAL id set in both engines (the Spark pmod(hash64) filter vs
+    the sampled oracle CTE's md5 predicate — the portability the
+    driver's value-hash compare rests on)."""
+    import duckdb
+
+    from parallel_map_reduce_spark.operators.queries_llm import (
+        KNN_AUDIT_SAMPLE_CAP,
+        KNN_AUDIT_SAMPLE_SEED,
+        KNN_QUERY_IDS,
+        knn_audit_sample,
+    )
+    from parallel_map_reduce_spark.functions.hashing import hash64_sql
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    assert n > KNN_AUDIT_SAMPLE_CAP
+    s1 = sorted(r["vec_id"] for r in knn_audit_sample(emb).select("vec_id").collect())
+    s2 = sorted(r["vec_id"] for r in knn_audit_sample(emb).select("vec_id").collect())
+    assert s1 == s2
+    assert len(s1) < n
+    assert set(KNN_QUERY_IDS) <= set(s1)
+    d = -(-n // KNN_AUDIT_SAMPLE_CAP)
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    dd = duckdb.sql(
+        f"""SELECT vec_id
+            FROM '/root/testdata/sf0.1/embeddings.parquet'
+            WHERE {hash64_sql("CAST(vec_id AS VARCHAR)", KNN_AUDIT_SAMPLE_SEED)}
+                  % {d} = 0
+               OR vec_id IN ({ids})
+            ORDER BY vec_id"""
+    ).fetchall()
+    assert s1 == [r[0] for r in dd]
