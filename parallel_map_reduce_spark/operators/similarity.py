@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.functions.hashing import hash64
@@ -53,6 +53,53 @@ def knn_bruteforce(
     sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
     scored = (
         base.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def knn_bruteforce_filtered(
+    embeddings: DataFrame,
+    where: Column,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k among the vectors SATISFYING a metadata
+    predicate — the brute-force ground truth for the filtered ANN
+    query mode (ivf_query_stored's ``where``; FAISS IDSelector).
+    Queries are drawn from the UNFILTERED frame (a query needn't match
+    the predicate it searches under); only the candidate side is
+    filtered, BEFORE the cross score, so the scan cost is the slice,
+    not the corpus. Same output contract and plan shape as
+    knn_bruteforce: broadcast query side, corpus never shuffled."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    base = embeddings.select(
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("vec"),
+        where.alias("_match"),
+    )
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    scored = (
+        base.filter(F.col("_match"))
+        .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -587,6 +634,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int | None = DEFAULT_TRAIN_CAP,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Phase 1 of the two-phase IVF: train the coarse quantizer and
     PERSIST the index — ``<path>/centroids`` holds the k (cid, center)
@@ -594,6 +642,14 @@ def ivf_build_index(
     ``cid=N`` directories): the on-disk layout FAISS calls the inverted
     file. This is the nightly index job of a production ANN service;
     query jobs (ivf_query_stored) read the store and never retrain.
+
+    ``meta_cols`` names metadata columns of the input to persist
+    ALONGSIDE each vector in the inverted file (e.g. ``("label",)``) —
+    what makes predicate-filtered queries (ivf_query_stored's
+    ``where``, the FAISS IDSelector / vector-store WHERE-clause mode)
+    answerable from the index alone: the predicate lands in the
+    parquet rowgroup scan of only the probed cells, never a join back
+    to the primary table.
 
     Scale posture: the quantizer trains on a bounded deterministic
     sample (``train_cap``, see _cap_train_set); assignment is one
@@ -606,7 +662,9 @@ def ivf_build_index(
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("vec"),
+        *meta_cols,
     )
     train = _cap_train_set(base, F.col("vec"), train_cap).select(
         array_to_vector(F.col("vec")).alias("features")
@@ -630,6 +688,7 @@ def ivf_query_stored(
     k: int = 5,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    where: Column | None = None,
 ) -> DataFrame:
     """Phase 2 of the two-phase IVF: answer top-k from the PERSISTED
     index — centroids load as a k-row table (driver-side, a few KB),
@@ -645,6 +704,18 @@ def ivf_query_stored(
     Query vectors are looked up from the inverted file by id here
     (vec_id predicate pushdown); a production service with external
     query vectors skips that scan entirely.
+
+    ``where`` is the predicate-filtered query mode (FAISS IDSelector /
+    every production vector store's metadata WHERE clause): top-k among
+    the stored vectors SATISFYING the predicate — applied to the
+    CANDIDATE side only (queries themselves need not match), BEFORE
+    scoring, as a plain column filter on the inverted-file scan, so it
+    reaches the parquet reader (PushedFilters over the persisted
+    ``meta_cols``) and composes with cell pruning: only matching
+    rowgroups of only the probed ``cid=N`` partitions are scored. The
+    predicate can only SHRINK a cell's candidate set, so with
+    nprobe = every cell the answer is exactly brute-force-over-slice
+    (pytest-pinned vs knn_bruteforce_filtered).
 
     Entry runs compaction crash recovery; stored queries must not run
     concurrently with a compaction (quiesced-store contract — see
@@ -674,7 +745,8 @@ def ivf_query_stored(
         )
         .withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
     )
-    return _ivf_score_probes(inv, probes, k, id_col)
+    cand = inv if where is None else inv.filter(where)
+    return _ivf_score_probes(cand, probes, k, id_col)
 
 
 def compact_ivf_index(
@@ -1131,11 +1203,14 @@ def ivf_append_to_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Incremental index maintenance for the two-phase IVF: assign a
     NEW batch of vectors to the EXISTING stored centroids and append
     them to the inverted file — the nightly delta job between full
-    rebuilds. The quantizer is deliberately not retrained (FAISS's
+    rebuilds. ``meta_cols`` mirrors ivf_build_index's: a store built
+    with persisted metadata must append the same columns or later
+    filtered queries would read NULLs for the appended rows. The quantizer is deliberately not retrained (FAISS's
     add-after-train contract): cell boundaries stay fixed so earlier
     vectors never need reassignment, at the cost of drift if the new
     data's distribution shifts — rebuild cadence is the production
@@ -1164,7 +1239,9 @@ def ivf_append_to_index(
     )
     nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
     base = embeddings.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("vec"),
+        *meta_cols,
     )
     base.withColumn("cid", nearest_cid(F.col("vec"))).write.mode(
         "append"

@@ -2839,3 +2839,53 @@ def test_knn_audit_sample_engages_and_matches_oracle(spark):
             ORDER BY vec_id"""
     ).fetchall()
     assert s1 == [r[0] for r in dd]
+
+
+# --- predicate-filtered ANN (FAISS IDSelector mode) ----------------------
+
+
+def test_ivf_filtered_stored_allprobe_equals_bruteforce(spark, embeddings, tmp_path):
+    """With nprobe = every cell, the predicate-filtered stored query
+    must answer EXACTLY brute-force-over-slice: the where= filter can
+    only shrink a cell's candidate set, so cell pruning is the mode's
+    only approximation. This also pins the exact-twin contract the
+    knn_ivf_filtered_stored driver row's recall bound measures against."""
+    idx = str(tmp_path / "ivf_filt")
+    similarity.ivf_build_index(embeddings, idx, meta_cols=("label",))
+    stored = similarity.ivf_query_stored(
+        spark, idx, query_ids=list(range(10)), k=5, nprobe=16,
+        where=F.col("label") == 3,
+    )
+    brute = similarity.knn_bruteforce_filtered(
+        embeddings, F.col("label") == 3, query_ids=list(range(10)), k=5
+    )
+    s = sorted(map(tuple, stored.select("query_id", "neighbor_id", "cosine_sim").collect()))
+    b = sorted(map(tuple, brute.select("query_id", "neighbor_id", "cosine_sim").collect()))
+    assert s == b
+    labels = {r["vec_id"]: r["label"] for r in embeddings.select("vec_id", "label").collect()}
+    assert all(labels[n] == 3 for (_, n, _) in s)
+
+
+def test_ivf_append_with_meta_cols_serves_filtered_queries(spark, embeddings, tmp_path):
+    """A store built AND appended with meta_cols must answer filtered
+    queries over the union corpus — appended rows carry the metadata
+    (NULL label there would silently drop them from every filtered
+    answer). nprobe=16 makes the check exact vs brute-force-over-slice
+    on the full corpus."""
+    idx = str(tmp_path / "ivf_filt_app")
+    similarity.ivf_build_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), idx, meta_cols=("label",)
+    )
+    similarity.ivf_append_to_index(
+        embeddings.filter(F.col("vec_id") % 2 == 1), idx, meta_cols=("label",)
+    )
+    stored = similarity.ivf_query_stored(
+        spark, idx, query_ids=list(range(10)), k=5, nprobe=16,
+        where=F.col("label") == 3,
+    )
+    brute = similarity.knn_bruteforce_filtered(
+        embeddings, F.col("label") == 3, query_ids=list(range(10)), k=5
+    )
+    s = sorted(map(tuple, stored.select("query_id", "neighbor_id", "cosine_sim").collect()))
+    b = sorted(map(tuple, brute.select("query_id", "neighbor_id", "cosine_sim").collect()))
+    assert s == b

@@ -614,6 +614,48 @@ def test_ivf_stored_query_prunes_partitions(spark, tmp_path):
     assert "In(vec_id, [0,1,2,3,4,5,6,7,8,9])" in plan
 
 
+def test_ivf_filtered_stored_predicate_prunes_before_scoring(spark, tmp_path):
+    """The predicate-filtered stored query (FAISS IDSelector mode) must
+    compose BOTH pruning axes on the candidate scan: the cid
+    dynamic-partition-pruning filter (only probed cells read) AND the
+    metadata predicate pushed into the parquet rowgroup scan
+    (PushedFilters EqualTo on the persisted meta column) — the
+    predicate filters BEFORE scoring, never as a post-score join back
+    to the primary table. Degradation here means a filtered query
+    silently scores the whole slice-complement at scale."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators import similarity
+    from parallel_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_filt_index")
+    similarity.ivf_build_index(emb, idx, meta_cols=("label",))
+    df = similarity.ivf_query_stored(
+        spark,
+        idx,
+        query_ids=list(range(10)),
+        k=5,
+        nprobe=8,
+        where=F.col("label") == 3,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # The candidate scan: DPP on cid and the label predicate in the
+    # SAME scan's pushed filters (one line carries EqualTo(label,3);
+    # the probe-lookup scans push the id IN-list instead).
+    assert "dynamicpruningexpression(cid" in plan
+    assert "EqualTo(label,3)" in plan
+    assert "In(vec_id, [0,1,2,3,4,5,6,7,8,9])" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_curate_funnel_stage_shapes(spark):
     """The funnel composes stage operators without adding shuffles:
     keep-set joins on broadcast id frames, no SortMergeJoin anywhere
