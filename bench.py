@@ -813,7 +813,14 @@ def main() -> int:
     compact["queries"] = q2
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > budget:
-        compact["queries_file"] = f"bench_out/{stamped_name}"
+        # Point at a path that survives a commit: bench_out/ is
+        # gitignored, so a PROMOTED run's compact line must reference
+        # BENCH_FULL.json (which the promote path just wrote) or the
+        # committed line would dangle (ADVICE r12).
+        if os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1":
+            compact["queries_file"] = "BENCH_FULL.json"
+        else:
+            compact["queries_file"] = f"bench_out/{stamped_name}"
         # Worst-case-width placeholder so the measured length never
         # undercounts the final line (the real count is <= len(q2), so
         # its digit width is <= this placeholder's).

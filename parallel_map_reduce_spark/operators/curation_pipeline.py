@@ -134,6 +134,11 @@ def pipeline_curate_corpus(
     don't already pay.
     """
     docs = docs.localCheckpoint(eager=True)  # 9 stage consumers
+    # Two plan branches consume embeddings (the corpus-wide centroid
+    # assignment and the emb_surv survivor join) — checkpoint once at
+    # entry like docs, per the module's multi-consumer rule
+    # (ADVICE r12: recompute cost only, not correctness).
+    embeddings = embeddings.localCheckpoint(eager=True)
     all_ids = docs.select(id_col)
 
     # Stage 1 — Gopher A1.1 quality gate, on the operator's rounded
@@ -381,7 +386,23 @@ def pipeline_curate_corpus_oracle_sql(sample_n: int = SAMPLE_N) -> str:
     sd_assign = _CLUSTER_ASSIGNED_CTE.strip()
     assert sd_assign.startswith("WITH ")
     sd_assign = sd_assign[len("WITH ") :]
-    for _name in ("base", "seed_ids", "seeds", "scored", "assigned"):
+    # Rename list is PARSED from the shared text, not hard-coded: a CTE
+    # later added to _CLUSTER_ASSIGNED_CTE would otherwise be spliced
+    # un-renamed and could silently collide with a funnel CTE name
+    # (ADVICE r12). The equality check keeps the splice honest — if the
+    # parse or the shared text drifts, fail loudly at build time.
+    _parsed = tuple(
+        re.findall(
+            r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(",
+            _CLUSTER_ASSIGNED_CTE,
+        )
+    )
+    if _parsed != ("base", "seed_ids", "seeds", "scored", "assigned"):
+        raise RuntimeError(
+            f"_CLUSTER_ASSIGNED_CTE CTE names drifted: {_parsed}; update "
+            "the sd_ splice rename in pipeline_curate_corpus_oracle_sql"
+        )
+    for _name in _parsed:
         sd_assign = re.sub(rf"\b{_name}\b", f"sd_{_name}", sd_assign)
 
     qc_body, qc_final = quality_classifier_descent_ctes(QC_ROUNDS, QC_LR)

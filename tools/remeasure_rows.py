@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -107,7 +108,9 @@ def main() -> int:
             t0 = time.perf_counter()
             run()
             times.append(round(time.perf_counter() - t0, 3))
-        med = sorted(times)[len(times) // 2]
+        # statistics.median interpolates for even RUNS overrides; the
+        # upper-middle pick was only correct for odd counts (ADVICE r12).
+        med = round(statistics.median(times), 3)
         results[name] = {"runs": times, "median": med}
         print(f"# {name}: runs={times} median={med}", flush=True)
 
