@@ -824,3 +824,53 @@ def test_ivfpq_stored_query_prunes_partitions_after_lifecycle(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_kn_trigram_position_joins_aqe_skew_split(spark):
+    """The KN trigram scorer's position joins key on Zipf-skewed
+    n-grams — the docstring's named 100 TB hazard. This pins the
+    mitigation the module relies on: under AQE, a hot-key corpus gets
+    its skewed position join SPLIT at runtime (SortMergeJoin(skew=true)
+    in the final adaptive plan) with no code change — the joins are
+    shuffle-based and AQE-splittable, not locked into a shape skew
+    could wedge. Thresholds are lowered to make local[32]'s tiny
+    shuffle partitions measurable; broadcast is disabled because at
+    test scale every count table would broadcast and no join would
+    shuffle at all (at 100 TB the count tables are data-sized and DO
+    shuffle — this test forces that regime)."""
+    from pyspark.sql import Row
+
+    from parallel_map_reduce_spark.operators import curation_extras as ce
+
+    rows = []
+    for i in range(800):
+        toks = []
+        for j in range(40):
+            toks.append("h")
+            toks.append(f"w{(i * 40 + j) % 50}")
+        rows.append(Row(doc_id=i, text=" ".join(toks)))
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = ce.kn_trigram_lm_doc_scores(docs)
+        out = df.collect()
+        assert len(out) == 800  # every doc scored despite the hot key
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
