@@ -32,78 +32,79 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness check covers the FIRST 50 registry entries per
 # round — exactly _WINDOW slots; _load_all() fails loud if this list
-# exceeds that or names a query that doesn't exist.  Round-12 rotation
-# (VERDICT r11 "Next round" #1, fill queue recomputed by
-# tools/window_plan.py --assume-next 12): queries NEW in round 12
-# first, then round-12 code-touched queries, then the 25 remaining
-# r7-latest rows (all of them, r7 row order — after this round no
-# query's latest green predates r8), then the oldest r8 rows filling
-# the remaining slots in r8 row order. Names not listed keep
-# registration order after these.
+# exceeds that or names a query that doesn't exist.  Round-13 rotation
+# (VERDICT r12 "Next round" #1, fill queue recomputed by
+# tools/window_plan.py --assume-next 13): queries NEW in round 13
+# first, then round-13 code-touched queries, then ALL 28 remaining
+# r8-latest rows (r8 row order) — after this round no query's latest
+# green predates r9. Names not listed keep registration order after
+# these.
 _WINDOW = 50
 _PRIORITY: list[str] = [
-    # 1) NEW in round 12 — first driver row this round
-    "kn_trigram_lm_doc_scores",
-    "kn_trigram_perplexity_buckets",
-    # 1b) round-12 code-touched. pipeline_curate_corpus gained the
-    # cluster-sharded SemDeDup stage (stage 06, later stages
-    # renumbered). The three store compactors (compact_store_slices,
-    # compact_ivf_index, compact_pq_index) gained the lock_timeout
-    # pass-through (ADVICE r11) — default-identical behavior, but the
-    # invariant re-windows every registered row whose code path runs a
-    # touched function rather than arguing equivalence.
-    "pipeline_curate_corpus",
-    "knn_pq_compacted",
-    "knn_ivfadc_compacted",
-    "knn_sq_ann_stored",
-    "knn_ivfsq_ann_stored",
-    "incremental_semantic_dedup_chain",
-    "incremental_lsh_dedup_compacted",
-    # 2) the 25 remaining r7-latest rows (r7 row order) — the final
-    # freshness-debt paydown VERDICT r11 #1 prescribes.
+    # 1) NEW in round 13 — first driver row this round
+    "knn_ivf_filtered_stored",
+    # 1b) round-13 code-touched. The 17 kNN audit rows converted to the
+    # residue-sampled exact twin (shared knn_audit_sample +
+    # _KNN_EXACT_SAMPLED_CTE — VERDICT r12 #2); ivf_build_index /
+    # ivf_append_to_index gained meta_cols and ivf_query_stored gained
+    # where= (default-identical behavior, but the invariant re-windows
+    # every registered row whose code path runs a touched function
+    # rather than arguing equivalence — that adds knn_range_ivf_stored,
+    # ism_audit_query, incremental_semantic_dedup_chain);
+    # pipeline_curate_corpus gained the embeddings entry checkpoint
+    # (ADVICE r12; its oracle-SQL builder change is proven
+    # byte-identical and would not alone re-window).
+    "knn_lsh_ann",
     "knn_ivf_ann",
-    "cube_flag_status",
-    "pivot_status_revenue",
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "conditional_bucketing",
-    "events_by_type",
-    "events_json_props",
-    "events_tumbling_window",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "grouping_sets_revenue",
-    "salted_count_distinct_users",
-    "skew_salted_join_top_words",
-    "unpivot_lineitem_measures",
-    "tpch_q14_promo_revenue",
-    "tpch_q7_nation_volume",
-    "array_map_functions",
-    "tpch_q13_order_distribution",
-    "map_functions_events",
-    "array_agg_priorities",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    # 3) oldest r8 rows (r8 row order) fill the remaining 16; the r8
-    # tail rolls to round 13.
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_waiting_suppliers",
-    "semantic_dedup_cluster_sharded",
-    "ngram_jaccard_pairs_capped",
-    "decontaminate_corpus",
-    "pipeline_clean_corpus",
-    "doc_repetition_stats",
-    "asof_join_purchase_to_view",
-    "interval_join_event_pairs",
-    "hll_mergeable_daily_users",
-    "stats_aggregates",
-    "simhash_block_near_pairs",
-    "cohort_retention",
-    "simhash_near_pairs",
-    "funnel_conversion",
-    "events_sessionization",
+    "knn_ivf_ann_stored",
+    "knn_ivf_ann_appended",
+    "knn_pq_ann",
+    "knn_ivfpq_ann",
+    "knn_pq_ann_stored",
+    "knn_ivfpq_ann_stored",
+    "knn_ivfadc_compacted",
+    "knn_opq_ann_stored",
+    "knn_opq_ivfadc_stored",
+    "knn_pq_compacted",
+    "knn_ivfsq_ann_stored",
+    "knn_sq_ann_stored",
+    "knn_pq_ann_appended",
+    "knn_opq_ann",
+    "knn_sq_ann",
+    "knn_range_ivf_stored",
+    "ism_audit_query",
+    "incremental_semantic_dedup_chain",
+    "pipeline_curate_corpus",
+    # 2) ALL 28 remaining r8-latest rows (r8 row order) — the final r8
+    # freshness-debt paydown VERDICT r12 #1 prescribes; fits exactly.
+    "events_session_windows",
+    "tpch_q8_market_share",
+    "tpch_q22_dormant_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q18_large_volume_customer",
+    "dataset_split_assignment",
+    "pack_batches_by_budget",
+    "inverted_index_postings",
+    "stratified_sample_deterministic",
+    "intersect_all_nations",
+    "except_all_nations",
+    "window_value_functions",
+    "ansi_safe_functions",
+    "sql_interface_recursive_months",
+    "udaf_geomean_price",
+    "grouped_zscore_events",
+    "udtf_token_lengths",
+    "sql_interface_q6",
+    "sql_interface_segments",
+    "window_ntile_quartiles",
+    "window_time_range_sum",
+    "latest_event_per_user",
+    "daily_revenue_gapfill",
+    "events_variant_extract",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
 ]
 
 
