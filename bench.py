@@ -187,6 +187,10 @@ HEADLINE = [
     # byte store (FAISS OPQ8,IVF16,PQ8 persisted) — the last
     # quantizer-matrix cell, now driver-rowed
     "knn_opq_ivfadc_stored",
+    # round-13: predicate-filtered top-k from the stored IVF index
+    # (FAISS IDSelector mode; build + filtered query + sliced exact
+    # twin over the audit sample)
+    "knn_ivf_filtered_stored",
 ]
 
 # Median-of-3 rows (BENCH_r08's top-20 by cost, plus cdc_chunks — its
@@ -247,6 +251,10 @@ MEDIAN3 = {
     # r12: the composed store's isolated read path (VERDICT r11 ask #4 —
     # without it a read-path regression would hide inside build noise)
     "knn_opq_ivfadc_stored_ship",
+    # r13-new expensive row + its isolated read path: first-round m3
+    # per protocol (stored/ship rows are m3 per the r10 rule)
+    "knn_ivf_filtered_stored",
+    "knn_ivf_filtered_stored_ship",
     # streaming_quality_filter stays in the streaming best-of-3 tier
     # with the rest of the streaming family (scheduler-overhead
     # dominated), not MEDIAN3.
@@ -614,6 +622,36 @@ def main() -> int:
         )
     finally:
         _shutil.rmtree(sq_dir, ignore_errors=True)
+
+    # r13: the predicate-filtered query mode served from a
+    # metadata-carrying stored index (FAISS IDSelector shape) — build
+    # once outside the clock, time only the filtered answer; compare
+    # against knn_ivf_ann_stored_ship to read off what the label
+    # rowgroup filter costs on the same probed-cell read path.
+    filt_dir = _tempfile.mkdtemp(prefix="pmr_spark_bench_ivf_filt_")
+    try:
+        _sim.ivf_build_index(_emb(), filt_dir, meta_cols=("label",))
+
+        def run_filt_stored():
+            _sim.ivf_query_stored(
+                spark,
+                filt_dir,
+                query_ids=KNN_QUERY_IDS,
+                k=KNN_K,
+                nprobe=8,
+                where=_F.col("label") == 3,
+            ).write.format("noop").mode("overwrite").save()
+
+        timings["knn_ivf_filtered_stored_ship"] = _measure(
+            run_filt_stored, "knn_ivf_filtered_stored_ship"
+        )
+        print(
+            "# knn_ivf_filtered_stored_ship: "
+            f"{timings['knn_ivf_filtered_stored_ship']}s",
+            flush=True,
+        )
+    finally:
+        _shutil.rmtree(filt_dir, ignore_errors=True)
 
     # The composed IVF×SQ index (FAISS IndexIVFScalarQuantizer): both
     # pruning axes live — probed cells only (DPP) AND 1 byte/dim — with
