@@ -93,6 +93,23 @@ SEMDEDUP_BLOCK_ABOVE = 40
 SEMDEDUP_NUM_BLOCKS = 4
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions from a small driver thread pool
+    (guide §2.6 "overlap independent jobs"): Spark's scheduler happily
+    runs several jobs at once inside one application — actions are only
+    sequential because driver code calls them sequentially — so the
+    next signal stage's tasks back-fill executors freed by the current
+    stage's tail. Each thunk computes a frame that is byte-identical to
+    its sequential form (independent inputs, no shared mutable state);
+    only the wall-clock interleaving changes. Results in thunk order;
+    the first exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _stage_row(
     stage: str, prev: DataFrame, keep: DataFrame, id_col: str
 ) -> DataFrame:
@@ -126,7 +143,11 @@ def pipeline_curate_corpus(
     count, id_checksum = total packed tokens).
 
     Scale shape: each signal stage is the registered operator's plan
-    (single-pass projections / one model agg + broadcast join); keep
+    (single-pass projections / one model agg + broadcast join); the
+    seven corpus-wide signal frames materialize CONCURRENTLY from a
+    driver thread pool (r13, guide §2.6 — they are mutually
+    independent by the corpus-wide-signal design rule, so only the
+    wall-clock interleaving changes, never a value); keep
     sets are id-only frames that broadcast into the next stage's join;
     the only data-sized shuffles are the stage operators' own
     (shingle banding among stage-3 survivors, the per-shard packing
@@ -141,78 +162,154 @@ def pipeline_curate_corpus(
     embeddings = embeddings.localCheckpoint(eager=True)
     all_ids = docs.select(id_col)
 
-    # Stage 1 — Gopher A1.1 quality gate, on the operator's rounded
-    # (parity-tested) outputs so both engines compare identical values.
-    gq = ce.gopher_quality_stats(docs, text_col, id_col)
-    k1 = (
-        gq.filter(
-            F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
-            & F.col("mean_word_len").between(3.0, 10.0)
-            & (F.col("hash_ratio") <= 0.1)
-            & (F.col("ellipsis_ratio") <= 0.1)
-            & (F.col("frac_bullet_lines") <= 0.9)
-            & (F.col("frac_ellipsis_lines") <= 0.3)
-            & (F.col("frac_alpha_words") >= 0.8)
-            & (F.col("n_stopword_hits") >= STOPWORD_MIN)
+    # ---- Corpus-wide signal phase, CONCURRENT (r13; guide §2.6) ----
+    # Stages 1-4 plus the stage-6 centroid assignment, the stage-7
+    # decontamination flag and the stage-8 DSIR model all compute their
+    # signals CORPUS-WIDE by design (per-doc predicates / corpus-model
+    # artifacts, independent of which docs the other gates drop) — so
+    # the seven signal frames are mutually independent and materialize
+    # concurrently from a driver thread pool; the GATES below stay
+    # strictly sequential on the checkpointed id sets. Every keep set
+    # (and funnel row) is identical to the sequential form because a
+    # per-doc gate commutes with the survivor join:
+    # rep-pred ∩ k1 = (rep-pred over all docs) ∩ k1.
+
+    def _sig_quality():
+        # Stage-1 signal — Gopher A1.1 quality gate, on the operator's
+        # rounded (parity-tested) outputs so both engines compare
+        # identical values.
+        gq = ce.gopher_quality_stats(docs, text_col, id_col)
+        return (
+            gq.filter(
+                F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+                & F.col("mean_word_len").between(3.0, 10.0)
+                & (F.col("hash_ratio") <= 0.1)
+                & (F.col("ellipsis_ratio") <= 0.1)
+                & (F.col("frac_bullet_lines") <= 0.9)
+                & (F.col("frac_ellipsis_lines") <= 0.3)
+                & (F.col("frac_alpha_words") >= 0.8)
+                & (F.col("n_stopword_hits") >= STOPWORD_MIN)
+            )
+            .select(id_col)
+            .localCheckpoint(eager=True)
         )
-        .select(id_col)
-        .localCheckpoint(eager=True)
+
+    def _sig_repetition():
+        # Stage-2 signal — Gopher repetition gate predicate ids.
+        rep = ce.gopher_repetition_stats(docs, text_col, id_col)
+        return (
+            rep.filter(
+                (F.col("top2_frac") <= REP_TOP2)
+                & (F.col("top3_frac") <= REP_TOP3)
+                & (F.col("dup5_frac") <= REP_DUP5)
+                & (F.col("dup8_frac") <= REP_DUP8)
+                & (F.col("dup_line_frac") <= REP_DUP_LINE)
+            )
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig_perplexity():
+        # Stage-3 signal — CCNet head+middle perplexity band (terciles
+        # per-language over the WHOLE corpus — the CCNet shape: the LM
+        # and its bands are corpus artifacts, not survivor-set
+        # artifacts).
+        cb = ce.ccnet_perplexity_buckets(
+            docs, text_col=text_col, id_col=id_col
+        )
+        return (
+            cb.filter(F.col("bucket") != "tail")
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig_classifier():
+        # Stage-4 signal — TRAINED quality-classifier keep flag
+        # (VERDICT r10 #3; the CCNet/LLaMA shape: after the heuristic
+        # gates, filter with the trained model). The model trains
+        # CORPUS-WIDE like every other signal stage (the weights must
+        # not depend on upstream gate order), weights come back as
+        # driver-side loop scalars, and scoring is the shared
+        # _qc_score_select seam — one zero-shuffle projection with the
+        # weights as plan literals. The 8-round descent is the funnel's
+        # longest serial signal chain; running it in the pool lets the
+        # other signals' tasks back-fill between its rounds.
+        wq = _textstats.train_quality_classifier(
+            docs,
+            rounds=QC_ROUNDS,
+            lr=QC_LR,
+            text_col=text_col,
+            id_col=id_col,
+            return_weights=True,
+        )
+        return (
+            _textstats.apply_quality_classifier(
+                docs, wq, text_col=text_col, id_col=id_col
+            )
+            .filter(F.col("kept"))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig_decontaminate():
+        # Stage-7 signal — per-doc contamination flag vs the FIXED eval
+        # suite (input-set independent).
+        dec = _textstats.decontaminate_against_eval(
+            docs, eval_mod=DECON_EVAL_MOD, id_col=id_col
+        )
+        return (
+            dec.filter(~F.col("contaminated"))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig_dsir():
+        # Stage-8 signal — corpus-wide DSIR importance model scores.
+        return (
+            ce.dsir_importance_weights(docs, F.col("lang") == "en")
+            .select(id_col, "avg_log_weight")
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig_centroids():
+        # Stage-6 signal — corpus-wide kmeans ASSIGNMENT (clusters must
+        # not depend on upstream gate order).
+        return (
+            _similarity.nearest_centroid_assign(embeddings)
+            .select(F.col(vec_id_col), "cluster")
+            .localCheckpoint(eager=True)
+        )
+
+    (
+        k1,
+        s_rep,
+        s_ppl,
+        s_qc,
+        dec_keep,
+        dsir_sig,
+        assigned_all,
+    ) = _overlap(
+        _sig_quality,
+        _sig_repetition,
+        _sig_perplexity,
+        _sig_classifier,
+        _sig_decontaminate,
+        _sig_dsir,
+        _sig_centroids,
     )
 
-    # Stage 2 — Gopher repetition gate (corpus-wide signals, gate
-    # applied to stage-1 survivors).
-    rep = ce.gopher_repetition_stats(docs, text_col, id_col)
-    k2 = (
-        rep.join(k1, id_col)
-        .filter(
-            (F.col("top2_frac") <= REP_TOP2)
-            & (F.col("top3_frac") <= REP_TOP3)
-            & (F.col("dup5_frac") <= REP_DUP5)
-            & (F.col("dup8_frac") <= REP_DUP8)
-            & (F.col("dup_line_frac") <= REP_DUP_LINE)
-        )
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    # ---- Sequential gate phase: cheap id-set intersections over the
+    # checkpointed signal frames (order-meaningful funnel counts). ----
 
-    # Stage 3 — CCNet head+middle perplexity band (terciles are
-    # per-language over the WHOLE corpus — the CCNet shape: the LM and
-    # its bands are corpus artifacts, not survivor-set artifacts).
-    cb = ce.ccnet_perplexity_buckets(docs, text_col=text_col, id_col=id_col)
-    k3 = (
-        cb.filter(F.col("bucket") != "tail")
-        .join(k2, id_col)
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    # Stage 2 — Gopher repetition gate applied to stage-1 survivors.
+    k2 = s_rep.join(k1, id_col).select(id_col).localCheckpoint(eager=True)
 
-    # Stage 4 — TRAINED quality-classifier gate (VERDICT r10 #3; the
-    # CCNet/LLaMA shape: after the heuristic gates, filter with the
-    # trained model). The model trains CORPUS-WIDE like every other
-    # signal stage (a corpus artifact, not a survivor-set artifact:
-    # the weights must not depend on upstream gate order), weights
-    # come back as driver-side loop scalars
-    # (train_quality_classifier(return_weights=True)), and scoring is
-    # the shared _qc_score_select seam via apply_quality_classifier —
-    # one zero-shuffle projection with the weights as plan literals;
-    # the gate keeps the p >= 0.5 slice among stage-3 survivors.
-    wq = _textstats.train_quality_classifier(
-        docs,
-        rounds=QC_ROUNDS,
-        lr=QC_LR,
-        text_col=text_col,
-        id_col=id_col,
-        return_weights=True,
-    )
-    kq = (
-        _textstats.apply_quality_classifier(
-            docs, wq, text_col=text_col, id_col=id_col
-        )
-        .filter(F.col("kept"))
-        .join(k3, id_col)
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    # Stage 3 — CCNet band applied to stage-2 survivors.
+    k3 = s_ppl.join(k2, id_col).select(id_col).localCheckpoint(eager=True)
+
+    # Stage 4 — classifier gate keeps the p >= 0.5 slice among stage-3
+    # survivors.
+    kq = s_qc.join(k3, id_col).select(id_col).localCheckpoint(eager=True)
 
     # Stage 5 — MinHash-LSH near-dup dedup AMONG stage-4 survivors
     # (set-dependent: the canonical keeper is min-id per component of
@@ -244,11 +341,6 @@ def pipeline_curate_corpus(
     # who by construction have embeddings) — at sf0.1 embeddings
     # cover 2000 of 5000 doc ids, and a 100 TB corpus likewise embeds
     # a rolling subset.
-    assigned_all = (
-        _similarity.nearest_centroid_assign(embeddings)
-        .select(F.col(vec_id_col), "cluster")
-        .localCheckpoint(eager=True)
-    )
     surv_ids = k4.select(F.col(id_col).alias(vec_id_col))
     emb_surv = embeddings.join(F.broadcast(surv_ids), vec_id_col)
     assigned_surv = assigned_all.join(F.broadcast(surv_ids), vec_id_col)
@@ -270,26 +362,18 @@ def pipeline_curate_corpus(
 
     # Stage 7 — benchmark decontamination: eval docs themselves
     # (id % 50 == 0) leave the corpus, and any training doc with >=20%
-    # shingle overlap against the eval suite is dropped. The flag is
-    # per-doc vs a FIXED eval set, so it's input-set independent.
-    dec = _textstats.decontaminate_against_eval(
-        docs, eval_mod=DECON_EVAL_MOD, id_col=id_col
-    )
-    k5 = (
-        dec.filter(~F.col("contaminated"))
-        .join(ksem, id_col)
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    # shingle overlap against the eval suite is dropped (the dec_keep
+    # signal from the concurrent phase).
+    k5 = dec_keep.join(ksem, id_col).select(id_col).localCheckpoint(eager=True)
 
     # Stage 8 — DSIR-weighted deterministic sampling: the corpus-wide
-    # importance model scores every survivor; the 4-dp-rounded
-    # avg_log_weight is shifted positive and integerized (exact in both
-    # engines: the product of a 4-dp-rounded double and 10^4 is within
-    # 1 ulp of an integer, never at a .5 boundary), then Madow's
-    # systematic PPS draws exactly sample_n with all-int64 brackets.
-    dsir = ce.dsir_importance_weights(docs, F.col("lang") == "en")
-    s5w = dsir.join(k5, id_col).select(
+    # importance model (dsir_sig, concurrent phase) scores every
+    # survivor; the 4-dp-rounded avg_log_weight is shifted positive and
+    # integerized (exact in both engines: the product of a 4-dp-rounded
+    # double and 10^4 is within 1 ulp of an integer, never at a .5
+    # boundary), then Madow's systematic PPS draws exactly sample_n
+    # with all-int64 brackets.
+    s5w = dsir_sig.join(k5, id_col).select(
         F.col(id_col),
         F.round((F.col("avg_log_weight") + F.lit(DSIR_SHIFT)) * 10000, 0)
         .cast("long")

@@ -619,14 +619,16 @@ def ism_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     idx = _scratch_dir("ism_index", sf_dir)
     _similarity.ivf_build_index(kept, idx, num_centroids=_ISM_CELLS)
-    pruned = _similarity.incremental_semantic_dedup(
+    # r13 optimization (guide §1.2): ONE scored pass serves both tiers —
+    # the exact admission plus the pruned tier's cross ids derived from
+    # the same match list by probe position. Output bit-identical to the
+    # former two-run form (pytest-pinned); the pruned run's dead work
+    # (its within-batch Gram + components, never consumed here) is gone.
+    exact, p_cross = _similarity.incremental_semantic_dedup_with_audit(
         spark, batch, idx, threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_NPROBE
-    ).localCheckpoint(eager=True)
-    exact = _similarity.incremental_semantic_dedup(
-        spark, batch, idx, threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_CELLS
-    ).localCheckpoint(eager=True)
+    )
+    exact = exact.localCheckpoint(eager=True)
     shutil.rmtree(idx, ignore_errors=True)
-    p_cross = pruned.filter(F.col("status") == "cross_dup").select("vec_id")
     e_cross = exact.filter(F.col("status") == "cross_dup").select("vec_id")
     audits = (
         p_cross.join(e_cross, "vec_id", "left_anti")
@@ -807,17 +809,20 @@ def q_incremental_semantic_dedup_chain(
     e_crosses: list[DataFrame] = []
     for k in range(1, _ISM_CHAIN_BATCHES + 1):
         batch = emb.filter(F.col("vec_id") % mod == 2 * k - 1)
-        pruned = _similarity.incremental_semantic_dedup(
+        # r13 optimization (guide §1.2): ONE scored pass per batch serves
+        # both tiers — the exact admission plus the pruned tier's cross
+        # ids derived from the same match list by probe position
+        # (similarity.incremental_semantic_dedup_with_audit). Output
+        # bit-identical to the former two-run form (pytest-pinned); the
+        # pruned run's dead work (its within-batch Gram + component
+        # fixpoint, never consumed by this row) is gone, as is its
+        # nprobe/16 share of the cross scoring and two eager
+        # checkpoints per batch.
+        exact, p_cross = _similarity.incremental_semantic_dedup_with_audit(
             spark, batch, idx,
             threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_NPROBE,
-        ).localCheckpoint(eager=True)
-        exact = _similarity.incremental_semantic_dedup(
-            spark, batch, idx,
-            threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_CELLS,
-        ).localCheckpoint(eager=True)
-        p_cross = pruned.filter(F.col("status") == "cross_dup").select(
-            "vec_id"
         )
+        exact = exact.localCheckpoint(eager=True)
         e_cross = exact.filter(F.col("status") == "cross_dup").select(
             "vec_id"
         )

@@ -2804,7 +2804,9 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: centroid recomputation is a posexplode + partial agg
     on (cluster, dim) — dims x k rows out, corpus combines map-side;
     both assignment passes broadcast k centroid rows and never shuffle
-    the corpus before the per-vector argmax window."""
+    the corpus before the per-vector argmax, itself a map-side-combining
+    hash aggregate (r13 — N partial rows reach its exchange, no N·k
+    sort)."""
     emb = load_table(spark, sf_dir, "embeddings")
     from parallel_map_reduce_spark.functions.vectors import cosine, to_double_array
 
@@ -2835,11 +2837,28 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand",
         F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cand").asc()
-    )
-    best = rescored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    # r13 optimization (guide §2.3): per-vector argmax as a map-side-
+    # combining hash aggregate instead of a row_number window — the
+    # N·k rescored rows partial-aggregate to N before the exchange and
+    # the sort disappears. max((sim, -cand)) picks largest sim, then
+    # smallest cand on ties — the old orderBy(sim DESC, cand ASC)
+    # winner, bit-identically.
+    best = (
+        rescored.groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),  # constant within a group
+            F.first("old_cluster").alias("old_cluster"),
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cand")).alias("_negc"))
+            ).alias("_m"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "old_cluster",
+            (-F.col("_m._negc")).alias("cand"),
+            F.col("_m.sim").alias("sim"),
+        )
     )
     return best.groupBy(F.col("cand").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_assigned"),

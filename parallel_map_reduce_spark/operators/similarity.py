@@ -928,6 +928,124 @@ def incremental_semantic_dedup(
     )
 
 
+def incremental_semantic_dedup_with_audit(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass form of the audit PAIR the registered admission rows run
+    (r13 optimization; guide §1.2 "don't compute things you throw
+    away"): the EXACT admission (nprobe = every cell) plus the PRUNED
+    tier's cross_dup id set at ``nprobe``, derived from a SINGLE scored
+    cross join instead of two full incremental_semantic_dedup
+    executions.
+
+    Equivalence (pytest-pinned against the two-run form): probe
+    selection is the same stable argsort both tiers share (_ivf_udfs),
+    and scoring inside probed cells is exact — so a batch vector's
+    pruned cross matches are precisely its exact matches whose stored
+    cell sits in the first ``nprobe`` entries of its probe list.
+    Tagging each scored match with its probe POSITION (posexplode of
+    the full-order probe list) and filtering ``pos < nprobe``
+    reproduces the pruned tier's flag set without re-scoring anything.
+    The rest of the pruned admission — its within-batch Gram and
+    component pass — was dead work in the audit rows: only the pruned
+    CROSS ids are ever consumed (subset/recall booleans), never its
+    batch_dup/kept statuses.
+
+    Returns ``(exact_statuses, pruned_cross_ids)``: the first is
+    bit-identical to ``incremental_semantic_dedup(..., nprobe =
+    num_cells)``, the second to the nprobe-tier run's
+    ``status = 'cross_dup'`` id set. Cost vs the two-run form: the
+    pruned pass's scoring (nprobe/num_cells of a batch×store cross
+    join), its blocked Gram, its component fixpoint and two eager
+    checkpoints all disappear; what remains is ONE batch×store scoring
+    pass plus two cheap aggregates over the checkpointed match list.
+    ``pruned_cross_ids`` stays answerable after the store is deleted
+    (it derives from the checkpointed matches, not the invfile)."""
+    from parallel_map_reduce_spark.operators.curation_extras import (
+        recover_store_slices,
+    )
+    from parallel_map_reduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    recover_store_slices(index_path)
+    crows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    ncells = len(crows)
+    _, probe_all = _ivf_udfs(np.array([r["center"] for r in crows]), ncells)
+    b = batch.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
+    ).localCheckpoint(eager=True)
+    probes = b.select(F.col(id_col).alias("id_n"), "qvec").select(
+        "id_n",
+        "qvec",
+        F.posexplode(probe_all(F.col("qvec"))).alias("pos", "cid"),
+    )
+    inv = spark.read.parquet(f"{index_path}/invfile")
+    matches = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.round(cosine(F.col("qvec"), F.col("vec")), 6) >= threshold)
+        .select("id_n", F.col(id_col).alias("_kid"), "pos")
+        .localCheckpoint(eager=True)
+    )
+    cross_dup = matches.groupBy("id_n").agg(F.min("_kid").alias("dup_of"))
+    pruned_cross = (
+        matches.filter(F.col("pos") < nprobe)
+        .select(F.col("id_n").alias(id_col))
+        .distinct()
+    )
+
+    survivors = b.join(
+        cross_dup.withColumnRenamed("id_n", id_col), id_col, "left_anti"
+    )
+    intra = embedding_all_pairs_blocked(
+        survivors,
+        threshold=threshold,
+        num_blocks=num_blocks,
+        id_col=id_col,
+        vec_col="qvec",
+    )
+    comps = connected_components(intra.select("id_a", "id_b"))
+
+    statuses = (
+        b.select(id_col)
+        .join(cross_dup.withColumnRenamed("id_n", id_col), id_col, "left")
+        .join(
+            comps.select(
+                F.col("u").cast("long").alias(id_col),
+                F.col("label").alias("_comp"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("cross_dup"))
+            .when(
+                F.col("_comp").isNotNull() & (F.col("_comp") != F.col(id_col)),
+                F.lit("batch_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(
+                F.col("dup_of"),
+                F.when(F.col("_comp") != F.col(id_col), F.col("_comp")),
+                F.lit(-1).cast("long"),
+            ).alias("dup_of"),
+        )
+    )
+    return statuses, pruned_cross
+
+
 def compact_pq_index(
     spark,
     path: str,
@@ -1051,9 +1169,11 @@ def nearest_centroid_assign(
 
     Scale posture: the seed set is k rows (k = #labels) and BROADCASTS;
     the corpus is scored in place — zero corpus shuffles until the
-    per-vector argmax, which is a window over vec_id (re-partition by
-    vec_id only).  At 100 TB with large k, swap the crossJoin for the
-    hyperplane-LSH bucketer above to prune candidate centroids.
+    per-vector argmax, which is a map-side-combining hash aggregate
+    (max over a (sim, -cluster) struct; r13 — only N partial rows reach
+    the exchange, no N·k sort).  At 100 TB with large k, swap the
+    crossJoin for the hyperplane-LSH bucketer above to prune candidate
+    centroids.
     """
     base = embeddings.select(
         F.col(id_col), F.col(label_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -1068,13 +1188,28 @@ def nearest_centroid_assign(
         "cluster",
         F.round(cosine(F.col("vec"), F.col("seed_vec")), 6).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("cluster").asc()
-    )
+    # Per-vector argmax as a hash AGGREGATE, not a row_number window
+    # (r13 optimization, guide §2.3 "aggregate before you shuffle"): the
+    # window form shuffles and sorts all N·k scored rows; max(struct)
+    # partial-aggregates map-side so only N rows reach the exchange and
+    # the sort disappears. Ordering is identical: struct comparison is
+    # field-by-field, so max((sim, -cluster)) picks the largest sim and,
+    # on ties, the smallest cluster — exactly the old
+    # orderBy(sim DESC, cluster ASC) row_number()=1 winner.
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        scored.groupBy(id_col)
+        .agg(
+            F.first(label_col).alias(label_col),  # constant within a group
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cluster")).alias("_negc"))
+            ).alias("_m"),
+        )
+        .select(
+            id_col,
+            label_col,
+            (-F.col("_m._negc")).alias("cluster"),
+            F.col("_m.sim").alias("sim"),
+        )
     )
 
 
@@ -1104,10 +1239,12 @@ def kmeans_train_converged(
     data). Scale shape per round: centroid recompute is a posexplode
     partial agg on (cluster, dim) — k·dim rows out, corpus combines
     map-side; the k refined centroids broadcast back and the corpus is
-    rescored in place — the corpus never shuffles except the per-vector
-    argmax window. This is also the coarse-quantizer training story for
-    the IVF family run to convergence instead of ivf_train's fixed
-    iteration count.
+    rescored in place; the per-vector argmax is a map-side-combining
+    hash aggregate (max over a (sim, -cand) struct), so only N partial
+    rows reach its exchange, and the loop state carries the vector so
+    no round re-joins the corpus (r13). This is also the
+    coarse-quantizer training story for the IVF family run to
+    convergence instead of ivf_train's fixed iteration count.
 
     With ``return_assignment=True`` the return value is instead the
     FINAL (id, cluster) assignment after the converged (or capped)
@@ -1129,16 +1266,31 @@ def kmeans_train_converged(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    assigned = (
-        nearest_centroid_assign(embeddings, id_col, vec_col, label_col)
-        .select(id_col, "cluster")
-        .localCheckpoint(eager=True)
-    )
+    # r13 optimization, two plan changes with bit-identical per-round
+    # values (oracle-gated at all three sfs):
+    #  * the VECTOR rides in the checkpointed loop state, so each round
+    #    reads (id, vec, cluster) from the previous checkpoint instead
+    #    of re-joining the corpus against the assignment (guide §2.4:
+    #    remove shuffles outright — at cluster scale that join is a
+    #    corpus-wide SMJ shuffle per round; the checkpoint is the same
+    #    disk-backed corpus-sized state either way);
+    #  * the per-vector argmax is a hash AGGREGATE (max over a
+    #    (sim, -cand) struct: field-by-field comparison picks largest
+    #    sim, then smallest cand on ties — exactly the old
+    #    orderBy(sim DESC, cand ASC) row_number()=1 winner), not a
+    #    row_number window: partial aggregation map-side combines the
+    #    N·k rescored rows to N before the exchange and drops the sort
+    #    (guide §2.3 "aggregate before you shuffle").
+    cur = base.join(
+        nearest_centroid_assign(embeddings, id_col, vec_col, label_col).select(
+            id_col, "cluster"
+        ),
+        id_col,
+    ).localCheckpoint(eager=True)
     rows: list[tuple] = []
     for rnd in range(1, max_rounds + 1):
-        withvec = base.join(assigned, id_col)
         cent = (
-            withvec.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            cur.select("cluster", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("val"), 6).alias("cval"))
             .groupBy("cluster")
@@ -1150,23 +1302,28 @@ def kmeans_train_converged(
             )
             .select(F.col("cluster").alias("cand"), "cvec")
         )
-        rescored = withvec.crossJoin(F.broadcast(cent)).select(
+        rescored = cur.crossJoin(F.broadcast(cent)).select(
             id_col,
+            "vec",
             F.col("cluster").alias("old_cluster"),
             "cand",
             F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("sim").desc(), F.col("cand").asc()
-        )
         best = (
-            rescored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            rescored.groupBy(id_col)
+            .agg(
+                F.first("vec").alias("vec"),  # constant within a group
+                F.first("old_cluster").alias("old_cluster"),
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("cand")).alias("_negc"))
+                ).alias("_m"),
+            )
             .select(
                 F.col(id_col),
-                F.col("cand").alias("cluster"),
+                "vec",
+                (-F.col("_m._negc")).alias("cluster"),
                 "old_cluster",
-                "sim",
+                F.col("_m.sim").alias("sim"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1186,11 +1343,11 @@ def kmeans_train_converged(
                 stat["n_moved"] == 0,
             )
         )
-        assigned = best.select(id_col, "cluster")
+        cur = best.select(id_col, "vec", "cluster")
         if stat["n_moved"] == 0:
             break
     if return_assignment:
-        return assigned
+        return cur.select(id_col, "cluster")
     return spark.createDataFrame(
         rows,
         "round int, n_moved long, avg_sim double, n_clusters long, "

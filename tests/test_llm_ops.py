@@ -1960,6 +1960,57 @@ def test_incremental_semantic_dedup_statuses_and_lifecycle(spark, tmp_path):
     assert (row["status"], row["dup_of"]) == ("cross_dup", 103)
 
 
+def test_incremental_semantic_dedup_with_audit_equivalence(spark, tmp_path):
+    """r13 optimization pin: the ONE-PASS audit helper
+    (incremental_semantic_dedup_with_audit) returns exactly what the
+    former two-run form computed — exact statuses equal to
+    incremental_semantic_dedup at nprobe = num_cells row-for-row, and
+    pruned cross ids equal to the nprobe-tier run's cross_dup id set —
+    across nprobe settings including the registered rows' pruned shape."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = np.eye(4, 16) * 8.0
+    kept_rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(0, 0.05, 16)])
+        for i in range(40)
+    ]
+    kept = spark.createDataFrame(
+        kept_rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "sem_idx_audit")
+    similarity.ivf_build_index(kept, idx, num_centroids=4, max_iter=8)
+    batch_rows = [
+        (100, kept_rows[5][1]),
+        (101, [float(x) for x in np.array(kept_rows[7][1]) * 1.001]),
+        (102, [float(x) for x in np.array([7.0] * 16)]),
+        (103, [float(x) for x in np.array([7.0] * 16) * 1.0005]),
+        (104, [float(x) for x in -centers[2] + 0.1]),
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    exact_ref = sorted(
+        tuple(r)
+        for r in similarity.incremental_semantic_dedup(
+            spark, batch, idx, threshold=0.95, nprobe=4
+        ).collect()
+    )
+    for nprobe in (1, 2, 4):
+        statuses, p_ids = similarity.incremental_semantic_dedup_with_audit(
+            spark, batch, idx, threshold=0.95, nprobe=nprobe
+        )
+        assert sorted(tuple(r) for r in statuses.collect()) == exact_ref
+        pruned_ref = {
+            r["vec_id"]
+            for r in similarity.incremental_semantic_dedup(
+                spark, batch, idx, threshold=0.95, nprobe=nprobe
+            ).collect()
+            if r["status"] == "cross_dup"
+        }
+        assert {r["vec_id"] for r in p_ids.collect()} == pruned_ref
+
+
 def test_ism_audit_matches_duckdb_oracle(spark, sf_dir):
     """Pre-registration parity gate for the staged round-10 query: run
     ism_audit_query and its DuckDB oracle exactly as the driver's
