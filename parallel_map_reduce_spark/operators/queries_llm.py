@@ -2837,27 +2837,28 @@ def q_embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand",
         F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
     )
-    # r13 optimization (guide §2.3): per-vector argmax as a map-side-
-    # combining hash aggregate instead of a row_number window — the
-    # N·k rescored rows partial-aggregate to N before the exchange and
-    # the sort disappears. max((sim, -cand)) picks largest sim, then
-    # smallest cand on ties — the old orderBy(sim DESC, cand ASC)
-    # winner, bit-identically.
+    # r13 optimization (guide §2.3): per-vector argmax as a true map-
+    # side-combining HashAggregate instead of a row_number window — the
+    # N·k rescored rows partial-aggregate to N before the exchange with
+    # no sort anywhere in the plan. The (sim DESC, cand ASC) ordering is
+    # packed into one non-negative long (similarity._argmax_enc) whose
+    # max() is the old orderBy(sim DESC, cand ASC) row_number()=1
+    # winner bit-identically; label/old_cluster ride in the grouping key
+    # (constant per vec_id) because a first() over a non-mutable buffer
+    # type would demote the aggregate to SortAggregate.
     best = (
-        rescored.groupBy("vec_id")
+        rescored.groupBy("vec_id", "label", "old_cluster")
         .agg(
-            F.first("label").alias("label"),  # constant within a group
-            F.first("old_cluster").alias("old_cluster"),
             F.max(
-                F.struct(F.col("sim"), (-F.col("cand")).alias("_negc"))
-            ).alias("_m"),
+                similarity._argmax_enc(F.col("sim"), F.col("cand"))
+            ).alias("_enc")
         )
         .select(
             "vec_id",
             "label",
             "old_cluster",
-            (-F.col("_m._negc")).alias("cand"),
-            F.col("_m.sim").alias("sim"),
+            similarity._argmax_cand(F.col("_enc")).alias("cand"),
+            similarity._argmax_sim(F.col("_enc")).alias("sim"),
         )
     )
     return best.groupBy(F.col("cand").alias("cluster")).agg(

@@ -1148,6 +1148,47 @@ def ivf_range_query_stored(
     )
 
 
+_ARGMAX_M = 1 << 31  # cand ids must sit in [0, 2^31) — cluster labels
+
+
+def _argmax_enc(sim_col, cand_col):
+    """Pack (sim DESC, cand ASC) into ONE non-negative LongType value
+    whose plain ``max()`` is the argmax winner, so the per-key argmax
+    runs as a genuine HashAggregate (single mutable long buffer — a
+    struct-valued ``max(struct(sim, -cand))`` buffer is not a mutable
+    aggregation type, which silently demotes the whole aggregate to
+    SortAggregate and re-introduces the N·k per-partition sort the
+    rewrite was meant to remove).
+
+    ``sim_col`` must already be ``round(cosine, 6)`` — a 6-dp double in
+    [-1, 1] — so ``round(sim*1e6)`` recovers the exact decimal integer d
+    (|error| < 1e-9 ulp noise, far from the .5 boundary).  Encoding:
+    ``(d + 1e6) * 2^31 + (2^31 - 1 - cand)`` — larger sim wins; equal
+    sim → smaller cand wins; total fits in 62 bits.  ``_argmax_sim`` /
+    ``_argmax_cand`` invert it exactly: d/1e6 as an IEEE division is the
+    correctly-rounded nearest double of the decimal, which is the same
+    double ``F.round(x, 6)`` produced (both pick nearest-double of
+    d·1e-6)."""
+    sim_i = F.round(sim_col * 1000000, 0).cast("long")
+    return (sim_i + F.lit(1000000)) * F.lit(_ARGMAX_M) + (
+        F.lit(_ARGMAX_M - 1) - cand_col.cast("long")
+    )
+
+
+def _argmax_sim(enc_col):
+    """Decode the winning 6-dp sim double from ``_argmax_enc``."""
+    return (F.shiftrightunsigned(enc_col, 31) - F.lit(1000000)).cast(
+        "double"
+    ) / F.lit(1000000.0)
+
+
+def _argmax_cand(enc_col):
+    """Decode the winning cand id (IntegerType) from ``_argmax_enc``."""
+    return (
+        F.lit(_ARGMAX_M - 1) - enc_col.bitwiseAND(F.lit(_ARGMAX_M - 1))
+    ).cast("int")
+
+
 def nearest_centroid_assign(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1169,11 +1210,11 @@ def nearest_centroid_assign(
 
     Scale posture: the seed set is k rows (k = #labels) and BROADCASTS;
     the corpus is scored in place — zero corpus shuffles until the
-    per-vector argmax, which is a map-side-combining hash aggregate
-    (max over a (sim, -cluster) struct; r13 — only N partial rows reach
-    the exchange, no N·k sort).  At 100 TB with large k, swap the
-    crossJoin for the hyperplane-LSH bucketer above to prune candidate
-    centroids.
+    per-vector argmax, which is a map-side-combining HashAggregate over
+    a single packed long (_argmax_enc; r13 — only N partial rows reach
+    the exchange, no N·k sort anywhere in the plan).  At 100 TB with
+    large k, swap the crossJoin for the hyperplane-LSH bucketer above
+    to prune candidate centroids.
     """
     base = embeddings.select(
         F.col(id_col), F.col(label_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -1188,27 +1229,27 @@ def nearest_centroid_assign(
         "cluster",
         F.round(cosine(F.col("vec"), F.col("seed_vec")), 6).alias("sim"),
     )
-    # Per-vector argmax as a hash AGGREGATE, not a row_number window
+    # Per-vector argmax as a true HashAggregate, not a row_number window
     # (r13 optimization, guide §2.3 "aggregate before you shuffle"): the
-    # window form shuffles and sorts all N·k scored rows; max(struct)
-    # partial-aggregates map-side so only N rows reach the exchange and
-    # the sort disappears. Ordering is identical: struct comparison is
-    # field-by-field, so max((sim, -cluster)) picks the largest sim and,
-    # on ties, the smallest cluster — exactly the old
-    # orderBy(sim DESC, cluster ASC) row_number()=1 winner.
+    # window form sorts all N·k scored rows per partition (Sort +
+    # WindowGroupLimit) before its exchange; max() over the packed long
+    # (_argmax_enc: larger sim wins, ties to the smaller cluster —
+    # exactly the old orderBy(sim DESC, cluster ASC) row_number()=1
+    # winner) partial-aggregates map-side with a single mutable long
+    # buffer, so only N rows reach the exchange and NO sort appears
+    # anywhere.  label_col rides in the grouping key (constant per id)
+    # rather than as first(): a string-buffered first() would demote the
+    # aggregate to SortAggregate.
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, label_col)
         .agg(
-            F.first(label_col).alias(label_col),  # constant within a group
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cluster")).alias("_negc"))
-            ).alias("_m"),
+            F.max(_argmax_enc(F.col("sim"), F.col("cluster"))).alias("_enc")
         )
         .select(
             id_col,
             label_col,
-            (-F.col("_m._negc")).alias("cluster"),
-            F.col("_m.sim").alias("sim"),
+            _argmax_cand(F.col("_enc")).alias("cluster"),
+            _argmax_sim(F.col("_enc")).alias("sim"),
         )
     )
 
@@ -1240,9 +1281,10 @@ def kmeans_train_converged(
     partial agg on (cluster, dim) — k·dim rows out, corpus combines
     map-side; the k refined centroids broadcast back and the corpus is
     rescored in place; the per-vector argmax is a map-side-combining
-    hash aggregate (max over a (sim, -cand) struct), so only N partial
-    rows reach its exchange, and the loop state carries the vector so
-    no round re-joins the corpus (r13). This is also the
+    HashAggregate over a packed long (_argmax_enc), so only N partial
+    rows reach its exchange with no sort anywhere, and the loop state
+    carries the vector so no round re-joins the corpus (r13). This is
+    also the
     coarse-quantizer training story for the IVF family run to
     convergence instead of ivf_train's fixed iteration count.
 
@@ -1274,13 +1316,16 @@ def kmeans_train_converged(
     #    remove shuffles outright — at cluster scale that join is a
     #    corpus-wide SMJ shuffle per round; the checkpoint is the same
     #    disk-backed corpus-sized state either way);
-    #  * the per-vector argmax is a hash AGGREGATE (max over a
-    #    (sim, -cand) struct: field-by-field comparison picks largest
-    #    sim, then smallest cand on ties — exactly the old
-    #    orderBy(sim DESC, cand ASC) row_number()=1 winner), not a
-    #    row_number window: partial aggregation map-side combines the
-    #    N·k rescored rows to N before the exchange and drops the sort
-    #    (guide §2.3 "aggregate before you shuffle").
+    #  * the per-vector argmax is a true HashAggregate (max over the
+    #    packed long of _argmax_enc: largest sim wins, ties to the
+    #    smallest cand — exactly the old orderBy(sim DESC, cand ASC)
+    #    row_number()=1 winner), not a row_number window: partial
+    #    aggregation map-side combines the N·k rescored rows to N
+    #    before the exchange with no sort anywhere (guide §2.3
+    #    "aggregate before you shuffle"; a struct-valued max() buffer
+    #    would demote to SortAggregate, so the ordering key is packed
+    #    into one mutable long and vec/old_cluster ride in the grouping
+    #    key, constant per id).
     cur = base.join(
         nearest_centroid_assign(embeddings, id_col, vec_col, label_col).select(
             id_col, "cluster"
@@ -1310,20 +1355,18 @@ def kmeans_train_converged(
             F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
         )
         best = (
-            rescored.groupBy(id_col)
+            rescored.groupBy(id_col, "vec", "old_cluster")
             .agg(
-                F.first("vec").alias("vec"),  # constant within a group
-                F.first("old_cluster").alias("old_cluster"),
-                F.max(
-                    F.struct(F.col("sim"), (-F.col("cand")).alias("_negc"))
-                ).alias("_m"),
+                F.max(_argmax_enc(F.col("sim"), F.col("cand"))).alias(
+                    "_enc"
+                )
             )
             .select(
                 F.col(id_col),
                 "vec",
-                (-F.col("_m._negc")).alias("cluster"),
+                _argmax_cand(F.col("_enc")).alias("cluster"),
                 "old_cluster",
-                F.col("_m.sim").alias("sim"),
+                _argmax_sim(F.col("_enc")).alias("sim"),
             )
             .localCheckpoint(eager=True)
         )

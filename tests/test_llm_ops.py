@@ -932,6 +932,56 @@ def test_nearest_centroid_assign_seeds_self(spark, embeddings):
     assigned.unpersist()
 
 
+def test_argmax_enc_matches_window_form(spark):
+    """r13 optimization pin: the packed-long argmax (_argmax_enc /
+    _argmax_sim / _argmax_cand) reproduces the row_number window's
+    (sim DESC, cand ASC) winner bit-identically — including the decoded
+    6-dp sim double and exact-tie cand breaks — on adversarial rounded
+    sims spanning the full [-1, 1] range."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    rows = []
+    # Adversarial sims: boundary values, exact ties within a key, and
+    # random 6-dp decimals (matching the round(cosine, 6) contract).
+    for key in range(200):
+        k = rng.randint(2, 8)
+        sims = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(k)]
+        if key % 3 == 0:  # force an exact tie on the max sim
+            sims[rng.randrange(k)] = max(sims)
+        if key % 7 == 0:
+            sims[0] = rng.choice([-1.0, 1.0, 0.0, 0.999999, -0.999999])
+        cands = rng.sample(range(0, 5000), k)
+        rows += [(key, c, s) for c, s in zip(cands, sims)]
+    df = spark.createDataFrame(rows, "key long, cand int, sim double")
+
+    w = Window.partitionBy("key").orderBy(
+        F.col("sim").desc(), F.col("cand").asc()
+    )
+    ref = {
+        r["key"]: (r["cand"], r["sim"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    got_df = (
+        df.groupBy("key")
+        .agg(F.max(similarity._argmax_enc(F.col("sim"), F.col("cand"))).alias("_e"))
+        .select(
+            "key",
+            similarity._argmax_cand(F.col("_e")).alias("cand"),
+            similarity._argmax_sim(F.col("_e")).alias("sim"),
+        )
+    )
+    got = {r["key"]: (r["cand"], r["sim"]) for r in got_df.collect()}
+    assert got == ref  # exact equality, doubles included
+    # schema contract: cand decodes to int, sim to double
+    types = dict(got_df.dtypes)
+    assert types["cand"] == "int" and types["sim"] == "double"
+
+
 def test_blocked_gram_sparse_and_negative_ids(spark):
     """Regression: (a) an id space that leaves a low block residue class
     empty while a higher one is populated must not crash the kernel
