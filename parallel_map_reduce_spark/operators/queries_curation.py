@@ -1374,9 +1374,14 @@ def q_knn_ivf_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivf_index", sf_dir)
     _similarity.ivf_build_index(emb, idx)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.ivf_query_stored(
             spark, idx, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1501,9 +1506,14 @@ def q_knn_ivf_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _scratch_dir("ivf_index_app", sf_dir)
     _similarity.ivf_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     _similarity.ivf_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.ivf_query_stored(
             spark, idx, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1531,14 +1541,20 @@ def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies mean recall@k >= 0.5 in-query (measured 0.84-0.96
     across sf0.001-0.1)."""
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
-    approx = (
-        _similarity.pq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
     )
+    # r13: the self-contained approximate tier is lazy too — no scratch
+    # store to outlive, single consumer (the build/train actions inside
+    # pq_ann still run eagerly before the frame returns).
+    approx = _similarity.pq_ann(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).select("query_id", "neighbor_id")
     return _knn_audit_frame(exact, approx)
 
 
@@ -1556,14 +1572,18 @@ def q_knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, same as knn_ivf_ann's; clustered real embeddings prune far
     better)."""
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
-    approx = (
-        _similarity.ivfpq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
     )
+    # r13: lazy approximate tier (no scratch store, single consumer).
+    approx = _similarity.ivfpq_ann(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).select("query_id", "neighbor_id")
     return _knn_audit_frame(exact, approx)
 
 
@@ -1584,9 +1604,14 @@ def q_knn_pq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("pq_index", sf_dir)
     _similarity.pq_build_index(emb, idx)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.pq_query_stored(
             spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1616,9 +1641,14 @@ def q_knn_ivfpq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivfpq_index", sf_dir)
     _similarity.ivfpq_build_index(emb, idx)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.ivfpq_query_stored(
             spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1701,9 +1731,14 @@ def q_knn_ivfadc_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     diff = (
         pre.exceptAll(post)
         .agg(F.count(F.lit(1)).alias("n_d1"))
@@ -1743,9 +1778,14 @@ def q_knn_opq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("opq_index", sf_dir)
     _similarity.pq_build_index(emb, idx, rotation=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.pq_query_stored(
             spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1779,9 +1819,14 @@ def q_knn_opq_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("opq_ivfadc_index", sf_dir)
     _similarity.ivfpq_build_index(emb, idx, rotation=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.ivfpq_query_stored(
             spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -1846,9 +1891,14 @@ def q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     diff = (
         pre.exceptAll(post)
         .agg(F.count(F.lit(1)).alias("n_d1"))
@@ -1928,9 +1978,14 @@ def q_knn_ivfsq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     diff = (
         pre.exceptAll(post)
         .agg(F.count(F.lit(1)).alias("n_d1"))
@@ -2010,9 +2065,14 @@ def q_knn_sq_ann_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # BEFORE rmtree: reads the store lazily
     )
     shutil.rmtree(idx, ignore_errors=True)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     diff = (
         pre.exceptAll(post)
         .agg(F.count(F.lit(1)).alias("n_d1"))
@@ -2051,9 +2111,14 @@ def q_knn_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _scratch_dir("pq_index_app", sf_dir)
     _similarity.pq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     _similarity.pq_append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.pq_query_stored(
             spark, idx, emb, query_ids=KNN_QUERY_IDS, k=KNN_K
@@ -2082,14 +2147,18 @@ def q_knn_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force twin's deterministic aggregates and recall_ok
     certifies mean recall@k >= 0.5 in-query."""
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
-    approx = (
-        _similarity.opq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
     )
+    # r13: lazy approximate tier (no scratch store, single consumer).
+    approx = _similarity.opq_ann(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).select("query_id", "neighbor_id")
     return _knn_audit_frame(exact, approx)
 
 
@@ -2107,14 +2176,18 @@ def q_knn_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8-bit error is far below neighbor gaps: measured 1.0 across
     sf0.001-0.1)."""
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
+    # r13: the exact twin stays LAZY — it reads only the primary table
+    # (never the scratch store), and _knn_audit_frame consumes it once,
+    # so folding it into the final action removes one sequential job and
+    # lets its stages run concurrently with the approximate side's
+    # (guide §2.6 — the scheduler interleaves independent subtrees).
     exact = _similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
-    approx = (
-        _similarity.sq_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
     )
+    # r13: lazy approximate tier (no scratch store, single consumer).
+    approx = _similarity.sq_ann(
+        emb, query_ids=KNN_QUERY_IDS, k=KNN_K
+    ).select("query_id", "neighbor_id")
     return _knn_audit_frame(exact, approx)
 
 
@@ -2198,12 +2271,15 @@ def q_knn_ivf_filtered_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
     idx = _scratch_dir("ivf_filtered_index", sf_dir)
     _similarity.ivf_build_index(emb, idx, meta_cols=("label",))
+    # r13: lazy exact twin — same rationale as the knn_bruteforce sites
+    # (single consumer, reads only the primary table, overlaps with the
+    # approximate side inside the one final action).
     exact = _similarity.knn_bruteforce_filtered(
         emb,
         F.col("label") == _KNN_FILTER_LABEL,
         query_ids=KNN_QUERY_IDS,
         k=KNN_K,
-    ).localCheckpoint(eager=True)
+    )
     approx = (
         _similarity.ivf_query_stored(
             spark,

@@ -473,9 +473,12 @@ def _knn_recall_audit(spark: SparkSession, sf_dir: str, method: str) -> DataFram
     recall 0.64-0.74 across sf0.001-0.1; clustered real-world
     embeddings do far better at the same settings)."""
     emb = knn_audit_sample(load_table(spark, sf_dir, "embeddings"))
+    # r13: the exact twin stays LAZY — single consumer (the audit agg
+    # below), no scratch store, so it folds into the final action and
+    # its stages overlap the approximate side's (guide §2.6).
     exact = similarity.knn_bruteforce(
         emb, query_ids=KNN_QUERY_IDS, k=KNN_K
-    ).localCheckpoint(eager=True)
+    )
     if method == "lsh":
         approx = similarity.lsh_bucket_ann(emb, query_ids=KNN_QUERY_IDS, k=KNN_K)
     elif method == "ivf":
@@ -1954,20 +1957,39 @@ def q_semantic_dedup_keep_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id space). Labels can't cross the offset boundary (components
     # only connect via edges), so the split results are identical to
     # two separate runs at half the loop cost.
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     emb = load_table(spark, sf_dir, "embeddings")
-    exact_edges = (
-        similarity.embedding_all_pairs_blocked(emb, threshold=EMBED_DUP_THRESHOLD)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    ann_edges = (
-        similarity.embedding_near_dup_lsh(
-            emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
+
+    # r13 (guide §2.6): the two edge builders are independent — their
+    # eager checkpoints previously ran back to back; materializing them
+    # from two driver threads lets the LSH banding jobs back-fill the
+    # Gram kernel's executor tail. Values are unchanged (each frame is
+    # the same plan it was; only the submission overlaps).
+    def _exact_edges():
+        return (
+            similarity.embedding_all_pairs_blocked(
+                emb, threshold=EMBED_DUP_THRESHOLD
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+
+    def _ann_edges():
+        return (
+            similarity.embedding_near_dup_lsh(
+                emb, threshold=EMBED_DUP_THRESHOLD, num_tables=16
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_exact_edges)
+        f_ann = pool.submit(_ann_edges)
+        exact_edges = f_exact.result()
+        ann_edges = f_ann.result()
     off = F.lit(1 << 40)
     joint = exact_edges.unionByName(
         ann_edges.select(

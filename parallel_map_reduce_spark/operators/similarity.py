@@ -16,6 +16,10 @@ cannot reorder the top-k; ties break on vec_id.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -411,7 +415,125 @@ def embedding_all_pairs_blocked(
 DEFAULT_TRAIN_CAP = 16384
 
 
-def _cap_train_set(train: DataFrame, key, cap: int | None) -> DataFrame:
+def _read_store_rows(path: str) -> list[dict]:
+    """Driver-side read of a DRIVER-SIZED store artifact (the centroid
+    table, a PQ/SQ model row — KB-scale sidecars every stored reader,
+    appender and admission pass opens). Reading these through
+    ``spark.read.parquet(...).collect()`` costs a full Spark job (scan
+    task + scheduler round trip) per open; pyarrow reads the same
+    parquet files in ~1 ms with no job (r13 optimization, guide §1.2:
+    the cheapest pass is the one that never becomes a job — the data
+    never leaves the driver either way, since every caller collect()ed
+    it immediately). Returns plain dicts exposing the same keys the Row
+    path did. Reads any mix of Spark-written (part-*.parquet) and
+    driver-written files; file-name order is deterministic but every
+    caller either sorts or reads a single row."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    tables = [papq.read_table(f) for f in files]
+    table = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    return table.to_pylist()
+
+
+def _write_store_rows(path: str, rows: list[dict], schema) -> None:
+    """Driver-side overwrite of a DRIVER-SIZED store artifact as one
+    parquet file — the write twin of _read_store_rows (r13, guide
+    §1.2): the k-row centroid table / 1-row model previously went
+    driver → JVM → coalesce(1) task → commit protocol, a full Spark
+    write job to persist a few KB that the driver already holds.
+    Store layout and reader-visible schema are unchanged (int32 ids,
+    float64 arrays — the exact types the Spark writer produced), so
+    spark.read.parquet on these dirs still works where tests use it.
+    ``schema`` is a pyarrow schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    papq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(path, "part-00000.parquet"),
+    )
+
+
+def _centroids_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("cid", pa.int32()), ("center", pa.list_(pa.float64()))]
+    )
+
+
+def _write_centroids(path: str, centers: list[list[float]]) -> None:
+    _write_store_rows(
+        f"{path}/centroids",
+        [{"cid": i, "center": c} for i, c in enumerate(centers)],
+        _centroids_pa_schema(),
+    )
+
+
+def _read_centroid_matrix(path: str) -> np.ndarray:
+    """The (k, dim) centroid matrix from a stored index, cid-ordered —
+    the shape every reader/appender rebuilt from its sorted collect."""
+    crows = sorted(_read_store_rows(f"{path}/centroids"), key=lambda r: r["cid"])
+    return np.array([r["center"] for r in crows])
+
+
+def _pq_model_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("m", pa.int32()),
+            ("codes", pa.int32()),
+            ("sub_dim", pa.int32()),
+            ("codebook", pa.list_(pa.float64())),
+            ("rotation", pa.list_(pa.float64())),
+        ]
+    )
+
+
+def _write_pq_model(
+    path: str, m: int, codes: int, cb: np.ndarray, rot: np.ndarray | None
+) -> None:
+    _write_store_rows(
+        f"{path}/model",
+        [
+            {
+                "m": int(m),
+                "codes": int(codes),
+                "sub_dim": int(cb.shape[2]),
+                "codebook": [float(x) for x in cb.ravel()],
+                "rotation": (
+                    [float(x) for x in rot.ravel()] if rot is not None else None
+                ),
+            }
+        ],
+        _pq_model_pa_schema(),
+    )
+
+
+def _read_pq_model(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """(codebook, rotation-or-None) from a stored PQ/OPQ/IVFADC model
+    row — the reshape every reader/appender performed on its collect."""
+    mrow = _read_store_rows(f"{path}/model")[0]
+    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
+    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    rot = (
+        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
+        if mrow["rotation"] is not None
+        else None
+    )
+    return cb, rot
+
+
+def _cap_train_set(
+    train: DataFrame, key, cap: int | None, n: int | None = None
+) -> DataFrame:
     """FAISS-style bounded quantizer training set: when the corpus
     holds more than ``cap`` rows, keep a deterministic content-hash
     residue sample of ~cap rows (xxhash64(key) % ceil(n/cap) == 0)
@@ -422,11 +544,14 @@ def _cap_train_set(train: DataFrame, key, cap: int | None) -> DataFrame:
     capped trainers are bit-identical to the uncapped ones there); at
     100 TB the fit touches O(cap·dim·iters) instead of O(corpus) —
     FAISS's equivalent knob is max_points_per_centroid (it subsamples
-    past k·256 points). The pre-filter count is one partial-agg scan.
+    past k·256 points). The pre-filter count is one partial-agg scan;
+    callers that already hold the row count pass ``n`` to skip it
+    (r13: the composite builders count once and share — guide §1.2).
     """
     if cap is None:
         return train
-    n = train.count()
+    if n is None:
+        n = train.count()
     if n <= cap:
         return train
     d = -(-n // cap)
@@ -671,10 +796,9 @@ def ivf_build_index(
     )
     model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cid int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # r13: the k-row centroid table is driver-sized — persist it
+    # driver-side instead of paying a Spark write job (guide §1.2).
+    _write_centroids(path, centers)
     nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
     base.withColumn("cid", nearest_cid(F.col("vec"))).write.mode(
         "overwrite"
@@ -730,12 +854,7 @@ def ivf_query_stored(
     # A crashed invfile compaction may have renamed the live inverted
     # file away; recovery (one cheap listing) restores it before open.
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cmat = np.array([r["center"] for r in crows])
-    _, probe_cids = _ivf_udfs(cmat, nprobe)
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(path), nprobe)
     inv = spark.read.parquet(f"{path}/invfile")
     probes = (
         inv.filter(F.col(id_col).isin(query_ids))
@@ -864,11 +983,7 @@ def incremental_semantic_dedup(
     )
 
     recover_store_slices(index_path)
-    crows = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(index_path), nprobe)
     b = batch.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
     ).localCheckpoint(eager=True)
@@ -976,12 +1091,9 @@ def incremental_semantic_dedup_with_audit(
     )
 
     recover_store_slices(index_path)
-    crows = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    ncells = len(crows)
-    _, probe_all = _ivf_udfs(np.array([r["center"] for r in crows]), ncells)
+    cmat = _read_centroid_matrix(index_path)
+    ncells = cmat.shape[0]
+    _, probe_all = _ivf_udfs(cmat, ncells)
     b = batch.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
     ).localCheckpoint(eager=True)
@@ -1122,12 +1234,7 @@ def ivf_range_query_stored(
     )
 
     recover_store_slices(path)  # see ivf_query_stored
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cmat = np.array([r["center"] for r in crows])
-    _, probe_cids = _ivf_udfs(cmat, nprobe)
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(path), nprobe)
     inv = spark.read.parquet(f"{path}/invfile")
     probes = (
         inv.filter(F.col(id_col).isin(query_ids))
@@ -1427,17 +1534,12 @@ def ivf_append_to_index(
     unrecoverable both-exist state. Appends must not run concurrently
     with a compaction (quiesced-store contract).
     """
-    spark = embeddings.sparkSession
     from parallel_map_reduce_spark.operators.curation_extras import (
         recover_store_slices,
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    nearest_cid, _ = _ivf_udfs(_read_centroid_matrix(path), 1)
     base = embeddings.select(
         F.col(id_col),
         to_double_array(F.col(vec_col)).alias("vec"),
@@ -1478,25 +1580,13 @@ def ivfpq_append_to_index(
     — same both-exist hazard); appends must not run concurrently with
     a compaction (quiesced-store contract).
     """
-    spark = embeddings.sparkSession
     from parallel_map_reduce_spark.operators.curation_extras import (
         recover_store_slices,
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
-    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
-    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
-    rot = (
-        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
-        if mrow["rotation"] is not None
-        else None
-    )
+    nearest_cid, _ = _ivf_udfs(_read_centroid_matrix(path), 1)
+    cb, rot = _read_pq_model(path)
     encode, _ = _pq_udfs(cb, rotation=rot)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -1517,6 +1607,8 @@ def pq_train_codebooks(
     shared: bool = False,
     vec_col: str = "embedding",
     train_cap: int | None = DEFAULT_TRAIN_CAP,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks (Jégou et al. 2011): split
     the vector space into ``m`` contiguous subspaces and k-means each
@@ -1544,8 +1636,18 @@ def pq_train_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.select(to_double_array(F.col(vec_col)).alias("vec"))
-    base = _cap_train_set(base, F.col("vec"), train_cap)
-    dim = len(base.first()["vec"])
+    # r13 (guide §1.2): ONE probe job yields both the row count the cap
+    # filter needs and the dimensionality — previously a count() plus a
+    # separate first() over the capped frame. Callers that already know
+    # them (the composite builders) pass both and no job runs at all.
+    if dim is None or (n is None and train_cap is not None):
+        probe = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("vec")).alias("d"),
+        ).first()
+        n = probe["n"] if n is None else n
+        dim = probe["d"] if dim is None else dim
+    base = _cap_train_set(base, F.col("vec"), train_cap, n=n)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
@@ -1994,55 +2096,64 @@ def ivfpq_build_index(
     contract error, raised loudly instead of silently ignored).
     """
     shared_codebook = _resolve_shared_codebook(shared_codebook, rotation)
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    train = _cap_train_set(base, F.col("vec"), train_cap).select(
-        array_to_vector(F.col("vec")).alias("features")
-    )
-    model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "cid int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # r13 (guide §1.2 + §2.6): one probe job replaces the two
+    # independent count() passes the coarse and PQ cap filters each
+    # paid, and the two quantizer fits — independent given the train
+    # sample — run CONCURRENTLY from driver threads so the second
+    # fit's jobs back-fill the executor tail of the first (the
+    # thread-pool overlap recipe; Spark's scheduler interleaves the
+    # two fits' jobs). Each fit sees exactly the frame it saw before
+    # (same derivation, same partitioning), so both trained models are
+    # bit-identical to the sequential form's.
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("vec")).alias("d")
+    ).first()
 
-    if rotation:
-        rot, cb = opq_train(
-            embeddings,
-            m=m,
-            codes=codes,
-            n_iter=n_iter,
-            vec_col=vec_col,
-            train_cap=train_cap,
-        )
-    else:
-        rot = None
-        cb = pq_train_codebooks(
+    def _fit_coarse():
+        train = _cap_train_set(
+            base, F.col("vec"), train_cap, n=probe["n"]
+        ).select(array_to_vector(F.col("vec")).alias("features"))
+        model = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _fit_codes():
+        if rotation:
+            return opq_train(
+                embeddings,
+                m=m,
+                codes=codes,
+                n_iter=n_iter,
+                vec_col=vec_col,
+                train_cap=train_cap,
+                n=probe["n"],
+            )
+        return None, pq_train_codebooks(
             embeddings,
             m=m,
             codes=codes,
             shared=shared_codebook,
             vec_col=vec_col,
             train_cap=train_cap,
+            n=probe["n"],
+            dim=probe["d"],
         )
-    spark.createDataFrame(
-        [
-            (
-                int(m),
-                int(codes),
-                int(cb.shape[2]),
-                [float(x) for x in cb.ravel()],
-                [float(x) for x in rot.ravel()] if rot is not None else None,
-            )
-        ],
-        "m int, codes int, sub_dim int, codebook array<double>, "
-        "rotation array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(_fit_coarse)
+        f_codes = pool.submit(_fit_codes)
+        centers = f_coarse.result()
+        rot, cb = f_codes.result()
+    # Driver-sized artifacts persist driver-side — no Spark write jobs.
+    _write_centroids(path, centers)
+    _write_pq_model(path, m, codes, cb, rot)
 
     nearest_cid, _ = _ivf_udfs(np.array(centers), 1)
     encode, _ = _pq_udfs(cb, rotation=rot)
@@ -2087,24 +2198,11 @@ def ivfpq_query_stored(
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cmat = np.array([r["center"] for r in crows])
-    _, probe_cids = _ivf_udfs(cmat, nprobe)
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
-    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
-    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(path), nprobe)
     # Honor a rotation if the persisted model carries one (the shared
-    # model schema reserves the column; ivfpq_build_index writes NULL
-    # today, but scoring MUST match whatever the codes were encoded
-    # with — same branch as pq_query_stored).
-    rot = (
-        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
-        if mrow["rotation"] is not None
-        else None
-    )
+    # model schema reserves the column — scoring MUST match whatever
+    # the codes were encoded with, same branch as pq_query_stored).
+    cb, rot = _read_pq_model(path)
     _, adc_partials = _pq_udfs(cb, rotation=rot)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -2179,6 +2277,7 @@ def opq_train(
     kmeans_iters: int = 10,
     vec_col: str = "embedding",
     train_cap: int | None = DEFAULT_TRAIN_CAP,
+    n: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train OPQ (Ge et al., CVPR 2013 — the non-parametric form,
     FAISS's OPQMatrix): a learned ORTHOGONAL rotation R that
@@ -2202,7 +2301,7 @@ def opq_train(
     batch matmul (see _pq_udfs).
     """
     base = embeddings.select(to_double_array(F.col(vec_col)).alias("vec"))
-    sample = _cap_train_set(base, F.col("vec"), train_cap).collect()
+    sample = _cap_train_set(base, F.col("vec"), train_cap, n=n).collect()
     x = np.array([r["vec"] for r in sample])
     n, dim = x.shape
     if dim % m != 0:
@@ -2335,21 +2434,9 @@ def pq_build_index(
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    spark = embeddings.sparkSession
-    model = [
-        (
-            int(m),
-            int(codes),
-            int(cb.shape[2]),
-            [float(x) for x in cb.ravel()],
-            [float(x) for x in rot.ravel()] if rot is not None else None,
-        )
-    ]
-    spark.createDataFrame(
-        model,
-        "m int, codes int, sub_dim int, codebook array<double>, "
-        "rotation array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    # r13: the 1-row model is driver-sized — persist it driver-side
+    # instead of paying a Spark write job (guide §1.2).
+    _write_pq_model(path, m, codes, cb, rot)
     base.select(
         id_col, _vec_norm().alias("norm"), encode(F.col("vec")).alias("code")
     ).write.mode("overwrite").parquet(f"{path}/codes")
@@ -2380,20 +2467,12 @@ def pq_append_to_index(
     rename would create an unrecoverable both-exist state); appends
     must not run concurrently with a compaction.
     """
-    spark = embeddings.sparkSession
     from parallel_map_reduce_spark.operators.curation_extras import (
         recover_store_slices,
     )
 
     recover_store_slices(path)
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
-    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
-    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
-    rot = (
-        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
-        if mrow["rotation"] is not None
-        else None
-    )
+    cb, rot = _read_pq_model(path)
     encode, _ = _pq_udfs(cb, rotation=rot)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -2437,14 +2516,7 @@ def pq_query_stored(
     )
 
     recover_store_slices(path)
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
-    m, codes, sub_dim = mrow["m"], mrow["codes"], mrow["sub_dim"]
-    cb = np.array(mrow["codebook"]).reshape(m, codes, sub_dim)
-    rot = (
-        np.array(mrow["rotation"]).reshape(m * sub_dim, m * sub_dim)
-        if mrow["rotation"] is not None
-        else None
-    )
+    cb, rot = _read_pq_model(path)
     _, adc_partials = _pq_udfs(cb, rotation=rot)
     enc = spark.read.parquet(f"{path}/codes")
     base = embeddings.select(
@@ -2645,17 +2717,9 @@ def sq_build_index(
     vmin, vmax = sq_train(embeddings, vec_col=vec_col)
     scale = (vmax - vmin) / 255.0
     scale[scale == 0.0] = 1.0
-    spark = embeddings.sparkSession
-    model = [
-        (
-            int(len(vmin)),
-            [float(v) for v in vmin],
-            [float(s) for s in scale],
-        )
-    ]
-    spark.createDataFrame(
-        model, "dim int, vmin array<double>, scale array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    # r13: the 1-row model is driver-sized — persist it driver-side
+    # instead of paying a Spark write job (guide §1.2).
+    _write_sq_model(path, vmin, scale)
     # literal arrays built from the EXACT doubles the model row stores
     # (not re-derived arithmetic — bit-stability is what pins
     # sq_query_stored == sq_ann)
@@ -2668,11 +2732,34 @@ def sq_build_index(
     ).write.mode("overwrite").parquet(f"{path}/codes")
 
 
+def _write_sq_model(path: str, vmin: np.ndarray, scale: np.ndarray) -> None:
+    import pyarrow as pa
+
+    _write_store_rows(
+        f"{path}/model",
+        [
+            {
+                "dim": int(len(vmin)),
+                "vmin": [float(v) for v in vmin],
+                "scale": [float(s) for s in scale],
+            }
+        ],
+        pa.schema(
+            [
+                ("dim", pa.int32()),
+                ("vmin", pa.list_(pa.float64())),
+                ("scale", pa.list_(pa.float64())),
+            ]
+        ),
+    )
+
+
 def _sq_stored_model_arrays(spark, path: str):
     """(mins, scales) literal-array columns rebuilt from the persisted
     model row — scales are stored ALREADY guarded, so they ride back
-    into the plan verbatim."""
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    into the plan verbatim. (``spark`` kept for signature stability;
+    the driver-sized row reads driver-side since r13.)"""
+    mrow = _read_store_rows(f"{path}/model")[0]
     mins = F.array(*[F.lit(float(v)) for v in mrow["vmin"]])
     scales = F.array(*[F.lit(float(s)) for s in mrow["scale"]])
     return mins, scales
@@ -2789,29 +2876,36 @@ def ivfsq_build_index(
     Arrow crossing for the cid, JVM zip_with for the bytes); the
     partitionBy(cid) write is the only data movement.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
     )
-    train = _cap_train_set(base, F.col("vec"), train_cap).select(
-        array_to_vector(F.col("vec")).alias("features")
-    )
-    kmodel = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
-    centers = [list(map(float, c)) for c in kmodel.clusterCenters()]
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cid int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    vmin, vmax = sq_train(embeddings, vec_col=vec_col)
+    # r13 (guide §2.6): the coarse k-means and the SQ (min, max) train
+    # are independent — run them concurrently from driver threads so
+    # the SQ agg's tasks back-fill the fit's executor tail. Each sees
+    # exactly the frame it saw sequentially, so both models are
+    # bit-identical; the KB-sized artifacts persist driver-side.
+    def _fit_coarse():
+        train = _cap_train_set(base, F.col("vec"), train_cap).select(
+            array_to_vector(F.col("vec")).alias("features")
+        )
+        kmodel = KMeans(k=num_centroids, seed=42, maxIter=max_iter).fit(train)
+        return [list(map(float, c)) for c in kmodel.clusterCenters()]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(_fit_coarse)
+        f_sq = pool.submit(sq_train, embeddings, vec_col=vec_col)
+        centers = f_coarse.result()
+        vmin, vmax = f_sq.result()
     scale = (vmax - vmin) / 255.0
     scale[scale == 0.0] = 1.0
-    spark.createDataFrame(
-        [(int(len(vmin)), [float(v) for v in vmin], [float(s) for s in scale])],
-        "dim int, vmin array<double>, scale array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    _write_centroids(path, centers)
+    _write_sq_model(path, vmin, scale)
 
     mins = F.array(*[F.lit(float(v)) for v in vmin])
     scales = F.array(*[F.lit(float(s)) for s in scale])
@@ -2843,11 +2937,7 @@ def ivfsq_append_to_index(
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    nearest_cid, _ = _ivf_udfs(np.array([r["center"] for r in crows]), 1)
+    nearest_cid, _ = _ivf_udfs(_read_centroid_matrix(path), 1)
     mins, scales = _sq_stored_model_arrays(spark, path)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -2897,11 +2987,7 @@ def ivfsq_query_stored(
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(path), nprobe)
     mins, scales = _sq_stored_model_arrays(spark, path)
     base = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("vec")
@@ -3070,12 +3156,8 @@ def ivfsq_range_query_stored(
     )
 
     recover_store_slices(path)
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    _, probe_cids = _ivf_udfs(np.array([r["center"] for r in crows]), nprobe)
-    mrow = spark.read.parquet(f"{path}/model").collect()[0]
+    _, probe_cids = _ivf_udfs(_read_centroid_matrix(path), nprobe)
+    mrow = _read_store_rows(f"{path}/model")[0]
     mins = F.array(*[F.lit(float(v)) for v in mrow["vmin"]])
     scales = F.array(*[F.lit(float(s)) for s in mrow["scale"]])
     c_bound = float(
