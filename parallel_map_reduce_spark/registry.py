@@ -75,8 +75,25 @@ _PRIORITY: list[str] = [
     "ism_audit_query",
     "incremental_semantic_dedup_chain",
     "pipeline_curate_corpus",
-    # 2) ALL 28 remaining r8-latest rows (r8 row order) — the final r8
-    # freshness-debt paydown VERDICT r12 #1 prescribes; fits exactly.
+    # 1c) touched by the round-13 OPTIMIZATION commits that landed after
+    # the rotation above (sidecar driver-side IO, argmax hash-aggregate
+    # rewrite, audit single-pass, thread-pool overlap): every registered
+    # row whose code path runs a changed function takes a slot — the
+    # same no-equivalence-arguments invariant as 1b. Mapped by AST
+    # transitive-caller scan of the af331e9..HEAD function-body diff
+    # (docstrings stripped); displaces the youngest 9 r8 fills
+    # one-for-one (journaled in PLANS.md, deferred to the r14 queue).
+    "kmeans_train_converged",
+    "embedding_cluster_assign",
+    "embedding_kmeans_refine",
+    "topic_mixture_resample",
+    "semantic_dedup_keep_corpus_ann",
+    "semantic_dedup_cluster_sharded",
+    "semantic_dedup_sharded_miss_audit",
+    "semantic_dedup_sharded_miss_audit_sampled",
+    "knn_range_ivfsq_stored",
+    # 2) remaining r8-latest rows (r8 row order) — the r8 freshness-debt
+    # paydown VERDICT r12 #1 prescribes, minus the fills displaced by 1c.
     "events_session_windows",
     "tpch_q8_market_share",
     "tpch_q22_dormant_customers",
@@ -96,15 +113,6 @@ _PRIORITY: list[str] = [
     "udtf_token_lengths",
     "sql_interface_q6",
     "sql_interface_segments",
-    "window_ntile_quartiles",
-    "window_time_range_sum",
-    "latest_event_per_user",
-    "daily_revenue_gapfill",
-    "events_variant_extract",
-    "dedup_exact_groups",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
 ]
 
 
