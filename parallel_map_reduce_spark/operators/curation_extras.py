@@ -224,6 +224,23 @@ def stratified_exact_n(
 # persistent signature store; only the band join's pair filter changes.
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions from a small driver thread pool
+    (guide §2.6 "overlap independent jobs" — curation_pipeline._overlap's
+    twin for this module): actions are only sequential because driver
+    code calls them sequentially, so two independent eager
+    materializations can share the cluster instead of each paying full
+    scheduler latency back to back. Each thunk computes a frame
+    byte-identical to its sequential form (independent inputs, no shared
+    mutable state); only the wall-clock interleaving changes. Results in
+    thunk order; the first exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def incremental_lsh_dedup(
     new_docs: DataFrame,
     kept_docs: DataFrame,
@@ -234,7 +251,9 @@ def incremental_lsh_dedup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     kept_signatures: DataFrame | None = None,
-) -> DataFrame:
+    new_signatures: DataFrame | None = None,
+    return_new_signatures: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Dedup a new batch against an already-deduped kept corpus.
 
     Returns one row per new document: (id, status, dup_of) where status
@@ -260,6 +279,14 @@ def incremental_lsh_dedup(
     for docs appearing in some candidate pair (semi-join first), and
     the within-batch component formation runs on batch-sized edges via
     pointer-jumped min-label propagation.
+
+    ``new_signatures`` (r13 optimization, guide §1.2): the caller may
+    pass the batch's already-materialized signature table (MinHash is
+    deterministic, so the values are identical to recomputation) — it is
+    semi-joined to ``new_docs`` ids so a superset table is safe.
+    ``return_new_signatures=True`` returns ``(result, sig_new)`` so a
+    multi-phase caller (retract_and_readmit) can append the admit
+    phase's signatures to its store without a recompute pass.
     """
     from parallel_map_reduce_spark.operators.dedup import (
         band_buckets,
@@ -268,36 +295,54 @@ def incremental_lsh_dedup(
         shingle_sets,
     )
 
-    sig_new = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
-    sig_kept = (
-        kept_signatures
-        if kept_signatures is not None
-        else minhash_signatures(
-            kept_docs, text_col, id_col, num_hashes, shingle_n
+    if new_signatures is not None:
+        sig_new = new_signatures.join(
+            new_docs.select(id_col), id_col, "left_semi"
+        )
+        sig_kept = (
+            kept_signatures
+            if kept_signatures is not None
+            else minhash_signatures(
+                kept_docs, text_col, id_col, num_hashes, shingle_n
+            ).localCheckpoint(eager=True)
+        )
+    elif kept_signatures is None:
+        # Both signature tables need computing and are independent —
+        # overlap their materializations (guide §2.6).
+        sig_new, sig_kept = _overlap(
+            lambda: minhash_signatures(
+                new_docs, text_col, id_col, num_hashes, shingle_n
+            ).localCheckpoint(eager=True),
+            lambda: minhash_signatures(
+                kept_docs, text_col, id_col, num_hashes, shingle_n
+            ).localCheckpoint(eager=True),
+        )
+    else:
+        sig_new = minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_n
         ).localCheckpoint(eager=True)
-    )
+        sig_kept = kept_signatures
     bk_new = band_buckets(sig_new, id_col, num_hashes, bands)
     bk_kept = band_buckets(sig_kept, id_col, num_hashes, bands)
     join_keys = ["band"] + [f"k{r}" for r in range(num_hashes // bands)]
 
-    # Cross candidates: new × kept only — never kept × kept.
-    cross_cand = (
-        bk_new.join(
-            bk_kept.withColumnRenamed(id_col, "_kid"), join_keys
-        )
-        .select(F.col(id_col).alias("id_n"), F.col("_kid").alias("id_k"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # Within-batch candidates: new × new, ordered.
-    intra_cand = (
-        bk_new.join(bk_new.withColumnRenamed(id_col, "_rid"), join_keys)
-        .filter(F.col(id_col) < F.col("_rid"))
-        .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Cross candidates (new × kept only — never kept × kept) and
+    # within-batch candidates (new × new, ordered) share no inputs
+    # beyond the materialized signature tables — overlap them too.
+    cross_cand, intra_cand = _overlap(
+        lambda: (
+            bk_new.join(bk_kept.withColumnRenamed(id_col, "_kid"), join_keys)
+            .select(F.col(id_col).alias("id_n"), F.col("_kid").alias("id_k"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        ),
+        lambda: (
+            bk_new.join(bk_new.withColumnRenamed(id_col, "_rid"), join_keys)
+            .filter(F.col(id_col) < F.col("_rid"))
+            .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        ),
     )
 
     # Shingle sets only for docs that appear in some candidate pair.
@@ -344,7 +389,7 @@ def incremental_lsh_dedup(
     comps = connected_components(intra_live, "id_a", "id_b")
 
     base = new_docs.select(F.col(id_col))
-    return (
+    result = (
         base.join(cross_dup.withColumnRenamed("id_n", id_col), id_col, "left")
         .join(
             comps.select(
@@ -374,6 +419,9 @@ def incremental_lsh_dedup(
             ).alias("dup_of"),
         )
     )
+    if return_new_signatures:
+        return result, sig_new
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -727,12 +775,27 @@ def bpe_train_merges(
     — the map-side-combined wordcount shuffle — so every round runs
     over |vocab| rows, not corpus tokens (the classic trick that makes
     BPE training tractable on TB corpora). Per round: one pair explode
-    + partial agg, one 1-row TakeOrdered to the driver, one
-    codegen'd replace over the vocab.
+    + partial agg, one 1-row TakeOrdered to the driver — ONE job. The
+    merge rewrites stay LAZY (r13, guide §1.2): round k's job replays
+    k-1 codegen'd replaces over the ONCE-checkpointed base vocab
+    instead of paying a second materialization job per round — the
+    replay is the same single vocab scan the materialization itself
+    would do, plus string ops, and the plan depth is bounded by
+    ``rounds`` (a small constant), so the job count halves at any
+    corpus size.
     """
+    return _bpe_train_merges_df(docs, rounds, text_col)
+
+
+def _bpe_train_merges_list(
+    docs: DataFrame, rounds: int, text_col: str
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge list (the loop control rows — O(rounds) scalars,
+    not data). Split out so bpe_encode_stats can consume the list
+    directly instead of round-tripping it through createDataFrame +
+    collect (r13)."""
     from parallel_map_reduce_spark.operators.wordcount import wordcount
 
-    spark = docs.sparkSession
     wc = wordcount(docs, text_col)
     sym0 = F.concat(
         F.lit(" "),
@@ -770,6 +833,8 @@ def bpe_train_merges(
             break
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
         merges.append((rnd, lhs, rhs, cnt))
+        # lazy rewrite — no per-round materialization job (see
+        # bpe_train_merges docstring, r13)
         cur = cur.select(
             F.replace(
                 F.col("sym"),
@@ -777,9 +842,16 @@ def bpe_train_merges(
                 F.lit(f" {lhs}{rhs} "),
             ).alias("sym"),
             "cnt",
-        ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_round int, lhs string, rhs string, pair_count long"
+        )
+    return merges
+
+
+def _bpe_train_merges_df(
+    docs: DataFrame, rounds: int, text_col: str
+) -> DataFrame:
+    return docs.sparkSession.createDataFrame(
+        _bpe_train_merges_list(docs, rounds, text_col),
+        "merge_round int, lhs string, rhs string, pair_count long",
     )
 
 
@@ -1833,18 +1905,20 @@ def bpe_encode_stats(
     from parallel_map_reduce_spark.operators.dedup import tokens_df
     from parallel_map_reduce_spark.operators.wordcount import wordcount
 
-    merges = bpe_train_merges(docs, rounds, text_col).collect()
+    # consume the trainer's driver-side list directly — no
+    # createDataFrame + collect round trip (r13)
+    merges = _bpe_train_merges_list(docs, rounds, text_col)
     vocab = wordcount(docs, text_col).select("word")
     sym = F.concat(
         F.lit(" "),
         F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
         F.lit(" "),
     )
-    for r in merges:
+    for _rnd, lhs, rhs, _cnt in merges:
         sym = F.replace(
             sym,
-            F.lit(f" {r['lhs']}  {r['rhs']} "),
-            F.lit(f" {r['lhs']}{r['rhs']} "),
+            F.lit(f" {lhs}  {rhs} "),
+            F.lit(f" {lhs}{rhs} "),
         )
     syms = F.split(F.trim(sym), "  ")
     enc = vocab.select(
@@ -2806,13 +2880,12 @@ def retract_and_readmit(
     * phase ``readmit``: every admit-phase ``cross_dup`` whose
       canonical (dup_of) was retracted re-runs standard admission
       against the post-retraction kept state — surviving original
-      kept docs plus the batch's survivors, whose signatures are
-      appended to the store by recomputing them from the survivor
-      texts (MinHash is deterministic, so the values are identical to
-      the admit phase's; the extra pass costs one signature scan over
-      the batch survivors — threading the admit phase's signatures
-      out of incremental_lsh_dedup would save it at the price of
-      widening that shared interface).
+      kept docs plus the batch's survivors, whose signature rows are
+      the admit phase's own, threaded out of incremental_lsh_dedup
+      via ``return_new_signatures`` and filtered to survivors
+      (MinHash is deterministic, so these are the exact rows a
+      recompute over the survivor texts would produce, without the
+      extra signature pass — r13).
 
     Scale shape: the re-admission batch is only the affected docs
     (O(#suppressed-by-retracted)), the store update is one anti-join +
@@ -2824,18 +2897,36 @@ def retract_and_readmit(
 
     kept = docs.filter(F.col(id_col) % 2 == 0)
     batch = docs.filter(F.col(id_col) % 2 == 1)
-    sig_store = minhash_signatures(kept, text_col, id_col).localCheckpoint(
-        eager=True
-    )
-    res1 = incremental_lsh_dedup(
-        batch, kept, text_col, id_col, kept_signatures=sig_store
-    ).localCheckpoint(eager=True)
-
-    retracted = (
-        kept.filter(F.col(id_col) % retract_mod == 0)
+    # The kept-side signature build and the retraction carve-out are
+    # independent — overlap them (guide §2.6, r13).
+    sig_store, retracted = _overlap(
+        lambda: minhash_signatures(kept, text_col, id_col).localCheckpoint(
+            eager=True
+        ),
+        lambda: kept.filter(F.col(id_col) % retract_mod == 0)
         .select(id_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
+    # return_new_signatures threads the admit phase's batch signature
+    # table out (r13 — the docstring's "extra pass" is gone: the readmit
+    # append below reuses these rows instead of recomputing MinHash over
+    # the survivor texts; deterministic, so values are identical).
+    res1, sig_batch = incremental_lsh_dedup(
+        batch,
+        kept,
+        text_col,
+        id_col,
+        kept_signatures=sig_store,
+        return_new_signatures=True,
+    )
+    # eager=False: the sig_store2 checkpoint below consumes surv1 —
+    # every partition of res1 — so the loop-state materialization fuses
+    # into that job (r13, guide §1.2); later consumers read cache.
+    res1 = res1.localCheckpoint(eager=False)
+
+    # Consumed exactly once (broadcast into res2's batch scan) and
+    # derived from two checkpointed frames — no eager materialization
+    # needed (r13: one fewer sequential job).
     affected = (
         res1.filter(F.col("status") == "cross_dup")
         .join(
@@ -2843,7 +2934,6 @@ def retract_and_readmit(
             "dup_of",
         )
         .select(id_col)
-        .localCheckpoint(eager=True)
     )
 
     # Post-retraction kept state: original kept minus retracted, plus
@@ -2855,9 +2945,7 @@ def retract_and_readmit(
     )
     sig_store2 = (
         sig_store.join(F.broadcast(retracted), id_col, "left_anti")
-        .unionByName(
-            minhash_signatures(docs.join(surv1, id_col), text_col, id_col)
-        )
+        .unionByName(sig_batch.join(surv1, id_col, "left_semi"))
         .localCheckpoint(eager=True)
     )
     res2 = incremental_lsh_dedup(
@@ -2866,6 +2954,7 @@ def retract_and_readmit(
         text_col,
         id_col,
         kept_signatures=sig_store2,
+        new_signatures=sig_batch,
     )
 
     return (

@@ -812,8 +812,12 @@ def connected_components(
             )
         # carry old and new label in one checkpointed frame so the
         # convergence check is a filter+count on already-materialized
-        # data, not another join+shuffle per round
-        both = cand.localCheckpoint()
+        # data, not another join+shuffle per round. eager=False fuses
+        # the checkpoint materialization INTO the convergence-count job
+        # (r13, guide §1.2): the count consumes every partition, which
+        # caches the lazily-marked checkpoint blocks as a side effect —
+        # one job per round instead of two, identical labels.
+        both = cand.localCheckpoint(eager=False)
         n_changed = both.filter(F.col("label") != F.col("old")).count()
         labels = both.select("u", "label")
         if n_changed == 0:

@@ -822,7 +822,13 @@ def q_incremental_semantic_dedup_chain(
             spark, batch, idx,
             threshold=EMBED_DUP_THRESHOLD, nprobe=_ISM_NPROBE,
         )
-        exact = exact.localCheckpoint(eager=True)
+        # eager=False fuses the checkpoint materialization into this
+        # batch's store-append job below (r13, guide §1.2): the append
+        # consumes surv_ids — every partition of exact — caching the
+        # lazily-marked blocks before the store mutates (append only
+        # adds cell files) and long before the post-loop rmtree, so the
+        # later aggregates read cache, never the deleted store.
+        exact = exact.localCheckpoint(eager=False)
         e_cross = exact.filter(F.col("status") == "cross_dup").select(
             "vec_id"
         )

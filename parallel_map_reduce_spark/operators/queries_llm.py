@@ -1996,7 +1996,10 @@ def q_semantic_dedup_keep_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id_a") + off).alias("id_a"), (F.col("id_b") + off).alias("id_b")
         )
     )
-    comp = dedup.connected_components(joint).localCheckpoint(eager=True)
+    # connected_components returns a projection over its own per-round
+    # checkpointed state, so a second eager checkpoint here was a pure
+    # extra job (r13) — downstream consumers re-read cached blocks.
+    comp = dedup.connected_components(joint)
     losers_exact = comp.filter(
         (F.col("u") < off) & (F.col("u") != F.col("label"))
     ).select(F.col("u").alias("doc_id"))

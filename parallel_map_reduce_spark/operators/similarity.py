@@ -984,9 +984,16 @@ def incremental_semantic_dedup(
 
     recover_store_slices(index_path)
     _, probe_cids = _ivf_udfs(_read_centroid_matrix(index_path), nprobe)
+    # eager=False (r13, guide §1.2): the connected_components
+    # construction below consumes b and cross_dup in full (survivors →
+    # intra → sym's eager checkpoint), so both lazily-marked checkpoints
+    # materialize inside that one job instead of paying two dedicated
+    # jobs first. Materialization still happens DURING this call — the
+    # returned statuses read only cached blocks, never the invfile, so
+    # callers may still delete the store before consuming them.
     b = batch.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probes = b.select(
         F.col(id_col).alias("id_n"), "qvec"
     ).withColumn("cid", F.explode(probe_cids(F.col("qvec"))))
@@ -996,7 +1003,7 @@ def incremental_semantic_dedup(
         .filter(F.round(cosine(F.col("qvec"), F.col("vec")), 6) >= threshold)
         .groupBy("id_n")
         .agg(F.min(F.col(id_col)).alias("dup_of"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Within-batch components over the cross-surviving rows only (every
@@ -1094,9 +1101,14 @@ def incremental_semantic_dedup_with_audit(
     cmat = _read_centroid_matrix(index_path)
     ncells = cmat.shape[0]
     _, probe_all = _ivf_udfs(cmat, ncells)
+    # eager=False (r13): same fusion as incremental_semantic_dedup — the
+    # component construction below consumes b and matches in full, so
+    # both checkpoints materialize inside its first job; statuses and
+    # pruned_cross then read only cached blocks (store-deletion contract
+    # in the docstring holds unchanged).
     b = batch.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("qvec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probes = b.select(F.col(id_col).alias("id_n"), "qvec").select(
         "id_n",
         "qvec",
@@ -1107,7 +1119,7 @@ def incremental_semantic_dedup_with_audit(
         inv.join(F.broadcast(probes), "cid")
         .filter(F.round(cosine(F.col("qvec"), F.col("vec")), 6) >= threshold)
         .select("id_n", F.col(id_col).alias("_kid"), "pos")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cross_dup = matches.groupBy("id_n").agg(F.min("_kid").alias("dup_of"))
     pruned_cross = (
@@ -1475,7 +1487,12 @@ def kmeans_train_converged(
                 "old_cluster",
                 _argmax_sim(F.col("_enc")).alias("sim"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False fuses the loop-state materialization INTO the
+            # convergence-stat job below (r13, guide §1.2): the agg
+            # consumes every partition, caching the lazily-marked
+            # checkpoint blocks as a side effect — one job per round
+            # instead of two, identical state.
+            .localCheckpoint(eager=False)
         )
         stat = best.agg(
             F.sum((F.col("cluster") != F.col("old_cluster")).cast("long")).alias(

@@ -92,27 +92,36 @@ _PRIORITY: list[str] = [
     "semantic_dedup_sharded_miss_audit",
     "semantic_dedup_sharded_miss_audit_sampled",
     "knn_range_ivfsq_stored",
+    # 1d) touched by the resumed session's optimization blocks
+    # (incremental_lsh_dedup signature threading + overlap, the
+    # checkpoint-into-action fusion in connected_components /
+    # kmeans_train_converged / the chain / retract_and_readmit, the
+    # lazy BPE merge rewrites): every registered row whose code path
+    # runs a touched function, mapped by the same AST transitive-caller
+    # scan. Displaces the youngest 14 remaining r8 fills (journaled,
+    # deferred to the r14 queue).
+    "retract_and_readmit",
+    "incremental_lsh_dedup",
+    "incremental_lsh_dedup_stored",
+    "incremental_lsh_dedup_compacted",
+    "streaming_incremental_dedup",
+    "bpe_train_vocab",
+    "bpe_encode_stats",
+    "dedup_group_assignment",
+    "dedup_group_assignment_lsh",
+    "dedup_keep_corpus",
+    "dedup_keep_corpus_lsh",
+    "pipeline_training_batches",
+    "pipeline_training_batches_lsh",
+    "semantic_dedup_keep_corpus",
     # 2) remaining r8-latest rows (r8 row order) — the r8 freshness-debt
-    # paydown VERDICT r12 #1 prescribes, minus the fills displaced by 1c.
+    # paydown VERDICT r12 #1 prescribes, minus the fills displaced by
+    # 1c/1d (the deferred tail is journaled in PLANS.md).
     "events_session_windows",
     "tpch_q8_market_share",
     "tpch_q22_dormant_customers",
     "tpch_q19_disjunctive_revenue",
     "tpch_q18_large_volume_customer",
-    "dataset_split_assignment",
-    "pack_batches_by_budget",
-    "inverted_index_postings",
-    "stratified_sample_deterministic",
-    "intersect_all_nations",
-    "except_all_nations",
-    "window_value_functions",
-    "ansi_safe_functions",
-    "sql_interface_recursive_months",
-    "udaf_geomean_price",
-    "grouped_zscore_events",
-    "udtf_token_lengths",
-    "sql_interface_q6",
-    "sql_interface_segments",
 ]
 
 
