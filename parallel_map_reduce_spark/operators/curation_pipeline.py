@@ -302,14 +302,20 @@ def pipeline_curate_corpus(
     # checkpointed signal frames (order-meaningful funnel counts). ----
 
     # Stage 2 — Gopher repetition gate applied to stage-1 survivors.
-    k2 = s_rep.join(k1, id_col).select(id_col).localCheckpoint(eager=True)
+    # Gate-set checkpoints are LAZY (r13, guide §1.2): each tiny id
+    # set is consumed in full by the next stage's construction (join /
+    # broadcast build / component fixpoint), which materializes the
+    # lazily-marked blocks inside the job it was already running —
+    # one fewer dedicated job per gate, identical sets. The stage-row
+    # audit aggregates read the cached blocks in the final action.
+    k2 = s_rep.join(k1, id_col).select(id_col).localCheckpoint(eager=False)
 
     # Stage 3 — CCNet band applied to stage-2 survivors.
-    k3 = s_ppl.join(k2, id_col).select(id_col).localCheckpoint(eager=True)
+    k3 = s_ppl.join(k2, id_col).select(id_col).localCheckpoint(eager=False)
 
     # Stage 4 — classifier gate keeps the p >= 0.5 slice among stage-3
     # survivors.
-    kq = s_qc.join(k3, id_col).select(id_col).localCheckpoint(eager=True)
+    kq = s_qc.join(k3, id_col).select(id_col).localCheckpoint(eager=False)
 
     # Stage 5 — MinHash-LSH near-dup dedup AMONG stage-4 survivors
     # (set-dependent: the canonical keeper is min-id per component of
@@ -324,7 +330,7 @@ def pipeline_curate_corpus(
         .select(F.col("u").cast("long").alias(id_col))
     )
     k4 = kq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
 
     # Stage 6 — cluster-sharded SemDeDup AMONG stage-5 survivors
@@ -357,14 +363,14 @@ def pipeline_curate_corpus(
         .select(F.col("u").cast("long").alias(id_col))
     )
     ksem = k4.join(F.broadcast(sem_losers), id_col, "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
 
     # Stage 7 — benchmark decontamination: eval docs themselves
     # (id % 50 == 0) leave the corpus, and any training doc with >=20%
     # shingle overlap against the eval suite is dropped (the dec_keep
     # signal from the concurrent phase).
-    k5 = dec_keep.join(ksem, id_col).select(id_col).localCheckpoint(eager=True)
+    k5 = dec_keep.join(ksem, id_col).select(id_col).localCheckpoint(eager=False)
 
     # Stage 8 — DSIR-weighted deterministic sampling: the corpus-wide
     # importance model (dsir_sig, concurrent phase) scores every
@@ -382,7 +388,7 @@ def pipeline_curate_corpus(
     k6 = (
         ce.weighted_systematic_sample(s5w, "dsir_w", sample_n, id_col=id_col)
         .select(id_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Stage 9 — context-window chunking + sharded sequence packing
