@@ -296,9 +296,15 @@ def incremental_lsh_dedup(
     )
 
     if new_signatures is not None:
+        # Eager like the other branches (ADVICE r13): the semi-join is
+        # consumed by BOTH concurrently-submitted candidate jobs below
+        # plus the sets_new semi-join, and with return_new_signatures
+        # the caller appends it to a store — one tiny materialization
+        # job beats recomputing the join per consumer and hands the
+        # caller a cache-backed frame, matching the other branches.
         sig_new = new_signatures.join(
             new_docs.select(id_col), id_col, "left_semi"
-        )
+        ).localCheckpoint(eager=True)
         sig_kept = (
             kept_signatures
             if kept_signatures is not None
@@ -2924,9 +2930,11 @@ def retract_and_readmit(
     # into that job (r13, guide §1.2); later consumers read cache.
     res1 = res1.localCheckpoint(eager=False)
 
-    # Consumed exactly once (broadcast into res2's batch scan) and
-    # derived from two checkpointed frames — no eager materialization
-    # needed (r13: one fewer sequential job).
+    # Recomputed per consuming job (res2's new_docs side references it
+    # in several semi-joins/broadcasts), but every recompute is a cheap
+    # deterministic filter+join over two CACHED frames (res1, retracted)
+    # — so skipping the eager materialization stays a net job saved
+    # (r13; comment corrected per ADVICE r13).
     affected = (
         res1.filter(F.col("status") == "cross_dup")
         .join(

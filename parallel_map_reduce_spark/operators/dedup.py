@@ -428,24 +428,76 @@ def _jaccard_pairs_prefix_filtered(
             F.col("_rn")
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
         )
-        .select(id_col, "_sid", "n_sh")
+        .select(id_col, "_sid", "n_sh", "_rn")
         .localCheckpoint(eager=True)
     )
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), "_sid", F.col("n_sh").alias("n_a")
-    )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), "_sid", F.col("n_sh").alias("n_b")
-    )
+    # r14 (PPJoin, Xiao et al. WWW'08 — guide §2.2/§3 "cut candidate
+    # pairs before the exchange"): two lossless refinements over plain
+    # AllPairs, both verified by the unchanged exact verify stage.
+    #
+    # 1. ASYMMETRIC prefixes. Orient each pair (s, l) by (n_sh, id)
+    #    lexicographic order, so s is the smaller set (ties by id). For
+    #    a qualifying pair, overlap O >= ceil(t/(1+t)·(n_s+n_l)) >=
+    #    ceil(2t/(1+t)·n_s), so the order-first common shingle sits
+    #    within s's SHORTER index prefix n_s - ceil(2t/(1+t)·n_s) + 1
+    #    (and, as before, within l's probe prefix n_l - ceil(t·n_l) + 1)
+    #    — the s-side of the join drops from the probe bound to the
+    #    index bound with no pair lost.
+    # 2. POSITIONAL filter. A join row matching shingle at ranks
+    #    (_rs, _rl) can certify at most 1 + min(n_s-_rs, n_l-_rl)
+    #    common shingles (everything after the match, plus the match);
+    #    rows below the required overlap alpha are dropped BEFORE the
+    #    distinct. Lossless: the first common shingle's row always
+    #    certifies >= O >= alpha.
+    #
+    # Epsilon guard: t/(1+t) and 2t/(1+t) are not exactly representable
+    # in binary; ceil(x·frac - 1e-9) can only err toward the EXACT ceil
+    # from above (longer prefix, smaller alpha) — the lossless direction;
+    # extra candidates cost only verify work, which is exact.
     t = F.lit(threshold)
+    idx_frac = F.lit(2.0 * threshold / (1.0 + threshold))
+    alpha_frac = F.lit(threshold / (1.0 + threshold))
+    eps = F.lit(1e-9)
+    s_side = prefix.filter(
+        F.col("_rn")
+        <= F.col("n_sh") - F.ceil(F.col("n_sh") * idx_frac - eps) + 1
+    ).select(
+        F.col(id_col).alias("id_s"),
+        "_sid",
+        F.col("n_sh").alias("n_s"),
+        F.col("_rn").alias("_rs"),
+    )
+    l_side = prefix.select(
+        F.col(id_col).alias("id_l"),
+        "_sid",
+        F.col("n_sh").alias("n_l"),
+        F.col("_rn").alias("_rl"),
+    )
+    alpha = F.ceil((F.col("n_s") + F.col("n_l")) * alpha_frac - eps)
     candidates = (
-        a.join(b, "_sid")
+        s_side.join(l_side, "_sid")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_b") * t <= F.col("n_a"))
-            & (F.col("n_a") * t <= F.col("n_b"))
+            (
+                (F.col("n_s") < F.col("n_l"))
+                | (
+                    (F.col("n_s") == F.col("n_l"))
+                    & (F.col("id_s") < F.col("id_l"))
+                )
+            )
+            # size-ratio prune: only n_l·t <= n_s binds (n_s <= n_l)
+            & (F.col("n_l") * t <= F.col("n_s"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_s") - F.col("_rs"), F.col("n_l") - F.col("_rl")
+                )
+                >= alpha
+            )
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -761,7 +813,13 @@ def connected_components(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     # no distinct: duplicate/parallel edges can't change a MIN, and
-    # deduplicating the edge list would cost a full extra shuffle
+    # deduplicating the edge list would cost a full extra shuffle.
+    # LOAD-BEARING eager checkpoint (ADVICE r13): callers that pass
+    # lazily-checkpointed edge frames (incremental_semantic_dedup and
+    # its _with_audit twin) rely on THIS being the in-call action that
+    # materializes them before the caller mutates/deletes the store the
+    # edges were scored against — do not make it lazy or short-circuit
+    # it without re-auditing those callers' store-deletion contracts.
     sym = sym.unionByName(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()

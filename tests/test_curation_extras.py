@@ -1237,6 +1237,30 @@ def test_gram_kernel_tiled_equals_untiled():
     assert (ia != ib).all()
 
 
+def test_seq_gram_chunked_bitwise_equals_naive_fold():
+    """The r14 cache-blocked seq_gram must be BIT-identical to the naive
+    per-dimension fold it replaced (g[i,j] = ((0 + x0·y0) + x1·y1) + …):
+    row-chunking the accumulator changes memory traffic, never any
+    element's addition order. Adversarial magnitudes (1e-8..1e8 mixes)
+    make any reordering visible; shapes cover chunk-boundary tails and
+    degenerate 1-row/1-col inputs."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.functions.gram import seq_gram
+
+    def naive(a, b):
+        g = np.zeros((a.shape[0], b.shape[0]))
+        for d in range(a.shape[1]):
+            g += a[:, d, None] * b[None, :, d]
+        return g
+
+    rng = np.random.RandomState(3)
+    for m, n, dim in [(1, 1, 1), (3, 5, 7), (257, 129, 64), (600, 2048, 64)]:
+        a = rng.randn(m, dim) * rng.choice([1e-8, 1.0, 1e8], size=(m, dim))
+        b = rng.randn(n, dim) * rng.choice([1e-8, 1.0, 1e8], size=(n, dim))
+        assert np.array_equal(seq_gram(a, b), naive(a, b))
+
+
 def test_cluster_sharded_skewed_cluster_bounded_memory(spark, sf_dir):
     """The r6 OOM mode enforced away: ALL vectors forced into one
     cluster (maximum skew) must still produce exactly the global exact
